@@ -1,0 +1,189 @@
+"""Exact batch k-nearest-neighbor search (SURVEY.md §2.2 Q1/Q2/Q3/Q6).
+
+Reference semantics: for each query vector return the k train ids with the
+smallest metric distance (base/module.py:86-98, bruteforce/module.py:162-213,
+batch form base/module.py:100-122).  Ties are broken by ascending id so the
+result is deterministic (FIXTURES.md tie rule).
+
+Two physical strategies behind one API:
+
+``method="expr"`` — pure DataFrame: broadcast the query table, score with the
+  Column kernels in ``functions/distance.py``, keep top-k with a
+  ``row_number()`` window.  Fully Catalyst-visible (predicate pushdown, column
+  pruning); the plan is a BroadcastNestedLoopJoin feeding a window.  This is
+  the oracle-parity path.
+
+``method="gemm"`` — the scale path, mirroring the reference's BLAS batching
+  (bruteforce/module.py:173-188) in Spark terms: queries are collected to the
+  driver (they are ≤10k rows by design — reference README.md:188-241) and
+  shipped to every partition; an Arrow-batched ``mapInPandas`` kernel does one
+  numpy GEMM per batch and emits only each batch's local top-k per query.
+  A final window merges the ≤ k·num_batches candidates per query.  Shuffle
+  volume is O(q·k·batches) instead of O(q·n): that is the difference between
+  a 100 TB scan working and not working.  The partial-distance algebra
+  (euclidean ranked by ‖t‖²−2t·q with ‖t‖² precomputable; angular as dot of
+  unit vectors — bruteforce/module.py:128-150) lives inside the kernel.
+
+Output schema (both paths): (qid BIGINT, id BIGINT, dist DOUBLE, rank INT),
+rank 1..k ordered by (dist, id).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigvectorbench_spark.functions import distance as dist_fns
+
+_OUT_SCHEMA = "qid bigint, id bigint, dist double, rank int"
+
+# Guardrail mirroring the reference's workload envelope (queries are always
+# ≤10k rows, README.md:188-241): the GEMM path broadcasts queries by value.
+MAX_BROADCAST_QUERIES = 100_000
+
+
+def topk_window(scored: DataFrame, k: int, qid: str = "qid", dist: str = "dist", id_col: str = "id") -> DataFrame:
+    """Per-query top-k: the A1 window (SURVEY §2.6), deterministic on ties."""
+    w = Window.partitionBy(qid).orderBy(F.col(dist).asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn(
+    train: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "euclidean",
+    *,
+    vec_col: str = "vec",
+    query_vec_col: Optional[str] = None,
+    id_col: str = "id",
+    qid_col: str = "qid",
+    method: str = "auto",
+    pre_filter: Optional[Column | str] = None,
+) -> DataFrame:
+    """Batch exact kNN of ``queries`` against ``train``.
+
+    ``pre_filter`` (SQL string or Column over train columns) restricts the
+    searchable rows *before* scoring — Catalyst pushes it into the Parquet
+    scan, which is the filter-ann fast path (SURVEY §2.2 Q4).
+    """
+    qvec = query_vec_col or vec_col
+    if pre_filter is not None:
+        train = train.filter(F.expr(pre_filter) if isinstance(pre_filter, str) else pre_filter)
+    if method == "auto":
+        method = "gemm" if metric in ("euclidean", "angular") else "expr"
+    if method == "expr":
+        return _knn_expr(train, queries, k, metric, vec_col, qvec, id_col, qid_col)
+    if method == "gemm":
+        return _knn_gemm(train, queries, k, metric, vec_col, qvec, id_col, qid_col)
+    raise ValueError(f"unknown method {method!r}")
+
+
+def _knn_expr(train, queries, k, metric, vec_col, qvec, id_col, qid_col) -> DataFrame:
+    t = train.select(F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("_tvec"))
+    q = queries.select(F.col(qid_col).cast("bigint").alias("qid"), F.col(qvec).alias("_qvec"))
+    scored = t.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "id",
+        dist_fns.metric_dist(metric, F.col("_tvec"), F.col("_qvec")).alias("dist"),
+    )
+    scored = scored.filter(dist_fns.metric_valid(metric, F.col("dist")))
+    return topk_window(scored, k).select("qid", "id", "dist", "rank")
+
+
+def _collect_queries(queries: DataFrame, qid_col: str, qvec: str) -> tuple[np.ndarray, np.ndarray]:
+    rows = queries.select(F.col(qid_col).cast("bigint"), qvec).collect()
+    if len(rows) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"{len(rows)} queries exceed the broadcast envelope "
+            f"({MAX_BROADCAST_QUERIES}); split the query set or use method='expr'"
+        )
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    if not rows:
+        return qids, np.zeros((0, 0), dtype=np.float64)
+    qmat = np.array([r[1] for r in rows], dtype=np.float64)
+    return qids, qmat
+
+
+def _knn_gemm(train, queries, k, metric, vec_col, qvec, id_col, qid_col) -> DataFrame:
+    if metric not in ("euclidean", "angular", "hamming"):
+        # jaccard is set-typed; GEMM does not apply (expr path handles it).
+        return _knn_expr(train, queries, k, metric, vec_col, qvec, id_col, qid_col)
+
+    qids, qmat = _collect_queries(queries, qid_col, qvec)
+    spark = train.sparkSession
+    if len(qids) == 0:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_qids, b_qmat = bc.value
+        nq = len(b_qids)
+        if metric == "angular":
+            qn = np.linalg.norm(b_qmat, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            b_qunit = b_qmat / qn
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64, copy=False)
+            if metric == "euclidean":
+                # ‖t−q‖² = ‖t‖² − 2 t·q + ‖q‖²  (bruteforce/module.py:128-137)
+                d2 = (
+                    (X * X).sum(axis=1)[:, None]
+                    - 2.0 * (X @ b_qmat.T)
+                    + (b_qmat * b_qmat).sum(axis=1)[None, :]
+                )
+                D = np.sqrt(np.maximum(d2, 0.0))
+            elif metric == "angular":
+                xn = np.linalg.norm(X, axis=1, keepdims=True)
+                xn[xn == 0] = 1.0
+                D = 1.0 - (X / xn) @ b_qunit.T
+            else:  # hamming: mean of elementwise mismatch, floats ∈ {0,1}
+                D = (
+                    (X[:, None, :] != b_qmat[None, :, :]).mean(axis=2)
+                    if X.shape[0] * nq * X.shape[1] < 50_000_000
+                    else _hamming_blocked(X, b_qmat)
+                )
+            kk = min(k, len(ids))
+            # per-batch partial top-k (argpartition: bruteforce/module.py:201)
+            part = np.argpartition(D, kk - 1, axis=0)[:kk, :]
+            out_qid = np.repeat(b_qids, kk)
+            cols = part.T  # (nq, kk) train row indices per query
+            out_id = ids[cols].ravel()
+            out_d = np.take_along_axis(D, part, axis=0).T.ravel()
+            yield pd.DataFrame(
+                {"qid": out_qid, "id": out_id, "dist": out_d, "rank": np.zeros(len(out_id), dtype=np.int32)}
+            )
+
+    t = train.select(F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec"))
+    partial = t.mapInPandas(score_partition, schema=_OUT_SCHEMA)
+    # Final merge: candidates per query are ≤ k·num_batches — tiny.
+    return topk_window(partial.drop("rank"), k).select("qid", "id", "dist", "rank")
+
+
+def _hamming_blocked(X: np.ndarray, Q: np.ndarray, block: int = 2048) -> np.ndarray:
+    out = np.empty((X.shape[0], Q.shape[0]), dtype=np.float64)
+    for i in range(0, X.shape[0], block):
+        out[i : i + block] = (X[i : i + block, None, :] != Q[None, :, :]).mean(axis=2)
+    return out
+
+
+def assert_unique_candidates(result: DataFrame) -> None:
+    """Reference uniqueness assertion (runner.py:100-103): per-query result
+    ids must be duplicate-free.  Raises AssertionError otherwise."""
+    bad = (
+        result.groupBy("qid")
+        .agg((F.count("id") - F.countDistinct("id")).alias("dups"))
+        .filter(F.col("dups") > 0)
+        .count()
+    )
+    assert bad == 0, f"{bad} queries returned duplicate candidates"
