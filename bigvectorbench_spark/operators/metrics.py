@@ -1,0 +1,90 @@
+"""Metrics pipeline — SURVEY.md §2.6 A4-A9, reference plotting/metrics.py.
+
+Everything is a DataFrame aggregation; the whole reference metrics layer
+(recall, QPS, latency percentiles, Pareto frontier) is ~one Spark job over
+the joined results⨯groundtruth table (SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PAD_ID = -1
+
+DEFAULT_PERCENTILES = (0.5, 0.9, 0.95, 0.99, 0.999)  # plotting/metrics.py:61-108
+
+
+def recall_per_query(run: DataFrame, truth: DataFrame, *, run_col: str = "neighbors",
+                     truth_col: str = "neighbors") -> DataFrame:
+    """Recall@k per query (plotting/metrics.py:6-26):
+    |truth∩run − {−1}| / |truth − {−1}|, defaulting to 1.0 when the truth
+    list is empty (filtered queries can legitimately have no neighbors)."""
+    r = run.select("qid", F.array_remove(F.col(run_col), PAD_ID).alias("_run"))
+    t = truth.select("qid", F.array_remove(F.col(truth_col), PAD_ID).alias("_truth"))
+    j = t.join(r, "qid", "left").select(
+        "qid",
+        F.when(F.size("_truth") == 0, F.lit(1.0))
+        .otherwise(
+            F.size(F.array_intersect("_truth", F.coalesce("_run", F.lit([]).cast("array<bigint>"))))
+            / F.size("_truth").cast("double")
+        )
+        .alias("recall"),
+    )
+    return j
+
+
+def recall_summary(run: DataFrame, truth: DataFrame, **kw) -> DataFrame:
+    """mean ± std over queries (plotting/metrics.py:19-26)."""
+    return recall_per_query(run, truth, **kw).agg(
+        F.avg("recall").alias("mean_recall"),
+        F.coalesce(F.stddev_pop("recall"), F.lit(0.0)).alias("std_recall"),
+        F.count("*").alias("n_queries"),
+    )
+
+
+def qps(times: DataFrame, time_col: str = "latency") -> DataFrame:
+    """1 / mean(per-query seconds) (plotting/metrics.py:51-58)."""
+    return times.agg((F.lit(1.0) / F.avg(time_col)).alias("qps"))
+
+
+def latency_percentiles(
+    times: DataFrame,
+    time_col: str = "latency",
+    percentiles: Sequence[float] = DEFAULT_PERCENTILES,
+) -> DataFrame:
+    """Exact percentiles × 1000 ms (plotting/metrics.py:61-108 uses
+    np.percentile = linear interpolation; Spark's ``percentile`` matches)."""
+    pct = F.percentile(F.col(time_col), F.lit(list(percentiles)))
+    df = times.agg(pct.alias("_p"))
+    cols = [
+        (F.element_at("_p", i + 1) * 1000).alias(f"p{str(p).replace('0.', '')}")
+        for i, p in enumerate(percentiles)
+    ]
+    return df.select(*cols)
+
+
+def best_search_time(per_run_times: DataFrame, run_col: str = "run",
+                     time_col: str = "latency") -> DataFrame:
+    """min over runs of mean per-query time (runner.py:61, 222-226)."""
+    return (
+        per_run_times.groupBy(run_col)
+        .agg(F.avg(time_col).alias("mean_time"))
+        .agg(F.min("mean_time").alias("best_search_time"))
+    )
+
+
+def pareto_frontier(points: DataFrame, x: str, y: str) -> DataFrame:
+    """Pareto frontier (plotting/utils.py:16-38): sort by (−y, −x), keep a
+    point iff its x strictly improves the running best.  Single window scan —
+    at 100 TB the *inputs* here are already per-run aggregates (tiny)."""
+    w = Window.orderBy(F.col(y).desc(), F.col(x).desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        points.withColumn("_best", F.max(x).over(w))
+        .filter(F.col("_best").isNull() | (F.col(x) > F.col("_best")))
+        .drop("_best")
+    )

@@ -1,0 +1,116 @@
+"""Multi-vector kNN (mv-ann) — SURVEY.md §2.2 Q7.
+
+Reference semantics (runner.py:167-197, datasets.py:412-451): each entity has
+v vectors (e.g. 4 video keyframes, 4×512-d, README.md:220-227).  Ground truth
+scores an entity by the **mean of per-position euclidean distances**
+``mean_j ‖test[q,j] − train[i,j]‖`` (datasets.py:424-427).  The Milvus
+execution path instead runs one ANN subquery per vector field and fuses with
+``WeightedRanker(0.25,…)`` (milvus/module.py:422-458) — an approximation of
+the same intent.  We provide both:
+
+- ``mv_knn``          — the exact mean-distance form.  No explode: the score
+  is a single Column expression (``zip_with`` the two ARRAY<ARRAY<FLOAT>>
+  columns into per-position distances, then fold), so the q×n×v blowup never
+  materializes as rows (SURVEY §7 hard part 5).
+- ``mv_knn_fused``    — the WeightedRanker analog: per-position top-k
+  subqueries, union, weighted-similarity fusion, final top-k.  At scale this
+  is v small jobs over the same scan instead of one wide one.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigvectorbench_spark.functions import distance as dist_fns
+from bigvectorbench_spark.operators.knn import knn, topk_window
+
+
+def mv_mean_dist(a, b, weights: Optional[Sequence[float]] = None):
+    """Column: mean (or weighted mean) of per-position L2 distances between
+    two ARRAY<ARRAY<FLOAT>> columns (datasets.py:424-427)."""
+    per_pos = F.zip_with(a, b, lambda x, y: dist_fns.l2_dist(x, y))
+    if weights is None:
+        total = F.aggregate(per_pos, F.lit(0.0), lambda acc, x: acc + x)
+        return total / F.size(per_pos).cast("double")
+    w = F.lit(list(map(float, weights))).cast("array<double>")
+    return F.aggregate(
+        F.zip_with(per_pos, w, lambda d, wi: d * wi), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def mv_knn(
+    train: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    vecs_col: str = "vecs",
+    query_vecs_col: Optional[str] = None,
+    id_col: str = "id",
+    qid_col: str = "qid",
+    weights: Optional[Sequence[float]] = None,
+) -> DataFrame:
+    """Exact multi-vector kNN by mean per-position euclidean distance."""
+    qvecs = query_vecs_col or vecs_col
+    t = train.select(F.col(id_col).cast("bigint").alias("id"), F.col(vecs_col).alias("_tv"))
+    q = queries.select(F.col(qid_col).cast("bigint").alias("qid"), F.col(qvecs).alias("_qv"))
+    scored = t.crossJoin(F.broadcast(q)).select(
+        "qid", "id", mv_mean_dist(F.col("_tv"), F.col("_qv"), weights).alias("dist")
+    )
+    return topk_window(scored, k).select("qid", "id", "dist", "rank")
+
+
+def mv_knn_fused(
+    train: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    vecs_col: str = "vecs",
+    query_vecs_col: Optional[str] = None,
+    id_col: str = "id",
+    qid_col: str = "qid",
+    weights: Optional[Sequence[float]] = None,
+    per_vector_k: Optional[int] = None,
+    num_vectors: Optional[int] = None,
+) -> DataFrame:
+    """WeightedRanker-style fusion (milvus/module.py:422-458): per-position
+    ANN top-``per_vector_k`` (default 2k over-fetch), union, fuse with
+    score = Σ w_j · 1/(1+dist_j) (missing positions contribute 0), re-rank.
+
+    Approximate by construction — an entity outside every per-position top
+    list cannot surface — matching the reference's hybrid-search semantics.
+    """
+    qvecs = query_vecs_col or vecs_col
+    if num_vectors is None:
+        first = train.select(F.size(vecs_col).alias("v")).first()
+        if first is None:
+            raise ValueError("empty train table")
+        num_vectors = first["v"]
+    v = num_vectors
+    w = list(map(float, weights)) if weights is not None else [1.0 / v] * v
+    if len(w) != v:
+        raise ValueError(f"{len(w)} weights for {v} vector positions")
+    fetch = per_vector_k or 2 * k
+
+    parts = []
+    for j in range(v):
+        tj = train.select(
+            F.col(id_col).alias("id"), F.element_at(F.col(vecs_col), j + 1).alias("vec")
+        )
+        qj = queries.select(
+            F.col(qid_col).alias("qid"), F.element_at(F.col(qvecs), j + 1).alias("vec")
+        )
+        parts.append(
+            knn(tj, qj, k=fetch, metric="euclidean", method="expr")
+            .withColumn("score", F.lit(w[j]) / (F.lit(1.0) + F.col("dist")))
+            .select("qid", "id", "score")
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    fused = unioned.groupBy("qid", "id").agg(F.sum("score").alias("score"))
+    # higher fused score = better; reuse topk by ordering on -score
+    ranked = topk_window(fused.withColumn("dist", -F.col("score")), k)
+    return ranked.select("qid", "id", F.col("score"), "rank")
