@@ -1,0 +1,156 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+These extend the reference's surface (BASELINE.json extension list): language
+ID, quality scoring, token counting, shingling, and document fingerprinting —
+all as Column expressions (JVM-side, codegen-friendly) so a 100 TB documents
+table never round-trips through Python.
+
+Tokenization contract: lowercase, split on runs of whitespace after trim.
+Kept deliberately simple and *oracle-reproducible* (the same regex runs in
+DuckDB for the correctness gate).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword/marker inventory (public common words).
+LANG_MARKERS: Mapping[str, Sequence[str]] = {
+    "en": ["the", "and", "of", "to", "is", "a", "in", "that"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+    "es": ["el", "los", "las", "es", "una", "que", "por", "con"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, lowercased.  Empty string → empty array."""
+    t = F.lower(F.trim(text))
+    return F.filter(F.split(t, r"\s+"), lambda w: w != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_token_len(text: Column) -> Column:
+    tk = tokens(text)
+    total = F.aggregate(tk, F.lit(0.0), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(tk) == 0, 0.0).otherwise(total / F.size(tk).cast("double"))
+
+
+def _index_range(count: Column) -> Column:
+    """sequence(1, count), empty when count ≤ 0 (Spark's sequence(1,0) is a
+    *descending* [1,0], not empty — guard against it)."""
+    return F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.lit([]).cast("array<int>")
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles joined by a single space (the dedup unit)."""
+    tk = tokens(text)
+    idx = _index_range(F.size(tk) - (n - 1))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(n)])
+    )
+    return F.array_distinct(sh)
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of the lowercased text."""
+    t = F.lower(F.trim(text))
+    idx = _index_range(F.length(t) - (n - 1))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
+
+
+def stopword_ratio(text: Column, stopwords: Sequence[str] = EN_STOPWORDS) -> Column:
+    tk = tokens(text)
+    sw = F.lit(list(stopwords))
+    hits = F.size(F.filter(tk, lambda w: F.array_contains(sw, w)))
+    return F.when(F.size(tk) == 0, 0.0).otherwise(hits / F.size(tk).cast("double"))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\p{Punct}]", "")
+    return F.when(F.length(text) == 0, 0.0).otherwise(
+        F.length(stripped) / F.length(text).cast("double")
+    )
+
+
+def digit_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^0-9]", "")
+    return F.when(F.length(text) == 0, 0.0).otherwise(
+        F.length(stripped) / F.length(text).cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality ∈ [0,1]: rewards mid-length documents with
+    natural word lengths and some stopword mass; punishes punctuation/digit
+    noise.  (The standard cheap pre-filter in web-corpus pipelines.)"""
+    ntok = token_count(text).cast("double")
+    len_score = F.least(ntok / F.lit(64.0), F.lit(1.0))
+    awl = avg_token_len(text)
+    awl_score = F.when((awl >= 3.0) & (awl <= 10.0), 1.0).otherwise(0.3)
+    sw_score = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    noise = punct_ratio(text) + digit_ratio(text)
+    noise_score = F.greatest(F.lit(1.0) - noise * 2.0, F.lit(0.0))
+    return (
+        0.3 * len_score + 0.2 * awl_score + 0.2 * sw_score + 0.3 * noise_score
+    ).alias("quality")
+
+
+def lang_scores(text: Column) -> Column:
+    """Array of (lang, hits) structs: marker-token occurrences per language."""
+    tk = tokens(text)
+    entries = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.lit(list(LANG_MARKERS[lang]))
+        hits = F.size(F.filter(tk, lambda w: F.array_contains(markers, w)))
+        # zh: marker chars appear inside tokens, not as whole tokens
+        if lang == "zh":
+            joined = F.concat_ws("", tk)
+            hits = F.aggregate(
+                F.lit(list(LANG_MARKERS[lang])),
+                F.lit(0),
+                lambda acc, m: acc
+                + F.length(joined)
+                - F.length(F.replace(joined, m, F.lit(""))),
+            )
+        entries.append(F.struct(F.lit(lang).alias("lang"), hits.cast("int").alias("hits")))
+    return F.array(*entries)
+
+
+def lang_id(text: Column, default: str = "en") -> Column:
+    """Argmax marker-hit language; deterministic tie-break by lang name
+    (scores sorted desc by hits, asc by lang).  Falls back to ``default``
+    when nothing matches — a cheap n-gram-style heuristic that runs fully
+    JVM-side."""
+    scored = F.sort_array(
+        F.transform(
+            lang_scores(text),
+            lambda s: F.struct((-s["hits"]).alias("neg"), s["lang"].alias("lang")),
+        )
+    )
+    best = F.element_at(scored, 1)
+    return F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit(default))
+
+
+def doc_fingerprint(text: Column, *, shingle_n: int = 3, num_mins: int = 8) -> Column:
+    """Winnowing-style fingerprint: the ``num_mins`` smallest 64-bit hashes of
+    the document's word shingles, sorted ascending.  Two documents sharing
+    most of their content share most fingerprint entries; the column is tiny
+    (num_mins longs) so it can be stored and joined at corpus scale."""
+    hashes = F.transform(word_shingles(text, shingle_n), lambda s: F.xxhash64(s))
+    return F.slice(F.array_sort(F.array_distinct(hashes)), 1, num_mins)

@@ -1,0 +1,350 @@
+"""Deduplication operators for training-data pipelines (BASELINE.json
+extension surface): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup.
+
+Scale design notes (the whole point of these implementations):
+
+- **No cross joins.** Candidate generation is always a *bucket join* — an
+  inverted index on shingles, an LSH band hash, or a SimHash band — so the
+  shuffle is O(candidates), not O(n²).  A 100 TB corpus cross-joined with
+  itself is not a plan; grouped buckets with a frequency cap are.
+- **Exact Jaccard via co-occurrence counts.** |A∩B| is the number of shared
+  shingles, countable by self-joining the inverted index — no need to carry
+  full shingle arrays through the shuffle.
+- **Hot-key protection.** A shingle appearing in f docs yields f² candidate
+  pairs; ``max_shingle_freq`` drops degenerate shingles (stopword runs) the
+  way real pipelines do.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigvectorbench_spark.functions import text as tx
+from bigvectorbench_spark.functions import distance as dist_fns
+
+# ---------------------------------------------------------------- exact dedup
+
+
+def text_key(text: Column) -> Column:
+    """Canonical content key: md5 of whitespace-normalized lowercase text."""
+    return F.md5(F.concat_ws(" ", tx.tokens(text)))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents:
+    (text_key, n_docs, canonical_id=min id).  Hash-groupBy — one shuffle on
+    the 32-char key, map-side partial aggregation for free."""
+    return (
+        df.select(F.col(id_col), text_key(F.col(text_col)).alias("text_key"))
+        .groupBy("text_key")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one representative (min id) per identical-content group."""
+    w_key = text_key(F.col(text_col)).alias("__key")
+    keyed = df.withColumn("__key", w_key)
+    winners = keyed.groupBy("__key").agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, ["__key", id_col], "inner").drop("__key")
+
+
+# ------------------------------------------------- n-gram Jaccard (inverted index)
+
+
+def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int,
+                   max_shingle_freq: Optional[int]) -> tuple[DataFrame, DataFrame]:
+    """(doc sizes, exploded inverted index), shingles hashed to int64."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tx.word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("sh"),
+    )
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    inv = sh.select("id", F.explode("sh").alias("shingle"))
+    if max_shingle_freq is not None:
+        freq = inv.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
+        inv = inv.join(freq.select("shingle"), "shingle", "inner")
+    return sizes, inv
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: Optional[int] = None,
+) -> DataFrame:
+    """All document pairs with n-gram-shingle Jaccard ≥ threshold.
+
+    Exact (when ``max_shingle_freq`` is None): intersection sizes come from
+    the inverted-index self-join, |A∪B| = |A|+|B|−|A∩B|.  Pairs sharing zero
+    shingles never materialize.  Output: (id_a, id_b, jaccard) with
+    id_a < id_b."""
+    sizes, inv = _shingle_index(df, id_col, text_col, n, max_shingle_freq)
+    a = inv.alias("a")
+    b = inv.alias("b")
+    co = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        co.join(sz_a, "id_a").join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------- MinHash + LSH
+
+# 2^31-1: universal-hash modulus small enough that a·x+b never overflows
+# int64 (a, x < 2^31, so a·x < 2^62).
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 1) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def minhash_signature(text: Column, *, shingle_n: int = 3, num_perm: int = 64,
+                      seed: int = 1) -> Column:
+    """ARRAY<BIGINT> MinHash signature over word shingles.
+
+    h_i(s) = (a_i·x + b_i) mod 2^61−1 over the shingle's xxhash64 (made
+    non-negative).  Pure column expression: num_perm array_min/transform
+    passes, all codegen."""
+    hashes = F.transform(
+        tx.word_shingles(text, shingle_n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
+    )
+
+    def _perm(a: int, b: int):
+        # closure factory: pyspark rejects lambdas with extra default params
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+
+    mins = [
+        F.array_min(F.transform(hashes, _perm(a, b)))
+        for a, b in _perm_params(num_perm, seed)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 1,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding (shingle→minhash→band→
+    bucket-join).  With ``verify`` the candidates are re-checked with *exact*
+    shingle Jaccard (via the inverted-index co-occurrence count), so banding
+    only affects candidate recall, never precision.
+    Output: (id_a, id_b, jaccard)."""
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
+    rows_per_band = num_perm // bands
+
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), shingle_n=shingle_n, num_perm=num_perm, seed=seed).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(",", *[
+                    F.element_at("sig", band * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ]))
+                for band in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand.withColumn("jaccard", F.lit(None).cast("double"))
+    exact = ngram_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, n=shingle_n, threshold=0.0
+    )
+    return cand.join(exact, ["id_a", "id_b"], "inner").filter(F.col("jaccard") >= threshold)
+
+
+# -------------------------------------------------------------------- SimHash
+
+
+def simhash64(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64 is computed JVM-side;
+    the bit-vote aggregation runs as a vectorized Arrow-batched pandas UDF
+    (numpy bit unpacking — the one part plain SQL does badly).
+    Output: (id, simhash BIGINT)."""
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tx.tokens(F.col(text_col)), lambda w: F.xxhash64(w)).alias("hs"),
+    )
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, arr in enumerate(hs):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in np.where(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = sig.astype(np.int64)
+        return pd.Series(out)
+
+    return hashed.select("id", _simhash("hs").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs of documents whose SimHashes differ in ≤ ``max_hamming`` bits.
+    Blocking: split the 64-bit hash into 4 16-bit bands — by pigeonhole any
+    pair within distance 3 shares at least one exact band, so the bucket join
+    finds every qualifying pair; verification is a bit_count(xor) filter.
+    Output: (id_a, id_b, hamming)."""
+    sh = simhash64(df, id_col=id_col, text_col=text_col)
+    bands = sh.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[
+            (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)))
+            for i in range(4)
+        ])).alias("band", "chunk"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# -------------------------------------------------- embedding cosine near-dup
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    method: str = "srp",
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 1,
+) -> DataFrame:
+    """Pairs with cosine similarity ≥ threshold.
+
+    ``method="brute"``: exact pairwise (id_a < id_b) — the correctness oracle
+    form, quadratic, for modest n.
+    ``method="srp"``: sign-random-projection LSH — ``num_planes`` hyperplane
+    sign bits split into ``bands`` bucket keys; only same-bucket pairs are
+    scored, then exactly verified.  The scale path: shuffle is O(candidates).
+    Output: (id_a, id_b, cosine)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    unit = base.select("id", dist_fns.unit_vec(F.col("vec")).alias("u"))
+
+    def _cos(a, b):
+        return dist_fns.dot(a, b)  # unit vectors: dot == cosine
+
+    if method == "brute":
+        a, b = unit.alias("a"), unit.alias("b")
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                _cos(F.col("a.u"), F.col("b.u")).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+    if method != "srp":
+        raise ValueError(f"unknown method {method!r}")
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty input")
+    dim = first["d"]
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(num_planes, dim)
+    if num_planes % bands != 0:
+        raise ValueError("num_planes must divide into bands")
+    per_band = num_planes // bands
+
+    sig_bits = [
+        F.when(dist_fns.dot(F.col("u"), F.lit(planes[p].tolist()).cast("array<double>")) >= 0, "1").otherwise("0")
+        for p in range(num_planes)
+    ]
+    sigs = unit.select(
+        "id", "u",
+        F.posexplode(F.array(*[
+            F.concat(*sig_bits[band * per_band:(band + 1) * per_band])
+            for band in range(bands)
+        ])).alias("band", "bucket"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.u").alias("u_a"), F.col("b.u").alias("u_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", _cos(F.col("u_a"), F.col("u_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

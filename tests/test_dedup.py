@@ -1,0 +1,123 @@
+"""Dedup operator tests: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding cosine — all against small hand-built or numpy oracles."""
+
+import numpy as np
+import pytest
+
+from bigvectorbench_spark.operators import dedup as dd
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog while rain falls on the green hills"
+    near = base.replace("green", "blue")          # one-token change
+    far = "completely unrelated text about spark query engines and shuffle partitions here"
+    rows = [
+        (0, base), (1, base),                     # exact dupes
+        (2, "  THE quick   brown fox jumps over the lazy dog while rain falls on the green hills "),
+        (3, near),                                # near-dup of 0
+        (4, far),
+        (5, "another separate document with its own words and nothing shared at all today"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string").cache()
+
+
+def test_exact_dup_groups(docs):
+    groups = {r["canonical_id"]: r["n_docs"] for r in dd.exact_dup_groups(docs).collect()}
+    # 0,1,2 normalize to identical text
+    assert groups[0] == 3
+    assert sum(groups.values()) == 6
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = sorted(r["doc_id"] for r in dd.exact_dedup(docs).collect())
+    assert kept == [0, 3, 4, 5]
+
+
+def _py_jaccard(a, b, n=3):
+    def sh(t):
+        tk = t.lower().split()
+        return {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+def test_ngram_jaccard_pairs_exact(docs):
+    rows = docs.collect()
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    # oracle: all pairs with jaccard >= 0.5
+    expect = {}
+    ids = sorted(texts)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            jv = _py_jaccard(texts[ids[i]], texts[ids[j]])
+            if jv >= 0.5:
+                expect[(ids[i], ids[j])] = jv
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k] == pytest.approx(expect[k])
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dd.minhash_lsh_pairs(docs, threshold=0.5, num_perm=64, bands=16).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs  # exact dupes
+    assert (0, 3) in pairs                                           # near-dup
+    assert all(a not in (4, 5) and b not in (4, 5) for a, b in pairs)
+
+
+def test_minhash_verify_filters_false_positives(docs):
+    # with verification on, reported jaccard is the exact one
+    for r in dd.minhash_lsh_pairs(docs, threshold=0.5).collect():
+        assert r["jaccard"] >= 0.5
+
+
+def test_simhash_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dd.simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0 and pairs[(0, 2)] == 0 and pairs[(1, 2)] == 0
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_simhash64_deterministic(docs, spark):
+    a = {r["id"]: r["simhash"] for r in dd.simhash64(docs).collect()}
+    b = {r["id"]: r["simhash"] for r in dd.simhash64(docs).collect()}
+    assert a == b and len(a) == 6
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(5)
+    V = rng.randn(40, 16)
+    V[1] = V[0] + rng.randn(16) * 0.01          # near-dup of 0
+    V[7] = V[6] * 2.0                            # exact cosine dup of 6
+    return V, spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(len(V))],
+        "vec_id bigint, embedding array<float>",
+    ).cache()
+
+
+def _cos_pairs(V, t):
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = U @ U.T
+    return {(i, j) for i in range(len(V)) for j in range(i + 1, len(V)) if S[i, j] >= t}
+
+
+def test_embedding_dups_brute(vectors):
+    V, df = vectors
+    got = {(r["id_a"], r["id_b"]) for r in
+           dd.embedding_dup_pairs(df, threshold=0.98, method="brute").collect()}
+    assert got == _cos_pairs(V, 0.98)
+    assert (0, 1) in got and (6, 7) in got
+
+
+def test_embedding_dups_srp_no_false_positives(vectors):
+    V, df = vectors
+    exact = _cos_pairs(V, 0.98)
+    got = {(r["id_a"], r["id_b"]) for r in
+           dd.embedding_dup_pairs(df, threshold=0.98, method="srp",
+                                  num_planes=16, bands=8).collect()}
+    assert got.issubset(exact)          # verification: no false positives
+    assert (6, 7) in got                # colinear pair always shares all bands

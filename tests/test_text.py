@@ -1,0 +1,65 @@
+"""Text-analysis function tests (tokenize/quality/lang-id/fingerprint)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigvectorbench_spark.functions import text as tx
+
+
+def _eval(spark, col, text):
+    return spark.createDataFrame([(text,)], "t string").select(col.alias("v")).collect()[0]["v"]
+
+
+def test_tokens_and_counts(spark):
+    assert _eval(spark, tx.tokens(F.col("t")), "  Hello   World  ") == ["hello", "world"]
+    assert _eval(spark, tx.tokens(F.col("t")), "") == []
+    assert _eval(spark, tx.token_count(F.col("t")), "a b  c") == 3
+    assert _eval(spark, tx.char_count(F.col("t")), "abc") == 3
+    assert _eval(spark, tx.avg_token_len(F.col("t")), "ab abcd") == pytest.approx(3.0)
+    assert _eval(spark, tx.avg_token_len(F.col("t")), "") == 0.0
+
+
+def test_word_shingles(spark):
+    got = _eval(spark, tx.word_shingles(F.col("t"), 2), "a b c a b")
+    assert sorted(got) == ["a b", "b c", "c a"]  # distinct
+    assert _eval(spark, tx.word_shingles(F.col("t"), 3), "a b") == []
+
+
+def test_char_ngrams(spark):
+    got = _eval(spark, tx.char_ngrams(F.col("t"), 2), "abab")
+    assert sorted(got) == ["ab", "ba"]
+
+
+def test_ratios(spark):
+    assert _eval(spark, tx.stopword_ratio(F.col("t")), "the cat and dog") == pytest.approx(0.5)
+    assert _eval(spark, tx.punct_ratio(F.col("t")), "ab,.") == pytest.approx(0.5)
+    assert _eval(spark, tx.digit_ratio(F.col("t")), "a1b2") == pytest.approx(0.5)
+    assert _eval(spark, tx.punct_ratio(F.col("t")), "") == 0.0
+
+
+def test_quality_score_ordering(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs far away to the hills"
+    bad = "@@@@ #### 1234 !!!! %%%%"
+    qg = _eval(spark, tx.quality_score(F.col("t")), good)
+    qb = _eval(spark, tx.quality_score(F.col("t")), bad)
+    assert 0.0 <= qb < qg <= 1.0
+
+
+def test_lang_id(spark):
+    assert _eval(spark, tx.lang_id(F.col("t")), "the cat is on the mat") == "en"
+    assert _eval(spark, tx.lang_id(F.col("t")), "der hund und die katze ist") == "de"
+    assert _eval(spark, tx.lang_id(F.col("t")), "le chat est dans la maison et") == "fr"
+    assert _eval(spark, tx.lang_id(F.col("t")), "el gato es una mascota que") == "es"
+    assert _eval(spark, tx.lang_id(F.col("t")), "我是的了") == "zh"
+    assert _eval(spark, tx.lang_id(F.col("t")), "xyzzy plugh") == "en"  # fallback
+
+
+def test_doc_fingerprint_similarity(spark):
+    a = "one two three four five six seven eight nine ten"
+    fa = _eval(spark, tx.doc_fingerprint(F.col("t")), a)
+    fb = _eval(spark, tx.doc_fingerprint(F.col("t")), a + " eleven")
+    fc = _eval(spark, tx.doc_fingerprint(F.col("t")), "totally different words entirely here now")
+    assert fa == sorted(fa)
+    overlap_ab = len(set(fa) & set(fb))
+    overlap_ac = len(set(fa) & set(fc))
+    assert overlap_ab > overlap_ac
