@@ -1,0 +1,150 @@
+"""Approximate similarity search — SURVEY.md §2.7 / M7.
+
+The reference benchmarks IVF/HNSW/PQ families via backend engines
+(milvus/module.py:567-713); the Spark-idiomatic analogs are:
+
+- **FLAT (exact)** = ``operators/knn.py`` — the baseline and ground truth.
+- **IVF_FLAT** = MLlib KMeans centroids + a ``cluster_id`` column on the
+  train table.  ``nlist`` = number of centroids (build-time knob),
+  ``nprobe`` = how many nearest centroid cells each query visits
+  (query-time knob, milvus/module.py:581-592).  If the table is *written
+  partitioned by cluster_id*, the probe join becomes partition pruning: a
+  100 TB scan touches only nprobe/nlist of its files — that's the entire
+  point of the structure.
+- **LSH** = the bucketed-random-projection / MinHash knobs (dedup.py uses
+  the same machinery for near-dup); exposed via the SRP signature here for
+  cosine ANN.
+
+Index build is M2 in the reference's lifecycle (runner.py:446-489): a timed,
+materialized artifact.  Here it is ``IVFIndex.fit`` + ``write_indexed``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigvectorbench_spark.functions import distance as dist_fns
+from bigvectorbench_spark.operators.knn import topk_window, _collect_queries
+
+CLUSTER_COL = "cluster_id"
+
+
+@dataclass
+class IVFIndex:
+    """KMeans-based inverted-file index: centroids live on the driver (nlist
+    × d doubles — tiny), assignments live as a column on the train table."""
+
+    centroids: np.ndarray  # (nlist, d) float64
+    metric: str = "euclidean"
+
+    @classmethod
+    def fit(
+        cls,
+        train: DataFrame,
+        *,
+        vec_col: str = "vec",
+        nlist: int = 16,
+        metric: str = "euclidean",
+        seed: int = 1,
+        sample_fraction: float = 1.0,
+        max_iter: int = 20,
+    ) -> "IVFIndex":
+        """Fit centroids with MLlib KMeans (distributed; optionally on a
+        sample — at 100 TB you fit on ~1M sampled rows, not the corpus)."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        df = train if sample_fraction >= 1.0 else train.sample(sample_fraction, seed=seed)
+        feats = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+        model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+        centroids = np.array([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+        return cls(centroids=centroids, metric=metric)
+
+    def assign(self, df: DataFrame, *, vec_col: str = "vec") -> DataFrame:
+        """Add ``cluster_id`` = argmin centroid distance.  Pure column
+        expression over a broadcast-literal centroid array, so assignment is
+        a narrow map — no shuffle, safe to run at full corpus width."""
+        cents = F.lit([c.tolist() for c in self.centroids]).cast("array<array<double>>")
+        scored = F.transform(
+            cents,
+            lambda c, i: F.struct(
+                dist_fns.l2_sq(F.col(vec_col), c).alias("d"), i.alias("cid")
+            ),
+        )
+        best = F.array_min(scored)
+        return df.withColumn(CLUSTER_COL, best["cid"])
+
+    def write_indexed(self, df: DataFrame, path: str, *, vec_col: str = "vec") -> None:
+        """Materialize the index layout: parquet partitioned by cluster_id.
+        Catalyst then turns every probe-list filter into partition pruning."""
+        self.assign(df, vec_col=vec_col).write.partitionBy(CLUSTER_COL).mode(
+            "overwrite"
+        ).parquet(path)
+
+    def probe_lists(self, qmat: np.ndarray, nprobe: int) -> np.ndarray:
+        """Top-``nprobe`` nearest centroid ids per query row (driver-side:
+        queries ≤10k × nlist centroids is a trivial GEMM)."""
+        d2 = ((qmat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
+        nprobe = min(nprobe, len(self.centroids))
+        part = np.argpartition(d2, nprobe - 1, axis=1)[:, :nprobe]
+        return part
+
+    def search(
+        self,
+        indexed_train: DataFrame,
+        queries: DataFrame,
+        k: int = 10,
+        *,
+        nprobe: int = 4,
+        vec_col: str = "vec",
+        id_col: str = "id",
+        qid_col: str = "qid",
+    ) -> DataFrame:
+        """IVF_FLAT search: per-query top-nprobe cells → candidate scan
+        restricted to those cells → exact re-rank.  The (qid, cluster_id)
+        probe table is broadcast; the train side is filtered by an IN on the
+        union of probed cells first (partition pruning) and then matched
+        per-query via the broadcast join."""
+        spark: SparkSession = indexed_train.sparkSession
+        qids, qmat = _collect_queries(queries, qid_col, vec_col)
+        if len(qids) == 0:
+            return spark.createDataFrame([], "qid bigint, id bigint, dist double, rank int")
+        probes = self.probe_lists(qmat, nprobe)
+
+        probe_rows = [
+            (int(qids[i]), [float(x) for x in qmat[i]], [int(c) for c in probes[i]])
+            for i in range(len(qids))
+        ]
+        probe_df = spark.createDataFrame(
+            probe_rows, f"qid bigint, __qvec array<double>, __cells array<int>"
+        )
+        all_cells = sorted({int(c) for row in probes for c in row})
+        pruned = indexed_train.filter(F.col(CLUSTER_COL).isin(all_cells))
+        scored = (
+            pruned.join(
+                F.broadcast(probe_df),
+                F.array_contains(F.col("__cells"), F.col(CLUSTER_COL)),
+            )
+            .select(
+                "qid",
+                F.col(id_col).cast("bigint").alias("id"),
+                dist_fns.metric_dist(self.metric, F.col(vec_col), F.col("__qvec")).alias("dist"),
+            )
+        )
+        return topk_window(scored, k).select("qid", "id", "dist", "rank")
+
+
+def srp_signature(vec, planes: np.ndarray):
+    """Sign-random-projection bit signature (cosine LSH) as a string column;
+    shared with dedup's embedding path. ``planes``: (num_planes, d)."""
+    bits = [
+        F.when(
+            dist_fns.dot(vec, F.lit(p.tolist()).cast("array<double>")) >= 0, "1"
+        ).otherwise("0")
+        for p in planes
+    ]
+    return F.concat(*bits)

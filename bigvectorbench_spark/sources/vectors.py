@@ -1,0 +1,122 @@
+"""Vector dataset ingesters — SURVEY.md §2.1 S1-S4.
+
+The reference ingests GloVe zip text, fvecs/ivecs packed structs, MNIST
+idx-gz, bag-of-words, transactions, and HuggingFace datasets
+(datasets.py:454-807) into HDF5.  This engine standardizes on Parquet with
+``ARRAY<FLOAT>`` vectors (S1); the ingesters below read the two most
+load-bearing external formats plus delimited text, Spark-first:
+
+- fvecs/ivecs: ``spark.read.format("binaryFile")`` + an Arrow-batched
+  decoder (``mapInPandas``) that numpy-unpacks the packed little-endian
+  records per file.  Row ids are positional per the reference convention
+  (id = row index — milvus/module.py:188 etc.), assigned per-file offset so
+  a multi-file directory still gets stable global ids.
+- text vectors (GloVe-style ``word v1 v2 …``): plain ``spark.read.text`` +
+  column expressions, fully JVM-side.
+
+At 100 TB both scale trivially: binaryFile splits per file, text splits per
+block, ids derive from data (not zipWithIndex), and the decode is Arrow-
+batched."""
+
+from __future__ import annotations
+
+import io
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _decode_xvecs(content: bytes, elem: str) -> np.ndarray:
+    """Decode an fvecs/ivecs buffer: each record is int32 d + d values
+    (the classic TEXMEX layout the reference parses at datasets.py:470-495)."""
+    if len(content) == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    d = struct.unpack("<i", content[:4])[0]
+    itemsize = 4
+    rec = 1 + d
+    a = np.frombuffer(content, dtype="<i4").reshape(-1, rec)
+    if not (a[:, 0] == d).all():
+        raise ValueError("inconsistent dimensions in xvecs file")
+    body = a[:, 1:]
+    if elem == "f":
+        return body.view("<f4")
+    return body
+
+
+def read_fvecs(spark: SparkSession, path: str, *, elem: str = "f") -> DataFrame:
+    """fvecs (elem='f') / ivecs (elem='i') directory or file → (id, vec).
+
+    Ids are positional within each file plus a per-file base offset computed
+    from file order (path-sorted), matching the reference's id=row-index
+    convention for single-file datasets."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    # per-file row counts -> base offsets (driver-side; file list is small)
+    counts = [
+        (r["path"], len(_decode_xvecs(r["content"], elem)))
+        for r in files.select("path", "content").collect()
+    ]
+    counts.sort()
+    offsets, acc = {}, 0
+    for p, n in counts:
+        offsets[p] = acc
+        acc += n
+    bc = spark.sparkContext.broadcast(offsets)
+    out_type = "array<float>" if elem == "f" else "array<int>"
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                mat = _decode_xvecs(row["content"], elem)
+                base = bc.value[row["path"]]
+                yield pd.DataFrame(
+                    {
+                        "id": np.arange(base, base + len(mat), dtype=np.int64),
+                        "vec": [r.tolist() for r in mat],
+                    }
+                )
+
+    return files.mapInPandas(_decode, schema=f"id bigint, vec {out_type}")
+
+
+def read_text_vectors(spark: SparkSession, path: str, *, has_token: bool = True) -> DataFrame:
+    """GloVe-style text vectors (datasets.py:454-467): one row per line,
+    optional leading token, whitespace-separated floats.  JVM-side split +
+    cast; id = hash-free positional via the token (if present) or line order
+    within each file is NOT guaranteed, so we id by monotonically increasing
+    only when a token column is absent."""
+    lines = spark.read.text(path).select(F.split(F.trim("value"), r"\s+").alias("parts"))
+    if has_token:
+        return lines.select(
+            F.element_at("parts", 1).alias("token"),
+            F.slice("parts", 2, 1_000_000).cast("array<float>").alias("vec"),
+        )
+    return lines.select(
+        F.monotonically_increasing_id().alias("id"),
+        F.col("parts").cast("array<float>").alias("vec"),
+    )
+
+
+def write_results(df: DataFrame, path: str, *, dataset: str, count: int, algo: str) -> None:
+    """Result sink (S5/S7, results.py:47-86, 161-187): parquet partitioned
+    ``dataset=/count=/algo=`` so the metrics layer scans the result tree with
+    partition pruning instead of a directory walk."""
+    (
+        df.withColumn("dataset", F.lit(dataset))
+        .withColumn("count", F.lit(count))
+        .withColumn("algo", F.lit(algo))
+        .write.mode("append")
+        .partitionBy("dataset", "count", "algo")
+        .parquet(path)
+    )
+
+
+def load_all_results(spark: SparkSession, path: str, **filters) -> DataFrame:
+    """Result-tree scan (results.py:161-187): partition filters push down."""
+    df = spark.read.parquet(path)
+    for k, v in filters.items():
+        df = df.filter(F.col(k) == v)
+    return df

@@ -1,0 +1,119 @@
+"""Structured Streaming ingest — the Spark analog of the reference's
+sequential-mutation workloads (SURVEY §2.6 note: the reference has no stream
+operators; its insert/update/delete latency sweeps, runner.py:245-335, map to
+micro-batch ingest here).
+
+Pattern: ``readStream`` (file or rate source) → ``foreachBatch`` upsert into
+a log-structured parquet table — each micro-batch is appended with a
+monotonically increasing batch id, and readers resolve latest-version rows
+exactly like ``operators/mutation.py``.  Per-micro-batch wall clock is the
+latency metric Spark can honestly report (SURVEY §7 hard part 6: per-query
+millisecond serving latency is out of scope by design).
+
+At scale this is the standard Delta-style CDC pattern: watermarked event-time
+windows for aggregation live in ``windowed_event_counts`` below.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_upsert_to_table(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    *,
+    id_col: str = "id",
+    await_termination: bool = True,
+):
+    """Micro-batch upsert: each batch lands as parquet with (__seq=batch_id,
+    __op='u') columns; ``read_upsert_table`` resolves latest-per-id.  Uses
+    availableNow so tests and backfills drain the source and stop."""
+    batch_times: list[tuple[int, float]] = []
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.perf_counter()
+        (
+            batch_df.withColumn("__seq", F.lit(batch_id + 1).cast("long"))
+            .write.mode("append")
+            .parquet(table_path)
+        )
+        batch_times.append((batch_id, time.perf_counter() - t0))
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q, batch_times
+
+
+def read_upsert_table(spark: SparkSession, table_path: str, id_col: str = "id") -> DataFrame:
+    """Latest-version view of a stream-upserted table."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(table_path)
+    w = Window.partitionBy(id_col).orderBy(F.col("__seq").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__seq")
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+    group_col: Optional[str] = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts with a watermark for late data — works on both
+    a streaming and a batch DataFrame (same plan; batch ignores the
+    watermark), so the oracle can check it in batch mode."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    keys = [F.window(F.col(ts_col), window_duration).alias("w")]
+    if group_col:
+        keys.append(F.col(group_col))
+    out = df.groupBy(*keys).agg(F.count("*").alias("n_events"))
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        *([group_col] if group_col else []),
+        "n_events",
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Session windows (gap-based).  Streaming uses Spark's native
+    ``session_window``; the same call works in batch for oracle checking.
+    Output: (user_id, session_start, session_end, n_events)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, gap)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(user_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )

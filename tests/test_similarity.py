@@ -1,0 +1,79 @@
+"""IVF index: recall-vs-nprobe behavior, full-probe exactness, partition
+pruning layout."""
+
+import numpy as np
+import pytest
+
+from bigvectorbench_spark.operators import similarity as sim
+from bigvectorbench_spark.operators.knn import knn
+from tests.conftest import make_blobs
+
+
+@pytest.fixture(scope="module")
+def ivf_data(spark):
+    X = make_blobs(800, 16, centers=20, seed=4)
+    train = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(700)], "id bigint, vec array<float>"
+    ).cache()
+    test = spark.createDataFrame(
+        [(i, [float(x) for x in X[700 + i]]) for i in range(40)], "qid bigint, vec array<float>"
+    ).cache()
+    idx = sim.IVFIndex.fit(train, nlist=8, seed=1)
+    indexed = idx.assign(train).cache()
+    return X, train, test, idx, indexed
+
+
+def _recall(res, exact, k):
+    got, want = {}, {}
+    for r in res.collect():
+        got.setdefault(r["qid"], set()).add(r["id"])
+    for r in exact.collect():
+        want.setdefault(r["qid"], set()).add(r["id"])
+    return np.mean([len(got.get(q, set()) & want[q]) / k for q in want])
+
+
+def test_ivf_full_probe_is_exact(ivf_data):
+    _, train, test, idx, indexed = ivf_data
+    exact = knn(train, test, k=10, method="expr")
+    full = idx.search(indexed, test, k=10, nprobe=8)
+    assert _recall(full, exact, 10) == 1.0
+
+
+def test_ivf_recall_monotone_in_nprobe(ivf_data):
+    _, train, test, idx, indexed = ivf_data
+    exact = knn(train, test, k=10, method="expr")
+    r1 = _recall(idx.search(indexed, test, k=10, nprobe=1), exact, 10)
+    r4 = _recall(idx.search(indexed, test, k=10, nprobe=4), exact, 10)
+    assert r1 <= r4 + 1e-9
+    assert r1 > 0.5          # blobs: nearest cell holds most true neighbors
+    assert r4 > 0.9
+
+
+def test_ivf_assignment_is_argmin(ivf_data):
+    X, train, _, idx, indexed = ivf_data
+    rows = indexed.orderBy("id").limit(50).collect()
+    for r in rows:
+        d = ((idx.centroids - np.array(r["vec"], dtype=np.float64)) ** 2).sum(axis=1)
+        assert r["cluster_id"] == int(np.argmin(d))
+
+
+def test_ivf_partitioned_layout_prunes(ivf_data, tmp_path, spark):
+    _, train, test, idx, _ = ivf_data
+    path = str(tmp_path / "ivf")
+    idx.write_indexed(train, path)
+    re_read = spark.read.parquet(path)
+    res = idx.search(re_read, test, k=5, nprobe=2)
+    assert res.count() == 40 * 5
+    # physical layout: one directory per cluster
+    import os
+    parts = [p for p in os.listdir(path) if p.startswith("cluster_id=")]
+    assert len(parts) == 8
+
+
+def test_srp_signature_colinear(spark):
+    import pyspark.sql.functions as F
+    rng = np.random.RandomState(0)
+    planes = rng.randn(8, 4)
+    df = spark.createDataFrame([([1.0, 2.0, 3.0, 4.0],), ([2.0, 4.0, 6.0, 8.0],)], "v array<float>")
+    sigs = [r["s"] for r in df.select(sim.srp_signature(F.col("v"), planes).alias("s")).collect()]
+    assert sigs[0] == sigs[1]  # colinear vectors share all sign bits

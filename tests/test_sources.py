@@ -1,0 +1,65 @@
+"""Source/sink tests: fvecs/ivecs round-trip, text vectors, result tree."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from bigvectorbench_spark.sources import vectors as src
+
+
+def _write_fvecs(path, mat):
+    with open(path, "wb") as f:
+        for row in mat:
+            f.write(struct.pack("<i", len(row)))
+            f.write(np.asarray(row, dtype="<f4").tobytes())
+
+
+def test_read_fvecs_roundtrip(spark, tmp_path):
+    mat = np.random.RandomState(0).rand(20, 8).astype(np.float32)
+    _write_fvecs(tmp_path / "a.fvecs", mat)
+    df = src.read_fvecs(spark, str(tmp_path / "a.fvecs"))
+    rows = df.orderBy("id").collect()
+    assert len(rows) == 20
+    got = np.array([r["vec"] for r in rows], dtype=np.float32)
+    assert np.array_equal(got, mat)
+
+
+def test_read_fvecs_multifile_offsets(spark, tmp_path):
+    a = np.ones((3, 4), dtype=np.float32)
+    b = np.full((2, 4), 2.0, dtype=np.float32)
+    _write_fvecs(tmp_path / "a.fvecs", a)
+    _write_fvecs(tmp_path / "b.fvecs", b)
+    df = src.read_fvecs(spark, str(tmp_path))
+    rows = df.orderBy("id").collect()
+    assert [r["id"] for r in rows] == list(range(5))
+    assert rows[0]["vec"][0] == 1.0 and rows[4]["vec"][0] == 2.0
+
+
+def test_read_ivecs(spark, tmp_path):
+    mat = np.arange(12, dtype="<i4").reshape(3, 4)
+    with open(tmp_path / "g.ivecs", "wb") as f:
+        for row in mat:
+            f.write(struct.pack("<i", 4))
+            f.write(row.tobytes())
+    df = src.read_fvecs(spark, str(tmp_path / "g.ivecs"), elem="i")
+    got = np.array([r["vec"] for r in df.orderBy("id").collect()])
+    assert np.array_equal(got, mat)
+
+
+def test_read_text_vectors(spark, tmp_path):
+    (tmp_path / "glove.txt").write_text("cat 1.0 2.0 3.0\ndog 4.0 5.0 6.0\n")
+    df = src.read_text_vectors(spark, str(tmp_path / "glove.txt"))
+    got = {r["token"]: r["vec"] for r in df.collect()}
+    assert got["cat"] == pytest.approx([1.0, 2.0, 3.0])
+    assert got["dog"] == pytest.approx([4.0, 5.0, 6.0])
+
+
+def test_result_tree_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(0, [1, 2], [0.1, 0.2])],
+                               "qid bigint, neighbors array<bigint>, distances array<float>")
+    src.write_results(df, str(tmp_path / "res"), dataset="fx", count=10, algo="flat")
+    src.write_results(df, str(tmp_path / "res"), dataset="fx", count=10, algo="ivf")
+    out = src.load_all_results(spark, str(tmp_path / "res"), algo="flat")
+    assert out.count() == 1
+    assert out.collect()[0]["dataset"] == "fx"
