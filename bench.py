@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query runs once, timed end-to-end (plan + execute) against the noop
+sink so results are fully materialized but never collected to the driver —
+the same action a cluster job would perform.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from bigvectorbench_spark import get_spark
+
+# Headline set: every family that does real work at sf0.1 (vector search,
+# filtered search, multi-vector, dedup at three algorithms, text profiling,
+# relational aggregation, windows/sessions).
+HEADLINE = [
+    "knn_euclid_gemm",
+    "knn_euclid",
+    "knn_angular",
+    "filter_knn_eq",
+    "filter_knn_range",
+    "mv_knn",
+    "ivf_knn",
+    "ngram_jaccard_dups",
+    "minhash_dups",
+    "simhash_dups",
+    "embedding_cosine_dups_srp",
+    "dedup_exact",
+    "token_stats",
+    "quality_scores",
+    "lang_id",
+    "pricing_summary",
+    "revenue_by_nation",
+    "topk_per_group",
+    "events_hourly",
+    "sessionize",
+    "latency_percentiles",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bvb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

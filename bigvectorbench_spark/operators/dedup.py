@@ -29,6 +29,18 @@ from pyspark.sql import types as T
 from bigvectorbench_spark.functions import text as tx
 from bigvectorbench_spark.functions import distance as dist_fns
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Small parquet inputs arrive as 1-2 partitions; expression-heavy
+    per-row work (minhash/simhash/shingling) then runs single-threaded.
+    Repartition up to the session's parallelism before such stages — the
+    shuffle of raw text is trivially cheaper than serializing the compute.
+    At real corpus scale inputs already have enough splits and this no-ops."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 # ---------------------------------------------------------------- exact dedup
 
 
@@ -59,19 +71,28 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # ------------------------------------------------- n-gram Jaccard (inverted index)
 
 
-def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int,
-                   max_shingle_freq: Optional[int]) -> tuple[DataFrame, DataFrame]:
-    """(doc sizes, exploded inverted index), shingles hashed to int64."""
-    sh = df.select(
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sh ARRAY<BIGINT>): distinct hashed n-gram shingles per doc."""
+    return df.select(
         F.col(id_col).alias("id"),
         F.transform(tx.word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("sh"),
     )
-    sizes = sh.select("id", F.size("sh").alias("sz"))
-    inv = sh.select("id", F.explode("sh").alias("shingle"))
-    if max_shingle_freq is not None:
-        freq = inv.groupBy("shingle").count().filter(F.col("count") <= max_shingle_freq)
-        inv = inv.join(freq.select("shingle"), "shingle", "inner")
-    return sizes, inv
+
+
+def _verify_jaccard(cand: DataFrame, sets_df: DataFrame) -> DataFrame:
+    """Join full shingle arrays onto (id_a, id_b) candidates and compute the
+    exact Jaccard — O(candidates), independent of how candidates were found."""
+    a = sets_df.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            inter / (F.size("sh_a") + F.size("sh_b") - inter).cast("double"),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -83,31 +104,51 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_freq: Optional[int] = None,
 ) -> DataFrame:
-    """All document pairs with n-gram-shingle Jaccard ≥ threshold.
+    """All document pairs with n-gram-shingle Jaccard ≥ threshold — EXACT,
+    via prefix filtering (the PPJoin family): order each document's shingles
+    by ascending global frequency and index only the first
+    ``|A| − ⌈t·|A|⌉ + 1`` of them; any pair with Jaccard ≥ t must share an
+    indexed prefix shingle under a consistent global order, so candidates
+    are complete.  Verification recomputes the exact Jaccard per candidate.
 
-    Exact (when ``max_shingle_freq`` is None): intersection sizes come from
-    the inverted-index self-join, |A∪B| = |A|+|B|−|A∩B|.  Pairs sharing zero
-    shingles never materialize.  Output: (id_a, id_b, jaccard) with
-    id_a < id_b."""
-    sizes, inv = _shingle_index(df, id_col, text_col, n, max_shingle_freq)
-    a = inv.alias("a")
-    b = inv.alias("b")
-    co = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        co.join(sz_a, "id_a").join(sz_b, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+    Why not a plain inverted-index self-join: a shingle occurring in f docs
+    contributes f² candidate pairs — on a corpus with hot shingles (small
+    vocabulary, boilerplate) that explodes quadratically.  Rarest-first
+    prefixes keep hot shingles out of the index for most documents.
+    ``max_shingle_freq`` additionally drops degenerate shingles from
+    *candidate generation* entirely (still verified exactly, so precision is
+    unaffected; only recall of pathological boilerplate pairs is).
+    Output: (id_a, id_b, jaccard) with id_a < id_b."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0,1], got {threshold}")
+    sets_df = _shingle_sets(_widen(df), id_col, text_col, n).filter(F.size("sh") > 0).cache()
+
+    inv = sets_df.select("id", F.explode("sh").alias("shingle"))
+    freq = inv.groupBy("shingle").agg(F.count("*").alias("freq"))
+    if max_shingle_freq is not None:
+        freq = freq.filter(F.col("freq") <= max_shingle_freq)
+    ordered = (
+        inv.join(freq, "shingle")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("freq", "shingle"))).alias("os"))
+        .select(
+            "id",
+            F.transform("os", lambda s: s["shingle"]).alias("ordered_sh"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
+    # prefix length for Jaccard t:  |A| - ceil(t*|A|) + 1
+    sz = F.size("ordered_sh")
+    plen = sz - F.ceil(sz * F.lit(float(threshold))).cast("int") + 1
+    prefix = ordered.select(
+        "id", F.explode(F.slice("ordered_sh", 1, plen)).alias("shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, sets_df).filter(F.col("jaccard") >= threshold)
 
 
 # --------------------------------------------------------------- MinHash + LSH
@@ -128,23 +169,28 @@ def minhash_signature(text: Column, *, shingle_n: int = 3, num_perm: int = 64,
                       seed: int = 1) -> Column:
     """ARRAY<BIGINT> MinHash signature over word shingles.
 
-    h_i(s) = (a_i·x + b_i) mod 2^61−1 over the shingle's xxhash64 (made
-    non-negative).  Pure column expression: num_perm array_min/transform
-    passes, all codegen."""
+    h_i(s) = (a_i·x + b_i) mod 2^31−1 over the shingle's xxhash64.
+
+    Single-pass formulation: ONE ``aggregate`` over the shingle-hash array
+    whose accumulator is the length-``num_perm`` vector of running minima,
+    updated via ``zip_with`` against a literal (a,b) parameter array.  The
+    naive form (num_perm separate ``array_min(transform(...))`` columns)
+    re-evaluates the tokenize→shingle→hash pipeline per permutation —
+    64× the work; this version traverses the document exactly once."""
     hashes = F.transform(
         tx.word_shingles(text, shingle_n),
         lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
     )
-
-    def _perm(a: int, b: int):
-        # closure factory: pyspark rejects lambdas with extra default params
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
-
-    mins = [
-        F.array_min(F.transform(hashes, _perm(a, b)))
-        for a, b in _perm_params(num_perm, seed)
-    ]
-    return F.array(*mins)
+    params = F.lit([[a, b] for a, b in _perm_params(num_perm, seed)])
+    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_perm)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, params,
+            lambda m, ab: F.least(m, F.pmod(h * ab[0] + ab[1], F.lit(_MERSENNE))),
+        ),
+    )
 
 
 def minhash_lsh_pairs(
@@ -168,7 +214,7 @@ def minhash_lsh_pairs(
         raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
     rows_per_band = num_perm // bands
 
-    sig = df.select(
+    sig = _widen(df).select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), shingle_n=shingle_n, num_perm=num_perm, seed=seed).alias("sig"),
     )
@@ -194,10 +240,8 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand.withColumn("jaccard", F.lit(None).cast("double"))
-    exact = ngram_jaccard_pairs(
-        df, id_col=id_col, text_col=text_col, n=shingle_n, threshold=0.0
-    )
-    return cand.join(exact, ["id_a", "id_b"], "inner").filter(F.col("jaccard") >= threshold)
+    sets_df = _shingle_sets(df, id_col, text_col, shingle_n)
+    return _verify_jaccard(cand, sets_df).filter(F.col("jaccard") >= threshold)
 
 
 # -------------------------------------------------------------------- SimHash
@@ -208,7 +252,7 @@ def simhash64(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") 
     the bit-vote aggregation runs as a vectorized Arrow-batched pandas UDF
     (numpy bit unpacking — the one part plain SQL does badly).
     Output: (id, simhash BIGINT)."""
-    hashed = df.select(
+    hashed = _widen(df).select(
         F.col(id_col).alias("id"),
         F.transform(tx.tokens(F.col(text_col)), lambda w: F.xxhash64(w)).alias("hs"),
     )
@@ -326,25 +370,27 @@ def embedding_dup_pairs(
         for p in range(num_planes)
     ]
     sigs = unit.select(
-        "id", "u",
+        "id",
         F.posexplode(F.array(*[
             F.concat(*sig_bits[band * per_band:(band + 1) * per_band])
             for band in range(bands)
         ])).alias("band", "bucket"),
     )
     a, b = sigs.alias("a"), sigs.alias("b")
+    # candidates carry only ids through distinct; unit vectors re-join after,
+    # so the (potentially wide) bucket join shuffles narrow rows only
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.u").alias("u_a"), F.col("b.u").alias("u_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
+    ua = unit.select(F.col("id").alias("id_a"), F.col("u").alias("u_a"))
+    ub = unit.select(F.col("id").alias("id_b"), F.col("u").alias("u_b"))
     return (
-        cand.withColumn("cosine", _cos(F.col("u_a"), F.col("u_b")))
+        cand.join(ua, "id_a").join(ub, "id_b")
+        .withColumn("cosine", _cos(F.col("u_a"), F.col("u_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -26,6 +26,9 @@ _DEFAULTS = {
     # Queries are broadcast by design; keep the threshold generous so the
     # query side of every kNN join stays a broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # The driver's events table stores TIMESTAMP(NANOS), which Spark's
+    # reader rejects by default; read as long and convert in load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": "8g",
 }
 

@@ -1,0 +1,42 @@
+"""Driver-contract smoke: entry() runs, queries() are callable, and a
+representative query hash-matches its DuckDB oracle at sf0.001."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+from bigvectorbench_spark.sources.tables import TABLES
+
+
+def test_entry_returns_rows(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0
+
+
+def test_every_oracle_key_has_query():
+    qs, osql = entry.queries(), entry.oracle_sql()
+    assert set(osql).issubset(set(qs))
+    assert len(qs) >= 25
+
+
+def test_knn_euclid_matches_duckdb_at_sf0001(spark, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    got = [
+        (r["qid"], r["id"], r["dist"], r["rank"])
+        for r in entry.q_knn_euclid(spark, sf_dir).orderBy("qid", "rank").collect()
+    ]
+    want = con.execute(
+        entry.oracle_sql()["knn_euclid"] + " ORDER BY qid, rank"
+    ).fetchall()
+    assert [(a, b, pytest.approx(c), d) for a, b, c, d in want] == got
+
+
+def test_all_queries_run_at_smallest_sf(spark, sf_dir):
+    """Every declared query must at least execute and return a DataFrame
+    with a stable schema at sf0.001 (driver smoke equivalence)."""
+    for name, fn in entry.queries().items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name
+        df.limit(1).collect()
