@@ -1,0 +1,128 @@
+"""Deterministic fixture datasets — FIXTURES.md / SURVEY §5.
+
+Mirrors the reference's RANDOM_DATASETS registry
+(/root/reference/bigvectorbench/datasets.py:810-842): seeded gaussian blobs
+(random_float, datasets.py:332-340), sign-bit strings (random_bitstring,
+343-352), jaccard item sets (random_jaccard, 355-366), 2-label filter
+variants (random_filter, 369-409), and 4×d multi-vector sets (random_mv,
+412-451).  Each generator returns (train_df, test_df) with the engine's
+canonical schemas; every dataset is reproducible from (name, seed) alone so
+ground truth can be regenerated and asserted bit-stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SEED = 1  # the reference's random_state=1
+
+
+def _blobs(n: int, d: int, centers: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    C = rng.randn(centers, d) * 5.0
+    idx = rng.randint(0, centers, size=n)
+    return (C[idx] + rng.randn(n, d)).astype(np.float32)
+
+
+def _split(X: np.ndarray, test_size: float = 0.1):
+    n_test = int(len(X) * test_size)
+    return X[:-n_test], X[-n_test:]
+
+
+def _vec_dfs(spark, Xtr, Xte, extra_tr=None, extra_te=None, extra_schema=""):
+    tr_rows = [
+        (i, [float(x) for x in Xtr[i]]) + (tuple(extra_tr[i]) if extra_tr is not None else ())
+        for i in range(len(Xtr))
+    ]
+    te_rows = [
+        (i, [float(x) for x in Xte[i]]) + (tuple(extra_te[i]) if extra_te is not None else ())
+        for i in range(len(Xte))
+    ]
+    train = spark.createDataFrame(tr_rows, f"id bigint, vec array<float>{extra_schema}")
+    test = spark.createDataFrame(te_rows, f"qid bigint, vec array<float>{extra_schema}")
+    return train, test
+
+
+def random_float(spark: SparkSession, n: int = 10_000, d: int = 32,
+                 centers: int = 100, seed: int = DEFAULT_SEED):
+    """random-xs-32-euclidean analog (datasets.py:332-340): blobs, 10% test."""
+    X = _blobs(n, d, centers, seed)
+    Xtr, Xte = _split(X)
+    return _vec_dfs(spark, Xtr, Xte)
+
+
+def random_bitstring(spark: SparkSession, n: int = 10_000, d: int = 16,
+                     seed: int = DEFAULT_SEED):
+    """random-xs-16-hamming analog (datasets.py:343-352): sign-bits of blobs."""
+    X = _blobs(n, d, max(2, d // 2), seed) > 0.0
+    Xtr, Xte = _split(X)
+    train = spark.createDataFrame(
+        [(i, [bool(b) for b in Xtr[i]]) for i in range(len(Xtr))],
+        "id bigint, vec array<boolean>")
+    test = spark.createDataFrame(
+        [(i, [bool(b) for b in Xte[i]]) for i in range(len(Xte))],
+        "qid bigint, vec array<boolean>")
+    return train, test
+
+
+def random_jaccard(spark: SparkSession, n: int = 10_000, universe: int = 40,
+                   set_size: int = 20, seed: int = DEFAULT_SEED):
+    """random-s-jaccard analog (datasets.py:355-366): sorted distinct int
+    sets of fixed size from a small universe."""
+    rng = np.random.RandomState(seed)
+    sets = [sorted(rng.choice(universe, size=set_size, replace=False).tolist())
+            for _ in range(n)]
+    tr, te = sets[: n - n // 100], sets[n - n // 100:]
+    train = spark.createDataFrame(
+        [(i, [int(x) for x in tr[i]]) for i in range(len(tr))], "id bigint, vec array<int>")
+    test = spark.createDataFrame(
+        [(i, [int(x) for x in te[i]]) for i in range(len(te))], "qid bigint, vec array<int>")
+    return train, test
+
+
+def random_filter(spark: SparkSession, n: int = 10_000, d: int = 32,
+                  n_labels: int = 2, seed: int = DEFAULT_SEED):
+    """random-xs-32-euclidean-2filter analog (datasets.py:369-409): uniform
+    int labels in [0,100); the canonical predicate template is the
+    conjunction ``label_i <= {label_i}`` (datasets.py:385-394)."""
+    X = _blobs(n, d, 100, seed)
+    rng = np.random.RandomState(seed + 1)
+    labels = rng.randint(0, 100, size=(n, n_labels))
+    Xtr, Xte = _split(X)
+    Ltr, Lte = labels[: len(Xtr)], labels[len(Xtr):]
+    schema = "".join(f", label_{i} int" for i in range(n_labels))
+    train, test = _vec_dfs(
+        spark, Xtr, Xte,
+        extra_tr=[[int(v) for v in row] for row in Ltr],
+        extra_te=[[int(v) for v in row] for row in Lte],
+        extra_schema=schema,
+    )
+    template = " and ".join(f"label_{i} <= {{label_{i}}}" for i in range(n_labels))
+    return train, test, template
+
+
+def random_mv(spark: SparkSession, n: int = 10_000, v: int = 4, d: int = 100,
+              seed: int = DEFAULT_SEED):
+    """random-mv analog (datasets.py:412-451): v uniform vectors per entity;
+    ground-truth score = mean of per-position euclidean distances."""
+    rng = np.random.RandomState(seed)
+    X = rng.rand(n, v, d).astype(np.float32)
+    Xtr, Xte = _split(X)
+    train = spark.createDataFrame(
+        [(i, [[float(x) for x in vec] for vec in Xtr[i]]) for i in range(len(Xtr))],
+        "id bigint, vecs array<array<float>>")
+    test = spark.createDataFrame(
+        [(i, [[float(x) for x in vec] for vec in Xte[i]]) for i in range(len(Xte))],
+        "qid bigint, vecs array<array<float>>")
+    return train, test
+
+
+REGISTRY = {
+    "random-xs-32-euclidean": lambda spark: random_float(spark, 10_000, 32),
+    "random-xs-20-angular": lambda spark: random_float(spark, 10_000, 20),
+    "random-xs-16-hamming": lambda spark: random_bitstring(spark, 10_000, 16),
+    "random-s-jaccard": lambda spark: random_jaccard(spark, 10_000),
+    "random-xs-32-euclidean-2filter": lambda spark: random_filter(spark, 10_000, 32, 2),
+    "random-mv": lambda spark: random_mv(spark, 10_000, 4, 100),
+}

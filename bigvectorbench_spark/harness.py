@@ -1,0 +1,215 @@
+"""Benchmark harness — SURVEY §2.6 A10-A14 / §3.1 and reference
+definitions.py / main.py / data_export.py parity.
+
+- ``expand_definitions``: the cartesian run-grid expansion
+  (definitions.py:79-107, 240-304) with ``@metric/@dimension/@count``
+  variable substitution (definitions.py:110-130).
+- ``filter_already_run``: skip definitions whose results exist — the
+  reference's result-file existence check (main.py:264-306) expressed as a
+  left-anti join against the result catalog (A12).
+- ``run_definition``: one benchmark run (runner.py:492-625 analog): timed
+  build (index materialization), timed batch search, best-of-N repetitions
+  (runner.py:61, 222-226), recall + QPS + percentile metrics.
+- ``export_metrics``: union of per-run metric rows → CSV (data_export.py,
+  S8/A14).
+
+Algorithms registered: ``flat-expr`` (exact, Catalyst window plan),
+``flat-gemm`` (exact, Arrow GEMM kernel), ``ivf`` (KMeans cluster pruning,
+build knob nlist, query knob nprobe) — the Spark-idiomatic subset of the
+reference's FLAT/IVF families (SURVEY §2.7)."""
+
+from __future__ import annotations
+
+import itertools
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Mapping, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigvectorbench_spark.operators import metrics as mx
+from bigvectorbench_spark.operators.groundtruth import build_groundtruth, pack_results
+from bigvectorbench_spark.operators.knn import knn
+from bigvectorbench_spark.operators.similarity import IVFIndex
+
+
+@dataclass(frozen=True)
+class Definition:
+    """One expanded run (reference Definition, definitions.py:15-23)."""
+
+    algorithm: str
+    dataset: str
+    count: int
+    build_args: tuple[tuple[str, Any], ...] = ()
+    query_args: tuple[tuple[str, Any], ...] = ()
+
+    @property
+    def label(self) -> str:
+        ba = ",".join(f"{k}={v}" for k, v in self.build_args)
+        qa = ",".join(f"{k}={v}" for k, v in self.query_args)
+        return f"{self.algorithm}({ba})[{qa}]"
+
+
+def _substitute(v: Any, variables: Mapping[str, Any]) -> Any:
+    if isinstance(v, str) and v.startswith("@"):
+        return variables[v[1:]]
+    return v
+
+
+def _grid(d: Mapping[str, Sequence[Any]], variables: Mapping[str, Any]):
+    if not d:
+        return [()]
+    keys = sorted(d)
+    out = []
+    for combo in itertools.product(*[d[k] for k in keys]):
+        out.append(tuple((k, _substitute(v, variables)) for k, v in zip(keys, combo)))
+    return out
+
+
+def expand_definitions(
+    algorithm: str,
+    dataset: str,
+    count: int,
+    *,
+    build_grid: Mapping[str, Sequence[Any]] | None = None,
+    query_grid: Mapping[str, Sequence[Any]] | None = None,
+    variables: Mapping[str, Any] | None = None,
+) -> list[Definition]:
+    """Cartesian expansion of build-time × query-time argument grids."""
+    variables = dict(variables or {})
+    variables.setdefault("count", count)
+    return [
+        Definition(algorithm, dataset, count, b, q)
+        for b in _grid(build_grid or {}, variables)
+        for q in _grid(query_grid or {}, variables)
+    ]
+
+
+def definitions_df(spark: SparkSession, defs: Sequence[Definition]) -> DataFrame:
+    return spark.createDataFrame(
+        [(d.algorithm, d.dataset, d.count, d.label) for d in defs],
+        "algorithm string, dataset string, count int, label string",
+    )
+
+
+def filter_already_run(
+    spark: SparkSession, defs: Sequence[Definition], catalog: Optional[DataFrame]
+) -> list[Definition]:
+    """A12: anti-join the definition list against the result catalog
+    (columns dataset/count/label)."""
+    if catalog is None:
+        return list(defs)
+    remaining = (
+        definitions_df(spark, defs)
+        .join(catalog.select("dataset", "count", "label"),
+              ["dataset", "count", "label"], "left_anti")
+        .collect()
+    )
+    keep = {(r["dataset"], r["count"], r["label"]) for r in remaining}
+    return [d for d in defs if (d.dataset, d.count, d.label) in keep]
+
+
+# ------------------------------------------------------------------ algorithms
+
+def _run_flat(method: str):
+    def _build(train, _args):
+        return train  # exact scan: no index artifact
+
+    def _search(train_art, queries, count, _qargs):
+        return knn(train_art, queries, k=count, method=method)
+
+    return _build, _search
+
+
+def _run_ivf():
+    def _build(train, args):
+        idx = IVFIndex.fit(train, nlist=int(args.get("nlist", 16)), seed=1)
+        return idx, idx.assign(train)
+
+    def _search(art, queries, count, qargs):
+        idx, indexed = art
+        return idx.search(indexed, queries, k=count, nprobe=int(qargs.get("nprobe", 4)))
+
+    return _build, _search
+
+
+ALGORITHMS: dict[str, Callable] = {
+    "flat-expr": lambda: _run_flat("expr"),
+    "flat-gemm": lambda: _run_flat("gemm"),
+    "ivf": _run_ivf,
+}
+
+
+@dataclass
+class RunResult:
+    definition: Definition
+    build_time: float
+    best_search_time: float
+    qps: float
+    mean_recall: float
+    results: DataFrame = field(repr=False)
+
+
+def run_definition(
+    spark: SparkSession,
+    defn: Definition,
+    train: DataFrame,
+    queries: DataFrame,
+    groundtruth: Optional[DataFrame] = None,
+    *,
+    runs: int = 1,
+) -> RunResult:
+    """One load→build→search→score run (runner.py:492-625 shape).
+
+    best_search_time = min over ``runs`` repetitions of the batch wall-clock
+    divided by query count (runner.py:222-226's batch analog); QPS = its
+    inverse (plotting/metrics.py:51-58)."""
+    if defn.algorithm not in ALGORITHMS:
+        raise ValueError(f"unknown algorithm {defn.algorithm!r}; have {sorted(ALGORITHMS)}")
+    build, search = ALGORITHMS[defn.algorithm]()
+    bargs, qargs = dict(defn.build_args), dict(defn.query_args)
+
+    t0 = time.perf_counter()
+    artifact = build(train, bargs)
+    build_time = time.perf_counter() - t0
+
+    n_queries = queries.count()
+    best = float("inf")
+    topk = None
+    for _ in range(max(1, runs)):
+        t0 = time.perf_counter()
+        topk = search(artifact, queries, defn.count, qargs)
+        topk.write.format("noop").mode("overwrite").save()
+        best = min(best, (time.perf_counter() - t0) / max(n_queries, 1))
+
+    packed = pack_results(topk, queries, defn.count)
+    if groundtruth is None:
+        groundtruth = build_groundtruth(train, queries, k=defn.count, method="expr")
+    recall = mx.recall_summary(packed, groundtruth).collect()[0]["mean_recall"]
+    return RunResult(
+        definition=defn,
+        build_time=build_time,
+        best_search_time=best,
+        qps=1.0 / best if best > 0 else float("inf"),
+        mean_recall=recall,
+        results=packed,
+    )
+
+
+def metrics_rows(spark: SparkSession, results: Sequence[RunResult]) -> DataFrame:
+    """A14/S8: union of per-run metric rows, ready for CSV export or the
+    Pareto frontier (A9) over (recall, qps)."""
+    return spark.createDataFrame(
+        [
+            (r.definition.dataset, r.definition.count, r.definition.algorithm,
+             r.definition.label, r.build_time, r.best_search_time, r.qps, r.mean_recall)
+            for r in results
+        ],
+        "dataset string, count int, algorithm string, label string, "
+        "build_time double, best_search_time double, qps double, mean_recall double",
+    )
+
+
+def export_metrics(df: DataFrame, path: str) -> None:
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)

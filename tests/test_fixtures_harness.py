@@ -1,0 +1,92 @@
+"""Fixture determinism + harness expansion/skip/run/export."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigvectorbench_spark import fixtures as fx
+from bigvectorbench_spark import harness as hz
+from bigvectorbench_spark.operators import metrics as mx
+
+
+def test_fixtures_deterministic(spark):
+    a_tr, a_te = fx.random_float(spark, n=500, d=8)
+    b_tr, b_te = fx.random_float(spark, n=500, d=8)
+    assert a_tr.collect() == b_tr.collect()
+    assert a_te.collect() == b_te.collect()
+    assert a_tr.count() == 450 and a_te.count() == 50
+
+
+def test_fixture_registry_all_load(spark):
+    # smaller instantiations of each family to keep the test fast
+    tr, te = fx.random_bitstring(spark, n=300, d=16)
+    assert dict(tr.dtypes)["vec"] == "array<boolean>"
+    tr, te = fx.random_jaccard(spark, n=300)
+    assert tr.select(F.size("vec")).first()[0] == 20
+    tr, te, template = fx.random_filter(spark, n=300, d=8, n_labels=2)
+    assert "label_0 <= {label_0}" in template
+    assert "label_1" in dict(tr.dtypes)
+    tr, te = fx.random_mv(spark, n=200, v=4, d=10)
+    assert tr.select(F.size("vecs")).first()[0] == 4
+
+
+def test_expand_definitions_cartesian():
+    defs = hz.expand_definitions(
+        "ivf", "fx", 10,
+        build_grid={"nlist": [8, 16]},
+        query_grid={"nprobe": [1, 2, "@count"]},
+        variables={"dimension": 32},
+    )
+    assert len(defs) == 6
+    labels = {d.label for d in defs}
+    assert "ivf(nlist=8)[nprobe=10]" in labels  # @count substituted
+
+
+def test_filter_already_run(spark):
+    defs = hz.expand_definitions("flat-expr", "fx", 10, query_grid={"dummy": [1, 2]})
+    catalog = hz.definitions_df(spark, defs[:1])
+    remaining = hz.filter_already_run(spark, defs, catalog)
+    assert len(remaining) == 1 and remaining[0] == defs[1]
+    assert hz.filter_already_run(spark, defs, None) == defs
+
+
+@pytest.fixture(scope="module")
+def small_ds(spark):
+    tr, te = fx.random_float(spark, n=400, d=8)
+    return tr.cache(), te.limit(20).cache()
+
+
+def test_run_definition_flat_recall_one(spark, small_ds):
+    tr, te = small_ds
+    r = hz.run_definition(
+        spark, hz.Definition("flat-expr", "fx", 10), tr, te, runs=2)
+    assert r.mean_recall == 1.0
+    assert r.qps > 0 and r.build_time >= 0
+    assert r.results.count() == 20
+
+
+def test_run_definition_ivf_and_export(spark, small_ds, tmp_path):
+    tr, te = small_ds
+    defs = hz.expand_definitions(
+        "ivf", "fx", 10, build_grid={"nlist": [4]}, query_grid={"nprobe": [1, 4]})
+    results = [hz.run_definition(spark, d, tr, te) for d in defs]
+    m = hz.metrics_rows(spark, results)
+    assert m.count() == 2
+    # nprobe=4 (full) must reach recall 1.0 and dominate nprobe=1
+    by_label = {r["label"]: r for r in m.collect()}
+    assert by_label["ivf(nlist=4)[nprobe=4]"]["mean_recall"] == 1.0
+    assert (by_label["ivf(nlist=4)[nprobe=1]"]["mean_recall"]
+            <= by_label["ivf(nlist=4)[nprobe=4]"]["mean_recall"])
+    hz.export_metrics(m, str(tmp_path / "metrics"))
+    back = spark.read.option("header", True).csv(str(tmp_path / "metrics"))
+    assert back.count() == 2
+    # Pareto frontier over the exported points (A9 end-to-end)
+    front = mx.pareto_frontier(
+        back.select(F.col("mean_recall").cast("double").alias("recall"),
+                    F.col("qps").cast("double")), x="recall", y="qps")
+    assert front.count() >= 1
+
+
+def test_unknown_algorithm_raises(spark, small_ds):
+    tr, te = small_ds
+    with pytest.raises(ValueError):
+        hz.run_definition(spark, hz.Definition("hnsw", "fx", 10), tr, te)

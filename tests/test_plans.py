@@ -1,0 +1,91 @@
+"""Physical-plan assertions: the scale-design claims must be visible in
+`.explain` output — broadcast joins for the query side, predicate pushdown
+into parquet scans, partition pruning on the IVF layout."""
+
+import io
+import contextlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigvectorbench_spark.operators.knn import knn
+from bigvectorbench_spark.operators.filter_knn import filtered_knn
+from bigvectorbench_spark.operators.similarity import IVFIndex
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def pq(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "train")
+    spark.createDataFrame(
+        [(i, [float(i), 0.0], i % 5) for i in range(200)],
+        "id bigint, vec array<float>, label int",
+    ).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return spark.createDataFrame(
+        [(0, [1.0, 0.0], 3)], "qid bigint, vec array<float>, label int"
+    )
+
+
+def test_knn_broadcasts_queries(pq, queries):
+    plan = plan_of(knn(pq, queries, k=5, method="expr"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_static_prefilter_pushed_to_scan(pq, queries):
+    plan = plan_of(knn(pq, queries, k=5, method="expr", pre_filter="label = 3"))
+    # Catalyst must push the static predicate into the parquet scan
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(label,3)" in plan
+
+
+def test_filtered_knn_is_single_broadcast_join(pq, queries):
+    plan = plan_of(
+        filtered_knn(pq, queries, k=5, filter_template="label <= {label}",
+                     query_param_cols=["label"])
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    # per-query predicates become ONE join, never a shuffle join or N plans
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # Spark 3.5+'s WindowGroupLimit applies the rank limit before the
+    # exchange — the partial top-k we want is in the plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_ivf_layout_partition_pruning(spark, pq, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "ivf")
+    idx = IVFIndex.fit(pq, nlist=4, seed=1)
+    idx.write_indexed(pq, path)
+    indexed = spark.read.parquet(path)
+    pruned = indexed.filter(F.col("cluster_id").isin([0, 1]))
+    plan = plan_of(pruned)
+    # cluster_id is a partition column: the filter must prune partitions,
+    # not appear as a data filter
+    assert "PartitionFilters" in plan
+    assert "cluster_id" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_column_pruning_reaches_scan(pq):
+    plan = plan_of(pq.select("id"))
+    # ReadSchema must not include vec/label when only id is selected
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "vec" not in read_schema and "label" not in read_schema
+
+
+def test_gemm_path_partial_topk_reduces_shuffle(pq, queries):
+    plan = plan_of(knn(pq, queries, k=5, method="gemm"))
+    # the window merge consumes the mapInPandas partial top-k, so the
+    # exchange sits above MapInPandas (shuffling k-per-batch candidates,
+    # never the full scored table)
+    assert "MapInPandas" in plan
+    assert plan.index("MapInPandas") > plan.index("Exchange")  # formatted: tree order
