@@ -344,7 +344,9 @@ def q_lang_id(spark, sf):
 def q_doc_fingerprints(spark, sf):
     """Winnowing fingerprints — xxhash64 is engine-specific, rows-only."""
     docs = load_table(spark, sf, "documents")
-    return docs.select("doc_id", tx.doc_fingerprint(F.col("text")).alias("fingerprint"))
+    tokenized = docs.select("doc_id", tx.tokens(F.col("text")).alias("tk"))
+    return tokenized.select(
+        "doc_id", tx.fingerprint_from_tokens(F.col("tk")).alias("fingerprint"))
 
 
 # -------------------------------------------------------------------- contract

@@ -72,10 +72,19 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, sh ARRAY<BIGINT>): distinct hashed n-gram shingles per doc."""
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.transform(tx.word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("sh"),
+    """(id, sh ARRAY<BIGINT>): distinct hashed n-gram shingles per doc.
+
+    Two-phase projection: tokens materialize before shingling (see
+    ``shingles_from_tokens`` — inlining re-tokenizes per shingle)."""
+    tokenized = df.select(
+        F.col(id_col).alias("id"), tx.tokens(F.col(text_col)).alias("tk")
+    )
+    # Emptiness filter on TOKEN COUNT, not on the shingle array: a filter on
+    # size(sh) gets pushed below the projection with the whole shingle
+    # expression substituted in — re-running the quadratic pipeline per row.
+    return tokenized.filter(F.size("tk") >= n).select(
+        "id",
+        F.transform(tx.shingles_from_tokens(F.col("tk"), n), lambda s: F.xxhash64(s)).alias("sh"),
     )
 
 
@@ -121,7 +130,7 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0,1], got {threshold}")
-    sets_df = _shingle_sets(_widen(df), id_col, text_col, n).filter(F.size("sh") > 0).cache()
+    sets_df = _shingle_sets(_widen(df), id_col, text_col, n).cache()
 
     inv = sets_df.select("id", F.explode("sh").alias("shingle"))
     freq = inv.groupBy("shingle").agg(F.count("*").alias("freq"))
@@ -165,22 +174,15 @@ def _perm_params(num_perm: int, seed: int = 1) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
-def minhash_signature(text: Column, *, shingle_n: int = 3, num_perm: int = 64,
-                      seed: int = 1) -> Column:
-    """ARRAY<BIGINT> MinHash signature over word shingles.
+def minhash_from_hashes(hashes: Column, *, num_perm: int = 64, seed: int = 1) -> Column:
+    """ARRAY<BIGINT> MinHash signature from a MATERIALIZED int64-hash array
+    column: h_i(x) = (a_i·(x mod p) + b_i) mod p, p = 2^31−1.
 
-    h_i(s) = (a_i·x + b_i) mod 2^31−1 over the shingle's xxhash64.
-
-    Single-pass formulation: ONE ``aggregate`` over the shingle-hash array
-    whose accumulator is the length-``num_perm`` vector of running minima,
-    updated via ``zip_with`` against a literal (a,b) parameter array.  The
-    naive form (num_perm separate ``array_min(transform(...))`` columns)
-    re-evaluates the tokenize→shingle→hash pipeline per permutation —
-    64× the work; this version traverses the document exactly once."""
-    hashes = F.transform(
-        tx.word_shingles(text, shingle_n),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
-    )
+    Single-pass formulation: ONE ``aggregate`` whose accumulator is the
+    length-``num_perm`` vector of running minima, updated via ``zip_with``
+    against a literal (a,b) parameter array.  The naive form (num_perm
+    separate ``array_min(transform(...))`` columns) re-evaluates the input
+    pipeline per permutation — 64× the work."""
     params = F.lit([[a, b] for a, b in _perm_params(num_perm, seed)])
     init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_perm)
     return F.aggregate(
@@ -188,9 +190,21 @@ def minhash_signature(text: Column, *, shingle_n: int = 3, num_perm: int = 64,
         init,
         lambda acc, h: F.zip_with(
             acc, params,
-            lambda m, ab: F.least(m, F.pmod(h * ab[0] + ab[1], F.lit(_MERSENNE))),
+            lambda m, ab: F.least(
+                m, F.pmod(F.pmod(h, F.lit(_MERSENNE)) * ab[0] + ab[1], F.lit(_MERSENNE))
+            ),
         ),
     )
+
+
+def minhash_signature(text: Column, *, shingle_n: int = 3, num_perm: int = 64,
+                      seed: int = 1) -> Column:
+    """Convenience form over raw text — single-use contexts only; the LSH
+    pipeline materializes shingle hashes first (see _shingle_sets)."""
+    hashes = F.transform(
+        tx.word_shingles(text, shingle_n), lambda s: F.xxhash64(s)
+    )
+    return minhash_from_hashes(hashes, num_perm=num_perm, seed=seed)
 
 
 def minhash_lsh_pairs(
@@ -214,9 +228,10 @@ def minhash_lsh_pairs(
         raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
     rows_per_band = num_perm // bands
 
-    sig = _widen(df).select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), shingle_n=shingle_n, num_perm=num_perm, seed=seed).alias("sig"),
+    sets_df = _shingle_sets(_widen(df), id_col, text_col, shingle_n).cache()
+    sig = sets_df.select(
+        "id",
+        minhash_from_hashes(F.col("sh"), num_perm=num_perm, seed=seed).alias("sig"),
     )
     banded = sig.select(
         "id",
@@ -240,7 +255,6 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand.withColumn("jaccard", F.lit(None).cast("double"))
-    sets_df = _shingle_sets(df, id_col, text_col, shingle_n)
     return _verify_jaccard(cand, sets_df).filter(F.col("jaccard") >= threshold)
 
 
