@@ -168,6 +168,57 @@ def q_recall_lowdim_vs_full(spark, sf):
     return per_q.select("qid", F.round("recall", 6).alias("recall"))
 
 
+def q_groundtruth_pack(spark, sf):
+    """G2/S5: packed filtered ground truth with the reference's padding
+    convention — k=60 under a label-equality filter leaves most queries with
+    ~50 qualifying rows, so neighbors pad with −1 and distances with +inf
+    (results.py:85-86)."""
+    from bigvectorbench_spark.operators.groundtruth import build_groundtruth
+
+    packed = build_groundtruth(
+        _train(spark, sf), _queries_mod(spark, sf), k=60,
+        filter_template="label == {label}", query_param_cols=["label"],
+    )
+    return packed.select(
+        "qid", "neighbors",
+        F.transform("distances", lambda d: F.round(d.cast("double"), 4)).alias("distances"),
+    )
+
+
+def q_recall_summary(spark, sf):
+    """A6 summary form: mean ± population-std of per-query recall@10 of the
+    32-dim run against the 64-dim truth."""
+    per_q = q_recall_lowdim_vs_full(spark, sf)
+    return per_q.agg(
+        F.round(F.avg("recall"), 6).alias("mean_recall"),
+        F.round(F.coalesce(F.stddev_pop("recall"), F.lit(0.0)), 6).alias("std_recall"),
+        F.count("*").alias("n_queries"),
+    )
+
+
+def q_best_search_time(spark, sf):
+    """A3 best-of-runs: min over runs of mean per-query time
+    (runner.py:222-226), with event_type as the run key and value as the
+    per-query latency."""
+    ev = load_table(spark, sf, "events")
+    per_run = ev.groupBy("event_type").agg(
+        (F.round(F.sum(F.col("value").cast("decimal(18,6)")), 6).cast("double")
+         / F.count("*")).alias("mean_time"))
+    return per_run.agg(F.round(F.min("mean_time"), 6).alias("best_search_time"))
+
+
+def q_train_test_split(spark, sf):
+    """A11 deterministic split: hash-free arithmetic bucketing (engine-
+    portable) — 80/20 by (id·2654435761 mod 100) — with per-split counts and
+    id checksums proving the same rows landed on the same side."""
+    emb = load_table(spark, sf, "embeddings")
+    bucket = F.pmod(F.col("vec_id") * F.lit(2654435761), F.lit(100))
+    tagged = emb.select(
+        F.when(bucket < 80, "train").otherwise("test").alias("split"), "vec_id")
+    return tagged.groupBy("split").agg(
+        F.count("*").alias("n_rows"), F.sum("vec_id").alias("id_sum"))
+
+
 # -------------------------------------------------- relational / metrics layer
 
 def q_topk_per_group(spark, sf):
@@ -369,7 +420,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_knn": q_mv_knn,
         "mm_knn": q_mm_knn,
         "ivf_knn": q_ivf_knn,
+        "groundtruth_pack": q_groundtruth_pack,
         "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
+        "recall_summary": q_recall_summary,
+        "best_search_time": q_best_search_time,
+        "train_test_split": q_train_test_split,
         "topk_per_group": q_topk_per_group,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -463,6 +518,54 @@ r AS (SELECT qid, id, round(d, 4) AS dist,
 SELECT qid, id, dist, rank FROM r WHERE rank <= 5
 """,
         "mm_knn": _knn_oracle(where_q="vec_id % 50 = 1", dist=l2),
+        "groundtruth_pack": f"""
+WITH t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v, label FROM embeddings WHERE vec_id % 50 = 0),
+s AS (SELECT q.qid, t.id, {l2} AS d FROM q JOIN t ON t.label = q.label),
+r AS (SELECT qid, id, d, row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rn FROM s),
+k AS (SELECT qid, array_agg(id ORDER BY rn) AS n, array_agg(round(d, 4) ORDER BY rn) AS ds
+      FROM r WHERE rn <= 60 GROUP BY qid)
+SELECT q.qid,
+       list_concat(coalesce(k.n, []),
+                   list_transform(range(60 - len(coalesce(k.n, []))), x -> (-1)::BIGINT))
+           AS neighbors,
+       list_concat(coalesce(k.ds, []),
+                   list_transform(range(60 - len(coalesce(k.ds, []))), x -> 'inf'::DOUBLE))
+           AS distances
+FROM q LEFT JOIN k ON q.qid = k.qid
+""",
+        "recall_summary": f"""
+WITH t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 = 0),
+full_r AS (SELECT q.qid, t.id,
+                  row_number() OVER (PARTITION BY q.qid ORDER BY {l2}, t.id) AS rn
+           FROM q CROSS JOIN t),
+lo AS (SELECT qid, v[1:32] AS v FROM q),
+lot AS (SELECT id, v[1:32] AS v FROM t),
+low_r AS (SELECT lo.qid, lot.id,
+                 row_number() OVER (PARTITION BY lo.qid ORDER BY {_L2.format(a="lot.v", b="lo.v")}, lot.id) AS rn
+          FROM lo CROSS JOIN lot),
+tt AS (SELECT qid, id FROM full_r WHERE rn <= 10),
+rr AS (SELECT qid, id FROM low_r WHERE rn <= 10),
+pq AS (SELECT tt.qid, round(count(rr.id)::DOUBLE / 10.0, 6) AS recall
+       FROM tt LEFT JOIN rr ON tt.qid = rr.qid AND tt.id = rr.id GROUP BY tt.qid)
+SELECT round(avg(recall), 6) AS mean_recall,
+       round(coalesce(stddev_pop(recall), 0.0), 6) AS std_recall,
+       count(*) AS n_queries
+FROM pq
+""",
+        "best_search_time": """
+WITH per_run AS (
+  SELECT event_type,
+         CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) / count(*) AS mean_time
+  FROM events GROUP BY event_type)
+SELECT round(min(mean_time), 6) AS best_search_time FROM per_run
+""",
+        "train_test_split": """
+SELECT CASE WHEN (vec_id * 2654435761) % 100 < 80 THEN 'train' ELSE 'test' END AS split,
+       count(*) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM embeddings GROUP BY 1
+""",
         "recall_lowdim_vs_full": f"""
 WITH t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 = 0),
