@@ -103,6 +103,45 @@ def jaccard_valid(dist: Column) -> Column:
     return dist < F.lit(1.0 - JACCARD_VALID_EPS)
 
 
+def pack_bits(bits: Column) -> Column:
+    """Pack ARRAY<BOOLEAN> into ARRAY<BIGINT> words of 64 bits (big-endian
+    within each word; the tail word holds the remaining bits in its low
+    positions).  SURVEY §7 hard part 2: Parquet boolean lists decode ~64×
+    more values than packed words; materialize this at index-build time and
+    binary workloads shrink accordingly.
+
+    ``bits`` should be a materialized column (see shingles_from_tokens note
+    on HOF re-evaluation)."""
+    n_words = F.ceil(F.size(bits) / F.lit(64.0)).cast("int")
+    idx = F.when(n_words > 0, F.sequence(F.lit(0), n_words - 1)).otherwise(
+        F.lit([]).cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda w: F.aggregate(
+            F.slice(bits, w * 64 + 1, 64),
+            F.lit(0).cast("long"),
+            # shift+OR, not acc*2+bit: multiplication overflows under ANSI
+            # semantics once bit 63 is populated
+            lambda acc, b: F.shiftleft(acc, 1).bitwiseOR(
+                F.when(b, 1).otherwise(0).cast("long")
+            ),
+        ),
+    )
+
+
+def hamming_packed_dist(a: Column, b: Column, d: int) -> Column:
+    """Hamming distance between packed bit arrays: Σ bit_count(a_w XOR b_w)
+    over words, normalized by the true bit length ``d`` — same value as
+    ``hamming_dist`` on the unpacked booleans, at one popcount per 64 bits."""
+    pops = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return pops.cast("double") / F.lit(float(d))
+
+
 _METRICS = {
     "euclidean": l2_dist,
     "angular": angular_dist,

@@ -177,6 +177,49 @@ def _hamming_blocked(X: np.ndarray, Q: np.ndarray, block: int = 2048) -> np.ndar
     return out
 
 
+def knn_hamming_packed(
+    train: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    bits_col: str = "vec",
+    d: Optional[int] = None,
+    id_col: str = "id",
+    qid_col: str = "qid",
+    packed: bool = False,
+) -> DataFrame:
+    """Hamming kNN over bit-packed vectors (SURVEY §7 hard part 2).
+
+    With ``packed=False`` the boolean arrays are packed on the fly (same
+    results as ``knn(metric='hamming')``, testably); the intended use at
+    scale is ``packed=True`` over a table whose ARRAY<BIGINT> words were
+    materialized once at index-build time via ``pack_bits`` — the scan then
+    reads 1/64th the values and scoring is one popcount per word."""
+    if d is None:
+        probe = (train if packed else train.limit(1)).select(
+            F.size(bits_col).alias("n")
+        ).first()
+        if probe is None:
+            raise ValueError("empty train table")
+        if packed:
+            raise ValueError("d (true bit length) is required when packed=True")
+        d = probe["n"]
+
+    def prep(df, key, out):
+        keyed = df.select(F.col(key).cast("bigint").alias(out), F.col(bits_col).alias("_b"))
+        if packed:
+            return keyed.withColumnRenamed("_b", "_p")
+        return keyed.select(out, dist_fns.pack_bits(F.col("_b")).alias("_p"))
+
+    t = prep(train, id_col, "id")
+    q = prep(queries, qid_col, "qid")
+    scored = t.crossJoin(F.broadcast(q.select("qid", F.col("_p").alias("_qp")))).select(
+        "qid", "id",
+        dist_fns.hamming_packed_dist(F.col("_p"), F.col("_qp"), d).alias("dist"),
+    )
+    return topk_window(scored, k).select("qid", "id", "dist", "rank")
+
+
 def assert_unique_candidates(result: DataFrame) -> None:
     """Reference uniqueness assertion (runner.py:100-103): per-query result
     ids must be duplicate-free.  Raises AssertionError otherwise."""

@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for the distance kernels and the
+reference's dataset-invariant check (test/distance_test.py:46-55 analog):
+stored ground-truth distances must equal recomputed ones."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from bigvectorbench_spark.functions import distance as dx
+from bigvectorbench_spark import fixtures as fx
+from bigvectorbench_spark.operators.groundtruth import build_groundtruth, verify_distances
+
+from pyspark.sql import functions as F
+
+finite_floats = st.floats(min_value=-100, max_value=100, allow_nan=False, width=32)
+vec_pairs = st.integers(min_value=1, max_value=8).flatmap(
+    lambda d: st.tuples(
+        st.lists(finite_floats, min_size=d, max_size=d),
+        st.lists(finite_floats, min_size=d, max_size=d),
+    )
+)
+
+_SETTINGS = dict(max_examples=12, deadline=None)
+
+
+def _pair_eval(spark, col, a, b):
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    return df.select(col(F.col("a"), F.col("b")).alias("v")).collect()[0]["v"]
+
+
+@given(vec_pairs)
+@settings(**_SETTINGS)
+def test_euclid_symmetric_nonneg_identity(spark, pair):
+    a, b = pair
+    d_ab = _pair_eval(spark, dx.l2_dist, a, b)
+    d_ba = _pair_eval(spark, dx.l2_dist, b, a)
+    assert d_ab == pytest.approx(d_ba, abs=1e-9)
+    assert d_ab >= 0
+    assert _pair_eval(spark, dx.l2_dist, a, a) == 0.0
+    # against numpy
+    ref = math.sqrt(sum((float(np.float32(x)) - float(np.float32(y))) ** 2
+                        for x, y in zip(a, b)))
+    assert d_ab == pytest.approx(ref, rel=1e-9, abs=1e-9)
+
+
+@given(vec_pairs)
+@settings(**_SETTINGS)
+def test_angular_range(spark, pair):
+    a, b = pair
+    if all(x == 0 for x in a) or all(x == 0 for x in b):
+        return  # zero vectors: angular undefined (reference never emits them)
+    d = _pair_eval(spark, dx.angular_dist, a, b)
+    assert -1e-9 <= d <= 2 + 1e-9
+
+
+@given(st.lists(st.booleans(), min_size=1, max_size=130),
+       st.data())
+@settings(**_SETTINGS)
+def test_hamming_packed_equals_plain(spark, bits_a, data):
+    bits_b = data.draw(st.lists(st.booleans(), min_size=len(bits_a), max_size=len(bits_a)))
+    df = spark.createDataFrame([(bits_a, bits_b)], "a array<boolean>, b array<boolean>")
+    row = df.select(
+        dx.hamming_dist(F.col("a"), F.col("b")).alias("plain"),
+        dx.hamming_packed_dist(
+            dx.pack_bits(F.col("a")), dx.pack_bits(F.col("b")), len(bits_a)
+        ).alias("packed"),
+    ).collect()[0]
+    assert row["plain"] == pytest.approx(row["packed"], abs=1e-12)
+
+
+@given(st.lists(st.integers(0, 30), max_size=12), st.lists(st.integers(0, 30), max_size=12))
+@settings(**_SETTINGS)
+def test_jaccard_bounds_and_symmetry(spark, a, b):
+    df = spark.createDataFrame([(a, b)], "a array<int>, b array<int>")
+    row = df.select(
+        dx.jaccard_dist(F.col("a"), F.col("b")).alias("ab"),
+        dx.jaccard_dist(F.col("b"), F.col("a")).alias("ba"),
+    ).collect()[0]
+    assert 0 <= row["ab"] <= 1 and row["ab"] == pytest.approx(row["ba"])
+    if not a and not b:
+        assert row["ab"] == 1.0  # empty-set convention (distance.py:12-16)
+
+
+def test_fixture_groundtruth_self_consistency(spark):
+    """The reference's golden-output invariant: for a fixture dataset,
+    recomputing dist(test_i, train_j) for every stored (neighbor, distance)
+    pair matches to 1e-4 (test/distance_test.py:46-55)."""
+    train, test = fx.random_float(spark, n=800, d=16)
+    gt = build_groundtruth(train, test.limit(40), k=20, method="gemm")
+    mismatches = verify_distances(gt, train, test.limit(40), tol=1e-4)
+    assert mismatches.count() == 0
