@@ -149,7 +149,7 @@ def q_ivf_knn(spark, sf):
     """M7: IVF (KMeans cluster-pruned) ANN at nprobe=4 — KMeans is not
     SQL-expressible, rows-only check."""
     t = _train(spark, sf)
-    idx = IVFIndex.fit(t, nlist=8, seed=1)
+    idx = IVFIndex.fit(t, nlist=8, seed=1, max_iter=8)
     res = idx.search(idx.assign(t), _queries_mod(spark, sf), k=10, nprobe=4)
     return res.select("qid", "id", _r(F.col("dist")).alias("dist"), "rank")
 
@@ -389,7 +389,11 @@ def q_quality_scores(spark, sf):
 def q_lang_id(spark, sf):
     """Language-ID heuristic (marker n-grams) — rows-only check."""
     docs = load_table(spark, sf, "documents")
-    return docs.select("doc_id", tx.lang_id(F.col("text")).alias("pred_lang"))
+    tokenized = docs.select("doc_id", tx.tokens(F.col("text")).alias("tk"))
+    with_joined = tokenized.withColumn("joined", F.concat_ws("", "tk"))
+    return with_joined.select(
+        "doc_id",
+        tx.lang_id_from_tokens(F.col("tk"), F.col("joined")).alias("pred_lang"))
 
 
 def q_doc_fingerprints(spark, sf):

@@ -125,40 +125,49 @@ def quality_score(text: Column) -> Column:
     ).alias("quality")
 
 
-def lang_scores(text: Column) -> Column:
-    """Array of (lang, hits) structs: marker-token occurrences per language."""
-    tk = tokens(text)
+def lang_scores_from_tokens(tk: Column, joined: Column) -> Column:
+    """Array of (lang, hits) structs: marker-token occurrences per language.
+    ``tk`` (tokens) and ``joined`` (tokens concatenated, for the zh
+    char-marker scan) must be materialized columns — each is referenced per
+    language / per marker, so inlining re-evaluates them (see
+    shingles_from_tokens)."""
     entries = []
     for lang in sorted(LANG_MARKERS):
         markers = F.lit(list(LANG_MARKERS[lang]))
-        hits = F.size(F.filter(tk, lambda w: F.array_contains(markers, w)))
-        # zh: marker chars appear inside tokens, not as whole tokens
         if lang == "zh":
-            joined = F.concat_ws("", tk)
+            # zh marker chars appear inside tokens, not as whole tokens
             hits = F.aggregate(
-                F.lit(list(LANG_MARKERS[lang])),
+                markers,
                 F.lit(0),
                 lambda acc, m: acc
                 + F.length(joined)
                 - F.length(F.replace(joined, m, F.lit(""))),
             )
+        else:
+            hits = F.size(F.filter(tk, lambda w: F.array_contains(markers, w)))
         entries.append(F.struct(F.lit(lang).alias("lang"), hits.cast("int").alias("hits")))
     return F.array(*entries)
 
 
-def lang_id(text: Column, default: str = "en") -> Column:
-    """Argmax marker-hit language; deterministic tie-break by lang name
-    (scores sorted desc by hits, asc by lang).  Falls back to ``default``
-    when nothing matches — a cheap n-gram-style heuristic that runs fully
-    JVM-side."""
+def lang_id_from_tokens(tk: Column, joined: Column, default: str = "en") -> Column:
+    """Argmax marker-hit language from materialized token columns;
+    deterministic tie-break by lang name (scores sorted desc by hits, asc by
+    lang).  Falls back to ``default`` when nothing matches."""
     scored = F.sort_array(
         F.transform(
-            lang_scores(text),
+            lang_scores_from_tokens(tk, joined),
             lambda s: F.struct((-s["hits"]).alias("neg"), s["lang"].alias("lang")),
         )
     )
     best = F.element_at(scored, 1)
     return F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit(default))
+
+
+def lang_id(text: Column, default: str = "en") -> Column:
+    """Convenience form over raw text — single-use contexts; hot paths
+    materialize tokens + joined first (see ``lang_id_from_tokens``)."""
+    tk = tokens(text)
+    return lang_id_from_tokens(tk, F.concat_ws("", tk), default)
 
 
 def fingerprint_from_tokens(tk: Column, *, shingle_n: int = 3, num_mins: int = 8) -> Column:

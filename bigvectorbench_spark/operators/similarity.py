@@ -64,6 +64,23 @@ class IVFIndex:
         centroids = np.array([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
         return cls(centroids=centroids, metric=metric)
 
+    def save(self, spark: SparkSession, path: str) -> None:
+        """Persist the index artifact (centroids + metric) as parquet — the
+        M2 'index build' output, shareable across jobs/sessions."""
+        rows = [(i, [float(x) for x in c], self.metric)
+                for i, c in enumerate(self.centroids)]
+        spark.createDataFrame(
+            rows, "cluster_id int, centroid array<double>, metric string"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFIndex":
+        rows = spark.read.parquet(path).orderBy("cluster_id").collect()
+        if not rows:
+            raise ValueError(f"no centroids at {path}")
+        cents = np.array([r["centroid"] for r in rows], dtype=np.float64)
+        return cls(centroids=cents, metric=rows[0]["metric"])
+
     def assign(self, df: DataFrame, *, vec_col: str = "vec") -> DataFrame:
         """Add ``cluster_id`` = argmin centroid distance.  Pure column
         expression over a broadcast-literal centroid array, so assignment is

@@ -70,6 +70,19 @@ def test_ivf_partitioned_layout_prunes(ivf_data, tmp_path, spark):
     assert len(parts) == 8
 
 
+def test_ivf_save_load_roundtrip(ivf_data, tmp_path, spark):
+    _, train, test, idx, indexed = ivf_data
+    idx.save(spark, str(tmp_path / "centroids"))
+    loaded = sim.IVFIndex.load(spark, str(tmp_path / "centroids"))
+    assert np.allclose(loaded.centroids, idx.centroids)
+    assert loaded.metric == idx.metric
+    a = [(r["qid"], r["id"]) for r in
+         idx.search(indexed, test, k=5, nprobe=2).orderBy("qid", "rank").collect()]
+    b = [(r["qid"], r["id"]) for r in
+         loaded.search(indexed, test, k=5, nprobe=2).orderBy("qid", "rank").collect()]
+    assert a == b
+
+
 def test_srp_signature_colinear(spark):
     import pyspark.sql.functions as F
     rng = np.random.RandomState(0)
