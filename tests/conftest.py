@@ -12,7 +12,11 @@ from bigvectorbench_spark import get_spark  # noqa: E402
 def spark():
     s = get_spark(
         "bvb-tests",
-        **{"spark.sql.shuffle.partitions": "8", "spark.ui.enabled": "false"},
+        **{
+            "spark.sql.shuffle.partitions": "8",
+            "spark.ui.enabled": "false",
+            "spark.sql.warehouse.dir": "/tmp/bvb-test-warehouse",
+        },
     )
     yield s
 
