@@ -56,6 +56,15 @@ def main() -> None:
     spark = get_spark("bvb-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warmup: spin the JVM, python workers (mapInPandas), and file metadata
+    # caches so per-query timings measure the queries, not session startup.
+    import pandas as pd  # noqa: F401
+    from bigvectorbench_spark.sources.tables import TABLES, load_table
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+    spark.range(1000).repartition(8).mapInPandas(
+        lambda it: it, schema="id long").count()
+
     qs = entry.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
