@@ -312,6 +312,19 @@ def q_pareto_frontier(spark, sf):
 
 # ------------------------------------------------------------- text / dedup
 
+def q_corpus_stats(spark, sf):
+    """Corpus profiling: exact distinct counts and totals per source — the
+    A3/A7-style aggregates a pipeline runs before dedup decisions."""
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 def q_dedup_exact(spark, sf):
     """Exact dedup groups: md5 of normalized text, count + canonical id."""
     docs = load_table(spark, sf, "documents")
@@ -437,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_percentiles": q_latency_percentiles,
         "qps_by_type": q_qps_by_type,
         "pareto_frontier": q_pareto_frontier,
+        "corpus_stats": q_corpus_stats,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_dups": q_minhash_dups,
@@ -648,6 +662,12 @@ s AS (SELECT *, max(x) OVER (ORDER BY y DESC, x DESC
                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best
       FROM pts)
 SELECT event_type, round(x, 6) AS x, y FROM s WHERE best IS NULL OR x > best
+""",
+        "corpus_stats": """
+SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM documents GROUP BY source
 """,
         "dedup_exact": f"""
 WITH k AS (SELECT doc_id, md5(array_to_string({_TOKENS}, ' ')) AS text_key FROM documents)

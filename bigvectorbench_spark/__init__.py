@@ -16,9 +16,69 @@ This package re-expresses that surface Spark-first:
   broadcast the (always small) query side;
 - the only Python-side kernels are Arrow-batched (``mapInPandas`` GEMM
   scoring) and only where they beat whole-stage codegen.
+
+Convenience API (full surface lives in the submodules)::
+
+    from bigvectorbench_spark import get_spark, knn, filtered_knn, IVFIndex
 """
 
 from bigvectorbench_spark.session import get_spark
+from bigvectorbench_spark.operators.knn import (
+    assert_unique_candidates,
+    knn,
+    knn_hamming_packed,
+    topk_window,
+)
+from bigvectorbench_spark.operators.filter_knn import filtered_knn, postfilter_knn
+from bigvectorbench_spark.operators.multivector import mv_knn, mv_knn_fused
+from bigvectorbench_spark.operators.groundtruth import (
+    build_groundtruth,
+    pack_results,
+    verify_distances,
+)
+from bigvectorbench_spark.operators.metrics import (
+    latency_percentiles,
+    pareto_frontier,
+    qps,
+    recall_per_query,
+    recall_summary,
+)
+from bigvectorbench_spark.operators.similarity import IVFIndex
+from bigvectorbench_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from bigvectorbench_spark.operators.mutation import VectorTable
 
-__all__ = ["get_spark"]
+__all__ = [
+    "IVFIndex",
+    "VectorTable",
+    "assert_unique_candidates",
+    "build_groundtruth",
+    "embedding_dup_pairs",
+    "exact_dedup",
+    "exact_dup_groups",
+    "filtered_knn",
+    "get_spark",
+    "knn",
+    "knn_hamming_packed",
+    "latency_percentiles",
+    "minhash_lsh_pairs",
+    "mv_knn",
+    "mv_knn_fused",
+    "ngram_jaccard_pairs",
+    "pack_results",
+    "pareto_frontier",
+    "postfilter_knn",
+    "qps",
+    "recall_per_query",
+    "recall_summary",
+    "simhash_pairs",
+    "topk_window",
+    "verify_distances",
+]
 __version__ = "0.1.0"

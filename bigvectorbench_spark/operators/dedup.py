@@ -379,17 +379,33 @@ def embedding_dup_pairs(
         raise ValueError("num_planes must divide into bands")
     per_band = num_planes // bands
 
-    sig_bits = [
-        F.when(dist_fns.dot(F.col("u"), F.lit(planes[p].tolist()).cast("array<double>")) >= 0, "1").otherwise("0")
-        for p in range(num_planes)
-    ]
-    sigs = unit.select(
-        "id",
-        F.posexplode(F.array(*[
-            F.concat(*sig_bits[band * per_band:(band + 1) * per_band])
-            for band in range(bands)
-        ])).alias("band", "bucket"),
-    )
+    # All plane projections in one numpy GEMM per Arrow batch (SURVEY §4
+    # BLAS batching): num_planes separate dot-product expressions would run
+    # O(num_planes·d) interpreted HOF steps per row.
+    bc_planes = base.sparkSession.sparkContext.broadcast(planes)
+
+    def _sigs(batches):
+        P = bc_planes.value
+        weights = (1 << np.arange(per_band - 1, -1, -1)).astype(np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64, copy=False)
+            bits = (X @ P.T) >= 0  # (n, num_planes)
+            ids, bands_out, buckets = [], [], []
+            for band in range(bands):
+                chunk = bits[:, band * per_band:(band + 1) * per_band]
+                bucket = chunk.astype(np.int64) @ weights
+                ids.append(pdf["id"].to_numpy())
+                bands_out.append(np.full(len(pdf), band, dtype=np.int32))
+                buckets.append(bucket)
+            yield pd.DataFrame({
+                "id": np.concatenate(ids),
+                "band": np.concatenate(bands_out),
+                "bucket": np.concatenate(buckets),
+            })
+
+    sigs = base.mapInPandas(_sigs, schema="id bigint, band int, bucket bigint")
     a, b = sigs.alias("a"), sigs.alias("b")
     # candidates carry only ids through distinct; unit vectors re-join after,
     # so the (potentially wide) bucket join shuffles narrow rows only
