@@ -33,6 +33,33 @@ from bigvectorbench_spark.operators.knn import topk_window, _collect_queries
 CLUSTER_COL = "cluster_id"
 
 
+def _kmeans_pp(X: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
+    """Lloyd's algorithm with kmeans++ init, plain numpy (driver-side fit
+    on a bounded sample; see IVFIndex.fit)."""
+    rng = np.random.RandomState(seed)
+    # kmeans++ seeding
+    cents = [X[rng.randint(len(X))]]
+    d2 = ((X - cents[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(X), 1.0 / len(X))
+        cents.append(X[rng.choice(len(X), p=probs)])
+        d2 = np.minimum(d2, ((X - cents[-1]) ** 2).sum(axis=1))
+    C = np.array(cents)
+    for _ in range(max_iter):
+        dist = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) if len(X) * k * X.shape[1] < 5e7 \
+            else (X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1)[None, :]
+        assign = dist.argmin(axis=1)
+        newC = np.array([
+            X[assign == j].mean(axis=0) if (assign == j).any() else C[j]
+            for j in range(k)
+        ])
+        if np.allclose(newC, C):
+            C = newC
+            break
+        C = newC
+    return C
+
+
 @dataclass
 class IVFIndex:
     """KMeans-based inverted-file index: centroids live on the driver (nlist
@@ -52,17 +79,34 @@ class IVFIndex:
         seed: int = 1,
         sample_fraction: float = 1.0,
         max_iter: int = 20,
+        engine: str = "numpy",
+        max_sample_rows: int = 1_000_000,
     ) -> "IVFIndex":
-        """Fit centroids with MLlib KMeans (distributed; optionally on a
-        sample — at 100 TB you fit on ~1M sampled rows, not the corpus)."""
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
+        """Fit centroids on a (bounded) sample.
 
+        ``engine="numpy"`` (default): collect ≤ ``max_sample_rows`` sampled
+        vectors to the driver and run kmeans++ there — the standard
+        100 TB pattern (fit on a sample, *assignment* stays distributed),
+        and free of MLlib's per-job JVM overhead at small scale.
+        ``engine="mllib"``: distributed MLlib KMeans for when even the
+        sample must not be collected."""
         df = train if sample_fraction >= 1.0 else train.sample(sample_fraction, seed=seed)
-        feats = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-        model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
-        centroids = np.array([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
-        return cls(centroids=centroids, metric=metric)
+        if engine == "mllib":
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            feats = df.select(
+                array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+            model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+            cents = np.array([np.asarray(c, dtype=np.float64) for c in model.clusterCenters()])
+            return cls(centroids=cents, metric=metric)
+        if engine != "numpy":
+            raise ValueError(f"unknown engine {engine!r}")
+        rows = df.select(vec_col).limit(max_sample_rows).collect()
+        X = np.array([r[0] for r in rows], dtype=np.float64)
+        if len(X) < nlist:
+            raise ValueError(f"{len(X)} sample rows < nlist={nlist}")
+        return cls(centroids=_kmeans_pp(X, nlist, seed, max_iter), metric=metric)
 
     def save(self, spark: SparkSession, path: str) -> None:
         """Persist the index artifact (centroids + metric) as parquet — the
