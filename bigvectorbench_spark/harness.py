@@ -149,6 +149,7 @@ class RunResult:
     qps: float
     mean_recall: float
     results: DataFrame = field(repr=False)
+    percentiles_ms: dict[str, float] = field(default_factory=dict)
 
 
 def run_definition(
@@ -159,12 +160,16 @@ def run_definition(
     groundtruth: Optional[DataFrame] = None,
     *,
     runs: int = 1,
+    individual_timing: bool = False,
 ) -> RunResult:
     """One load→build→search→score run (runner.py:492-625 shape).
 
     best_search_time = min over ``runs`` repetitions of the batch wall-clock
     divided by query count (runner.py:222-226's batch analog); QPS = its
-    inverse (plotting/metrics.py:51-58)."""
+    inverse (plotting/metrics.py:51-58).  With ``individual_timing`` each
+    query is additionally executed as its own job (the reference's
+    per-query protocol) to produce p50/p90/p95/p99 latencies — use for
+    modest query counts only."""
     if defn.algorithm not in ALGORITHMS:
         raise ValueError(f"unknown algorithm {defn.algorithm!r}; have {sorted(ALGORITHMS)}")
     build, search = ALGORITHMS[defn.algorithm]()
@@ -183,11 +188,22 @@ def run_definition(
         topk.write.format("noop").mode("overwrite").save()
         best = min(best, (time.perf_counter() - t0) / max(n_queries, 1))
 
+    pct: dict[str, float] = {}
+    if individual_timing:
+        from bigvectorbench_spark.operators.timing import time_individual_queries
+
+        times = time_individual_queries(
+            spark, train, queries, defn.count,
+            search_fn=lambda t, q, kk: search(artifact, q, kk, qargs), runs=runs)
+        row = mx.latency_percentiles(times, percentiles=(0.5, 0.9, 0.95, 0.99)).collect()[0]
+        pct = {c: row[c] for c in row.asDict()}
+
     packed = pack_results(topk, queries, defn.count)
     if groundtruth is None:
         groundtruth = build_groundtruth(train, queries, k=defn.count, method="expr")
     recall = mx.recall_summary(packed, groundtruth).collect()[0]["mean_recall"]
     return RunResult(
+        percentiles_ms=pct,
         definition=defn,
         build_time=build_time,
         best_search_time=best,

@@ -106,6 +106,12 @@ class IVFIndex:
         X = np.array([r[0] for r in rows], dtype=np.float64)
         if len(X) < nlist:
             raise ValueError(f"{len(X)} sample rows < nlist={nlist}")
+        if metric == "angular":
+            # spherical kmeans: fit on unit vectors; cell boundaries then
+            # follow angles, so L2 probing == angular probing
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            X = X / norms
         return cls(centroids=_kmeans_pp(X, nlist, seed, max_iter), metric=metric)
 
     def save(self, spark: SparkSession, path: str) -> None:
@@ -130,14 +136,19 @@ class IVFIndex:
         expression over a broadcast-literal centroid array, so assignment is
         a narrow map — no shuffle, safe to run at full corpus width."""
         cents = F.lit([c.tolist() for c in self.centroids]).cast("array<array<double>>")
+        work = df
+        vec = F.col(vec_col)
+        if self.metric == "angular":
+            # materialize the unit vector first: inlined into the transform
+            # lambda it would re-normalize once per centroid (HOF re-eval)
+            work = df.withColumn("__unit", dist_fns.unit_vec(vec))
+            vec = F.col("__unit")
         scored = F.transform(
             cents,
-            lambda c, i: F.struct(
-                dist_fns.l2_sq(F.col(vec_col), c).alias("d"), i.alias("cid")
-            ),
+            lambda c, i: F.struct(dist_fns.l2_sq(vec, c).alias("d"), i.alias("cid")),
         )
         best = F.array_min(scored)
-        return df.withColumn(CLUSTER_COL, best["cid"])
+        return work.withColumn(CLUSTER_COL, best["cid"]).drop("__unit")
 
     def write_indexed(self, df: DataFrame, path: str, *, vec_col: str = "vec") -> None:
         """Materialize the index layout: parquet partitioned by cluster_id.
@@ -149,6 +160,10 @@ class IVFIndex:
     def probe_lists(self, qmat: np.ndarray, nprobe: int) -> np.ndarray:
         """Top-``nprobe`` nearest centroid ids per query row (driver-side:
         queries ≤10k × nlist centroids is a trivial GEMM)."""
+        if self.metric == "angular":
+            norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            qmat = qmat / norms
         d2 = ((qmat[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2)
         nprobe = min(nprobe, len(self.centroids))
         part = np.argpartition(d2, nprobe - 1, axis=1)[:, :nprobe]
@@ -164,12 +179,18 @@ class IVFIndex:
         vec_col: str = "vec",
         id_col: str = "id",
         qid_col: str = "qid",
+        pre_filter=None,
     ) -> DataFrame:
         """IVF_FLAT search: per-query top-nprobe cells → candidate scan
         restricted to those cells → exact re-rank.  The (qid, cluster_id)
         probe table is broadcast; the train side is filtered by an IN on the
         union of probed cells first (partition pruning) and then matched
-        per-query via the broadcast join."""
+        per-query via the broadcast join.
+
+        ``pre_filter`` (SQL string or Column over train columns) composes
+        the filter-ann semantics with cell pruning: labels restrict the
+        candidate scan *inside* the probed cells (both predicates reach the
+        parquet scan — partition pruning + pushed filters)."""
         spark: SparkSession = indexed_train.sparkSession
         qids, qmat = _collect_queries(queries, qid_col, vec_col)
         if len(qids) == 0:
@@ -185,6 +206,9 @@ class IVFIndex:
         )
         all_cells = sorted({int(c) for row in probes for c in row})
         pruned = indexed_train.filter(F.col(CLUSTER_COL).isin(all_cells))
+        if pre_filter is not None:
+            pruned = pruned.filter(
+                F.expr(pre_filter) if isinstance(pre_filter, str) else pre_filter)
         scored = (
             pruned.join(
                 F.broadcast(probe_df),

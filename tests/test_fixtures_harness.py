@@ -86,6 +86,15 @@ def test_run_definition_ivf_and_export(spark, small_ds, tmp_path):
     assert front.count() >= 1
 
 
+def test_run_definition_individual_timing(spark, small_ds):
+    tr, te = small_ds
+    r = hz.run_definition(
+        spark, hz.Definition("flat-expr", "fx", 5), tr, te.limit(4),
+        individual_timing=True)
+    assert set(r.percentiles_ms) == {"p5", "p9", "p95", "p99"}
+    assert all(v > 0 for v in r.percentiles_ms.values())
+
+
 def test_unknown_algorithm_raises(spark, small_ds):
     tr, te = small_ds
     with pytest.raises(ValueError):

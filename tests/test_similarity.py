@@ -70,6 +70,33 @@ def test_ivf_partitioned_layout_prunes(ivf_data, tmp_path, spark):
     assert len(parts) == 8
 
 
+def test_ivf_angular_full_probe_exact(spark):
+    from tests.conftest import make_blobs
+    X = make_blobs(500, 12, centers=15, seed=9)
+    train = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(450)], "id bigint, vec array<float>").cache()
+    test = spark.createDataFrame(
+        [(i, [float(x) for x in X[450 + i]]) for i in range(20)], "qid bigint, vec array<float>")
+    idx = sim.IVFIndex.fit(train, nlist=6, metric="angular", seed=1)
+    exact = knn(train, test, k=10, metric="angular", method="expr")
+    full = idx.search(idx.assign(train), test, k=10, nprobe=6)
+    assert _recall(full, exact, 10) == 1.0
+    # partial probe still reasonable for clustered data
+    r2 = _recall(idx.search(idx.assign(train), test, k=10, nprobe=2), exact, 10)
+    assert r2 > 0.5
+
+
+def test_ivf_filtered_search(ivf_data, spark):
+    import pyspark.sql.functions as F
+    _, train, test, idx, indexed = ivf_data
+    lab = indexed.withColumn("lab", F.col("id") % 3)
+    exact = knn(train.withColumn("lab", F.col("id") % 3), test, k=5, method="expr",
+                pre_filter="lab = 0")
+    got = idx.search(lab, test, k=5, nprobe=8, pre_filter="lab = 0")
+    assert _recall(got, exact, 5) == 1.0
+    assert all(r["id"] % 3 == 0 for r in got.collect())
+
+
 def test_ivf_save_load_roundtrip(ivf_data, tmp_path, spark):
     _, train, test, idx, indexed = ivf_data
     idx.save(spark, str(tmp_path / "centroids"))
