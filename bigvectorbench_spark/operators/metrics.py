@@ -66,6 +66,29 @@ def latency_percentiles(
     return df.select(*cols)
 
 
+def avg_time_ms(times: DataFrame, time_col: str = "latency") -> DataFrame:
+    """Mean per-query time in milliseconds (plotting/metrics.py:170-176)."""
+    return times.agg((F.avg(time_col) * 1000).alias("avg_time_ms"))
+
+
+def artifact_size_kb(path: str) -> float:
+    """data_size / index_size analog (plotting/metrics.py:118-138): the
+    reference measures backend memory deltas; the Spark artifact is its
+    on-disk footprint (parquet bytes of the table / index layout)."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total / 1024.0
+
+
+def queries_per_size(qps_value: float, index_size_kb: float) -> float:
+    """queriessize metric: index_size(kB)/QPS (plotting/metrics.py:255-262)."""
+    return index_size_kb / qps_value if qps_value > 0 else float("inf")
+
+
 def best_search_time(per_run_times: DataFrame, run_col: str = "run",
                      time_col: str = "latency") -> DataFrame:
     """min over runs of mean per-query time (runner.py:61, 222-226)."""

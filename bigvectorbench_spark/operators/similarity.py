@@ -223,6 +223,33 @@ class IVFIndex:
         return topk_window(scored, k).select("qid", "id", "dist", "rank")
 
 
+def candidate_counts(
+    index: IVFIndex,
+    indexed_train: DataFrame,
+    queries: DataFrame,
+    *,
+    nprobe: int = 4,
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """'candidates' metric (reference plotting/metrics.py:241-247): how many
+    train rows each query's probe list actually scans — the cost knob the
+    recall/QPS trade-off turns on.  One aggregation over cell sizes; no
+    scoring."""
+    spark = indexed_train.sparkSession
+    qids, qmat = _collect_queries(queries, qid_col, vec_col)
+    probes = index.probe_lists(qmat, nprobe)
+    cell_sizes = {
+        r[CLUSTER_COL]: r["n"]
+        for r in indexed_train.groupBy(CLUSTER_COL).agg(F.count("*").alias("n")).collect()
+    }
+    rows = [
+        (int(qids[i]), int(sum(cell_sizes.get(int(c), 0) for c in probes[i])))
+        for i in range(len(qids))
+    ]
+    return spark.createDataFrame(rows, "qid bigint, n_candidates bigint")
+
+
 def srp_signature(vec, planes: np.ndarray):
     """Sign-random-projection bit signature (cosine LSH) as a string column;
     shared with dedup's embedding path. ``planes``: (num_planes, d)."""

@@ -61,6 +61,27 @@ def test_filtered_knn_matches_oracle(fdata):
         assert got.get(qi, []) == _numpy_filtered(X, labs, qi, 10), f"qid={qi}"
 
 
+def test_filtered_knn_or_template(fdata):
+    """The DSL admits or-disjunctions (weaviate/utils.py:105-179 grammar);
+    most reference backends raise on them — we support them for free via
+    Catalyst."""
+    X, labs, train, test = fdata
+    res = fknn.filtered_knn(
+        train, test, k=5,
+        filter_template="label_0 <= {label_0} or label_1 == {label_1}",
+        query_param_cols=["label_0", "label_1"],
+    )
+    got = {}
+    for r in res.orderBy("qid", "rank").collect():
+        got.setdefault(r["qid"], []).append(r["id"])
+    for qi in list(got)[:5]:
+        q = X[350 + qi].astype(np.float64)
+        mask = (labs[:350, 0] <= labs[350 + qi, 0]) | (labs[:350, 1] == labs[350 + qi, 1])
+        ids = np.where(mask)[0]
+        d = np.sqrt(((X[ids].astype(np.float64) - q) ** 2).sum(axis=1))
+        assert got[qi] == list(ids[np.lexsort((ids, d))[:5]])
+
+
 def test_filtered_knn_queries_with_no_matches(fdata):
     _, _, train, test = fdata
     res = fknn.filtered_knn(

@@ -106,6 +106,16 @@ def test_best_search_time(spark):
     assert M.best_search_time(df).collect()[0]["best_search_time"] == pytest.approx(0.15)
 
 
+def test_avg_time_and_sizes(spark, tmp_path):
+    times = spark.createDataFrame([(0, 0.1), (1, 0.3)], "qid bigint, latency double")
+    assert M.avg_time_ms(times).collect()[0]["avg_time_ms"] == pytest.approx(200.0)
+    spark.range(100).write.parquet(str(tmp_path / "art"))
+    kb = M.artifact_size_kb(str(tmp_path / "art"))
+    assert kb > 0
+    assert M.queries_per_size(10.0, kb) == pytest.approx(kb / 10.0)
+    assert M.queries_per_size(0.0, kb) == math.inf
+
+
 def test_pareto_frontier(spark):
     # (recall, qps): the frontier keeps strictly-improving recall as qps falls
     pts = spark.createDataFrame(

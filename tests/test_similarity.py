@@ -110,6 +110,17 @@ def test_ivf_save_load_roundtrip(ivf_data, tmp_path, spark):
     assert a == b
 
 
+def test_candidate_counts(ivf_data):
+    _, train, test, idx, indexed = ivf_data
+    cc1 = {r["qid"]: r["n_candidates"] for r in
+           sim.candidate_counts(idx, indexed, test, nprobe=1).collect()}
+    cc8 = {r["qid"]: r["n_candidates"] for r in
+           sim.candidate_counts(idx, indexed, test, nprobe=8).collect()}
+    n_train = train.count()
+    assert all(cc8[q] == n_train for q in cc8)      # full probe scans all
+    assert all(0 < cc1[q] < n_train for q in cc1)   # 1 cell scans a subset
+
+
 def test_srp_signature_colinear(spark):
     import pyspark.sql.functions as F
     rng = np.random.RandomState(0)
