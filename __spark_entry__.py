@@ -138,6 +138,24 @@ def q_mv_knn(spark, sf):
     return res.select("qid", "id", _r(F.col("dist")).alias("dist"), "rank")
 
 
+def q_mv_knn_fused(spark, sf):
+    """Q7 fusion variant (WeightedRanker analog, milvus/module.py:422-458):
+    per-position top-k subqueries fused by weighted similarity — approximate
+    by construction, rows-only check."""
+    emb = load_table(spark, sf, "embeddings")
+    ent = (
+        emb.select(F.expr("vec_id div 4").alias("eid"),
+                   F.expr("vec_id % 4").alias("vi"), "embedding")
+        .groupBy("eid")
+        .agg(F.transform(F.sort_array(F.collect_list(F.struct("vi", "embedding"))),
+                         lambda s: s["embedding"]).alias("vecs"))
+    )
+    res = mv.mv_knn_fused(ent.withColumnRenamed("eid", "id"),
+                          ent.filter("eid < 5").withColumnRenamed("eid", "qid"),
+                          k=5, weights=[0.25, 0.25, 0.25, 0.25], num_vectors=4)
+    return res.select("qid", "id", F.round("score", 6).alias("score"), "rank")
+
+
 def q_mm_knn(spark, sf):
     """Q8: multi-modal kNN — identical operator, disjoint query table (the
     'other modality' embedding set)."""
@@ -435,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_knn_range": q_filter_knn_range,
         "postfilter_knn": q_postfilter_knn,
         "mv_knn": q_mv_knn,
+        "mv_knn_fused": q_mv_knn_fused,
         "mm_knn": q_mm_knn,
         "ivf_knn": q_ivf_knn,
         "groundtruth_pack": q_groundtruth_pack,

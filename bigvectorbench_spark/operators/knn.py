@@ -75,6 +75,8 @@ def knn(
     scan, which is the filter-ann fast path (SURVEY §2.2 Q4).
     """
     qvec = query_vec_col or vec_col
+    if metric != "jaccard":  # jaccard items are sets: variable length is legal
+        _check_dims(train, queries, vec_col, qvec)
     if pre_filter is not None:
         train = train.filter(F.expr(pre_filter) if isinstance(pre_filter, str) else pre_filter)
     if method == "auto":
@@ -84,6 +86,19 @@ def knn(
     if method == "gemm":
         return _knn_gemm(train, queries, k, metric, vec_col, qvec, id_col, qid_col)
     raise ValueError(f"unknown method {method!r}")
+
+
+def _check_dims(train, queries, vec_col, qvec) -> None:
+    """Fail fast on mismatched vector lengths: ``zip_with`` zips to the
+    SHORTER array, so a 64-d train scored against 32-d queries would
+    silently return wrong distances instead of erroring."""
+    t = train.select(F.size(vec_col).alias("d")).first()
+    q = queries.select(F.size(qvec).alias("d")).first()
+    if t is not None and q is not None and t["d"] != q["d"]:
+        raise ValueError(
+            f"vector dimension mismatch: train {vec_col} has d={t['d']}, "
+            f"queries have d={q['d']}"
+        )
 
 
 def _knn_expr(train, queries, k, metric, vec_col, qvec, id_col, qid_col) -> DataFrame:

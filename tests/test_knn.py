@@ -82,6 +82,13 @@ def test_jaccard_knn_validity(spark):
     assert res[0]["id"] == 0  # 3/4 overlap ranks first
 
 
+def test_dim_mismatch_raises(spark):
+    t = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], "id bigint, vec array<float>")
+    q = spark.createDataFrame([(0, [1.0, 2.0])], "qid bigint, vec array<float>")
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        knn_ops.knn(t, q, k=1)
+
+
 def test_uniqueness_assertion(data):
     _, _, train, test = data
     res = knn_ops.knn(train, test, k=5)
