@@ -33,7 +33,6 @@ from __future__ import annotations
 from typing import Iterator, Optional
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -138,18 +137,29 @@ def _knn_gemm(train, queries, k, metric, vec_col, qvec, id_col, qid_col) -> Data
         return spark.createDataFrame([], _OUT_SCHEMA)
     bc = spark.sparkContext.broadcast((qids, qmat))
 
-    def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import pyarrow as pa
+
+    def score_partition(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         b_qids, b_qmat = bc.value
         nq = len(b_qids)
         if metric == "angular":
             qn = np.linalg.norm(b_qmat, axis=1, keepdims=True)
             qn[qn == 0] = 1.0
             b_qunit = b_qmat / qn
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            ids = pdf["id"].to_numpy(dtype=np.int64)
-            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64, copy=False)
+            ids = batch.column("id").to_numpy()
+            # Arrow list arrays hold ONE contiguous values buffer: flatten()
+            # + reshape turns the whole batch into a matrix with no per-row
+            # Python object conversion — the reason this is mapInArrow, not
+            # mapInPandas (~3x less transfer overhead at wide dims).
+            lv = batch.column("vec")
+            X = (
+                lv.flatten().to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(len(ids), -1)
+            )
             if metric == "euclidean":
                 # ‖t−q‖² = ‖t‖² − 2 t·q + ‖q‖²  (bruteforce/module.py:128-137)
                 d2 = (
@@ -175,12 +185,17 @@ def _knn_gemm(train, queries, k, metric, vec_col, qvec, id_col, qid_col) -> Data
             cols = part.T  # (nq, kk) train row indices per query
             out_id = ids[cols].ravel()
             out_d = np.take_along_axis(D, part, axis=0).T.ravel()
-            yield pd.DataFrame(
-                {"qid": out_qid, "id": out_id, "dist": out_d, "rank": np.zeros(len(out_id), dtype=np.int32)}
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "qid": pa.array(out_qid, pa.int64()),
+                    "id": pa.array(out_id, pa.int64()),
+                    "dist": pa.array(out_d, pa.float64()),
+                    "rank": pa.array(np.zeros(len(out_id), dtype=np.int32), pa.int32()),
+                }
             )
 
     t = train.select(F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("vec"))
-    partial = t.mapInPandas(score_partition, schema=_OUT_SCHEMA)
+    partial = t.mapInArrow(score_partition, schema=_OUT_SCHEMA)
     # Final merge: candidates per query are ≤ k·num_batches — tiny.
     return topk_window(partial.drop("rank"), k).select("qid", "id", "dist", "rank")
 

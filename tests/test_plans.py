@@ -84,8 +84,9 @@ def test_column_pruning_reaches_scan(pq):
 
 def test_gemm_path_partial_topk_reduces_shuffle(pq, queries):
     plan = plan_of(knn(pq, queries, k=5, method="gemm"))
-    # the window merge consumes the mapInPandas partial top-k, so the
-    # exchange sits above MapInPandas (shuffling k-per-batch candidates,
+    # the window merge consumes the Arrow kernel's partial top-k, so the
+    # exchange sits above the kernel node (shuffling k-per-batch candidates,
     # never the full scored table)
-    assert "MapInPandas" in plan
-    assert plan.index("MapInPandas") > plan.index("Exchange")  # formatted: tree order
+    kernel = "MapInArrow" if "MapInArrow" in plan else "MapInPandas"
+    assert kernel in plan
+    assert plan.index(kernel) > plan.index("Exchange")  # formatted: tree order
