@@ -18,6 +18,11 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # self-sufficient under ANY session (the driver builds its own):
+        # the conf is runtime-settable, and without it the nanos ts column
+        # aborts the whole read
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: ns / 1000 in DOUBLE loses precision at epoch scale
