@@ -18,11 +18,13 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
+    if name in ("events", "orders", "lineitem"):
         # self-sufficient under ANY session (the driver builds its own):
-        # the conf is runtime-settable, and without it the nanos ts column
-        # aborts the whole read
+        # nanosAsLong is required to read events at all, and UTC pins
+        # timestamp semantics to match the DuckDB oracle's naive timestamps
+        # regardless of host timezone.  Both confs are runtime-settable.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: ns / 1000 in DOUBLE loses precision at epoch scale
