@@ -59,20 +59,20 @@ def _r(col, n=4):
 def q_knn_euclid(spark, sf):
     """Q1/Q3/Q6: exact batch kNN, euclidean (expr path, Catalyst-visible)."""
     res = knn(_train(spark, sf), _queries_mod(spark, sf), k=10, method="expr")
-    return res.select("qid", "id", _r(F.col("dist")).alias("dist"), "rank")
+    return res.select("qid", "id", _r(F.col("dist")).alias("dist"), F.col("rank").cast("bigint").alias("rank"))
 
 
 def q_knn_euclid_gemm(spark, sf):
     """Q1 via the GEMM mapInPandas scale path (ids/ranks; kernel distances
     differ from the expr algebra at ~1e-8 so they are not emitted)."""
     res = knn(_train(spark, sf), _queries_mod(spark, sf), k=10, method="gemm")
-    return res.select("qid", "id", "rank")
+    return res.select("qid", "id", F.col("rank").cast("bigint").alias("rank"))
 
 
 def q_knn_angular(spark, sf):
     """Q1 with angular (cosine) distance (D2)."""
     res = knn(_train(spark, sf), _queries_mod(spark, sf), k=10, metric="angular", method="expr")
-    return res.select("qid", "id", _r(F.col("dist")).alias("dist"), "rank")
+    return res.select("qid", "id", _r(F.col("dist")).alias("dist"), F.col("rank").cast("bigint").alias("rank"))
 
 
 def q_knn_hamming(spark, sf):
@@ -80,7 +80,7 @@ def q_knn_hamming(spark, sf):
     t = _train(spark, sf).withColumn("vec", F.transform("vec", lambda x: x > 0))
     q = _queries_mod(spark, sf).withColumn("vec", F.transform("vec", lambda x: x > 0))
     res = knn(t, q, k=10, metric="hamming", method="expr")
-    return res.select("qid", "id", F.round(F.col("dist"), 6).alias("dist"), "rank")
+    return res.select("qid", "id", F.round(F.col("dist"), 6).alias("dist"), F.col("rank").cast("bigint").alias("rank"))
 
 
 def q_knn_jaccard(spark, sf):
@@ -93,14 +93,14 @@ def q_knn_jaccard(spark, sf):
         F.col("doc_id").alias("qid"),
         F.array_sort(F.array_distinct(tx.tokens(F.col("text")))).alias("vec"))
     res = knn(t, q, k=5, metric="jaccard", method="expr")
-    return res.select("qid", "id", F.round(F.col("dist"), 6).alias("dist"), "rank")
+    return res.select("qid", "id", F.round(F.col("dist"), 6).alias("dist"), F.col("rank").cast("bigint").alias("rank"))
 
 
 def q_filter_knn_eq(spark, sf):
     """Q4/Q5: per-query equality predicate, one broadcast-join job."""
     res = filtered_knn(_train(spark, sf), _queries_mod(spark, sf), k=10,
                        filter_template="label == {label}", query_param_cols=["label"])
-    return res.select("qid", "id", _r(F.col("dist")).alias("dist"), "rank")
+    return res.select("qid", "id", _r(F.col("dist")).alias("dist"), F.col("rank").cast("bigint").alias("rank"))
 
 
 def q_filter_knn_range(spark, sf):
@@ -110,7 +110,7 @@ def q_filter_knn_range(spark, sf):
     res = filtered_knn(_train(spark, sf), q, k=10,
                        filter_template="label >= {lo} and label <= {hi}",
                        query_param_cols=["lo", "hi"])
-    return res.select("qid", "id", _r(F.col("dist")).alias("dist"), "rank")
+    return res.select("qid", "id", _r(F.col("dist")).alias("dist"), F.col("rank").cast("bigint").alias("rank"))
 
 
 def q_postfilter_knn(spark, sf):
@@ -119,7 +119,7 @@ def q_postfilter_knn(spark, sf):
     res = postfilter_knn(_train(spark, sf), _queries_mod(spark, sf), k=10,
                          metric="euclidean", filter_template="label <= {label}",
                          query_param_cols=["label"], selectivity=0.5)
-    return res.select("qid", "id", _r(F.col("dist")).alias("dist"), "rank")
+    return res.select("qid", "id", _r(F.col("dist")).alias("dist"), F.col("rank").cast("bigint").alias("rank"))
 
 
 def q_mv_knn(spark, sf):
@@ -135,7 +135,7 @@ def q_mv_knn(spark, sf):
     )
     res = mv.mv_knn(ent.withColumnRenamed("eid", "id"),
                     ent.filter("eid < 5").withColumnRenamed("eid", "qid"), k=5)
-    return res.select("qid", "id", _r(F.col("dist")).alias("dist"), "rank")
+    return res.select("qid", "id", _r(F.col("dist")).alias("dist"), F.col("rank").cast("bigint").alias("rank"))
 
 
 def q_mv_knn_fused(spark, sf):
@@ -153,14 +153,14 @@ def q_mv_knn_fused(spark, sf):
     res = mv.mv_knn_fused(ent.withColumnRenamed("eid", "id"),
                           ent.filter("eid < 5").withColumnRenamed("eid", "qid"),
                           k=5, weights=[0.25, 0.25, 0.25, 0.25], num_vectors=4)
-    return res.select("qid", "id", F.round("score", 6).alias("score"), "rank")
+    return res.select("qid", "id", F.round("score", 6).alias("score"), F.col("rank").cast("bigint").alias("rank"))
 
 
 def q_mm_knn(spark, sf):
     """Q8: multi-modal kNN — identical operator, disjoint query table (the
     'other modality' embedding set)."""
     res = knn(_train(spark, sf), _queries_mod(spark, sf, mod=1), k=10, method="expr")
-    return res.select("qid", "id", _r(F.col("dist")).alias("dist"), "rank")
+    return res.select("qid", "id", _r(F.col("dist")).alias("dist"), F.col("rank").cast("bigint").alias("rank"))
 
 
 def q_ivf_knn(spark, sf):
@@ -169,7 +169,7 @@ def q_ivf_knn(spark, sf):
     t = _train(spark, sf)
     idx = IVFIndex.fit(t, nlist=8, seed=1, max_iter=8)
     res = idx.search(idx.assign(t), _queries_mod(spark, sf), k=10, nprobe=4)
-    return res.select("qid", "id", _r(F.col("dist")).alias("dist"), "rank")
+    return res.select("qid", "id", _r(F.col("dist")).alias("dist"), F.col("rank").cast("bigint").alias("rank"))
 
 
 def q_recall_lowdim_vs_full(spark, sf):
@@ -246,7 +246,8 @@ def q_topk_per_group(spark, sf):
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
         o.withColumn("rn", F.row_number().over(w)).filter("rn <= 3")
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rn")
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"),
+                F.col("rn").cast("bigint").alias("rn"))
     )
 
 
@@ -403,8 +404,8 @@ def q_token_stats(spark, sf):
     docs = load_table(spark, sf, "documents")
     return docs.select(
         "doc_id",
-        tx.token_count(F.col("text")).alias("n_tokens"),
-        tx.char_count(F.col("text")).alias("n_chars"),
+        tx.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        tx.char_count(F.col("text")).cast("bigint").alias("n_chars"),
         F.round(tx.avg_token_len(F.col("text")), 6).alias("avg_token_len"),
         F.round(tx.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
     )
