@@ -100,6 +100,79 @@ def read_text_vectors(spark: SparkSession, path: str, *, has_token: bool = True)
     )
 
 
+def read_idx_images(spark: SparkSession, path: str) -> DataFrame:
+    """MNIST idx format (reference datasets.py:509-548): big-endian magic
+    0x00000803, dims header, uint8 pixels.  One file → (id, vec) rows with
+    pixels as floats; gzip handled transparently by extension."""
+    import gzip
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                raw = bytes(row["content"])
+                if row["path"].endswith(".gz"):
+                    raw = gzip.decompress(raw)
+                magic, n = struct.unpack(">ii", raw[:8])
+                if magic != 0x00000803:
+                    raise ValueError(f"bad idx magic {magic:#x} in {row['path']}")
+                rows_, cols = struct.unpack(">ii", raw[8:16])
+                mat = np.frombuffer(raw, dtype=np.uint8, offset=16).reshape(
+                    n, rows_ * cols)
+                yield pd.DataFrame({
+                    "id": np.arange(n, dtype=np.int64),
+                    "vec": [r.astype(np.float32).tolist() for r in mat],
+                })
+
+    return files.mapInPandas(_decode, schema="id bigint, vec array<float>")
+
+
+def read_transactions(spark: SparkSession, path: str) -> DataFrame:
+    """Kosarak-style transactions (datasets.py:642-662): one line per
+    transaction, space-separated item ids → (id, items ARRAY<INT>), id =
+    line order (positional, reference convention).  zipWithIndex gives the
+    stable per-file order a text scan alone cannot."""
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    rows = rdd.map(lambda t: (t[1], [int(x) for x in t[0].split()] if t[0].strip() else []))
+    return spark.createDataFrame(rows, "id bigint, items array<int>")
+
+
+def read_bag_of_words(spark: SparkSession, path: str) -> DataFrame:
+    """UCI docword format (datasets.py:590-609): 3 header lines (D, W, NNZ)
+    then ``docID wordID count`` triples → (id, items ARRAY<INT>) distinct
+    word sets per doc.  The triple table is a real distributed scan; only
+    the grouping shuffles."""
+    lines = spark.read.text(path)
+    triples = (
+        lines.select(F.split(F.trim("value"), r"\s+").alias("p"))
+        .filter(F.size("p") == 3)
+        .select(
+            F.element_at("p", 1).cast("long").alias("id"),
+            F.element_at("p", 2).cast("int").alias("word"),
+        )
+        .filter(F.col("id").isNotNull() & F.col("word").isNotNull())
+    )
+    return triples.groupBy("id").agg(F.sort_array(F.collect_set("word")).alias("items"))
+
+
+def read_ratings_sets(
+    spark: SparkSession, path: str, *, sep: str = "::", min_rating: float = 4.0
+) -> DataFrame:
+    """MovieLens-style ratings (datasets.py:705-758): ``user::item::rating``
+    rows → per-user sets of well-rated items (the jaccard workload's input).
+    """
+    lines = spark.read.text(path)
+    parts = lines.select(F.split("value", sep).alias("p")).filter(F.size("p") >= 3)
+    rated = parts.select(
+        F.element_at("p", 1).cast("long").alias("user"),
+        F.element_at("p", 2).cast("int").alias("item"),
+        F.element_at("p", 3).cast("double").alias("rating"),
+    ).filter(F.col("rating") >= min_rating)
+    return rated.groupBy(F.col("user").alias("id")).agg(
+        F.sort_array(F.collect_set("item")).alias("items"))
+
+
 def write_results(df: DataFrame, path: str, *, dataset: str, count: int, algo: str) -> None:
     """Result sink (S5/S7, results.py:47-86, 161-187): parquet partitioned
     ``dataset=/count=/algo=`` so the metrics layer scans the result tree with

@@ -55,6 +55,38 @@ def test_read_text_vectors(spark, tmp_path):
     assert got["dog"] == pytest.approx([4.0, 5.0, 6.0])
 
 
+def test_read_idx_images(spark, tmp_path):
+    import gzip
+    mat = np.arange(2 * 4, dtype=np.uint8).reshape(2, 2, 2)
+    raw = struct.pack(">iiii", 0x00000803, 2, 2, 2) + mat.tobytes()
+    (tmp_path / "imgs.idx.gz").write_bytes(gzip.compress(raw))
+    df = src.read_idx_images(spark, str(tmp_path / "imgs.idx.gz"))
+    rows = df.orderBy("id").collect()
+    assert len(rows) == 2 and rows[0]["vec"] == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_read_transactions(spark, tmp_path):
+    (tmp_path / "tx.dat").write_text("1 2 3\n4 5\n\n6\n")
+    df = src.read_transactions(spark, str(tmp_path / "tx.dat"))
+    got = {r["id"]: r["items"] for r in df.collect()}
+    assert got[0] == [1, 2, 3] and got[1] == [4, 5] and got[2] == [] and got[3] == [6]
+
+
+def test_read_bag_of_words(spark, tmp_path):
+    (tmp_path / "docword.txt").write_text("2\n10\n4\n1 3 1\n1 5 2\n2 3 1\n2 7 1\n")
+    df = src.read_bag_of_words(spark, str(tmp_path / "docword.txt"))
+    got = {r["id"]: r["items"] for r in df.collect()}
+    assert got == {1: [3, 5], 2: [3, 7]}
+
+
+def test_read_ratings_sets(spark, tmp_path):
+    (tmp_path / "ratings.dat").write_text(
+        "1::10::5.0\n1::20::2.0\n2::10::4.0\n2::30::4.5\n")
+    df = src.read_ratings_sets(spark, str(tmp_path / "ratings.dat"))
+    got = {r["id"]: r["items"] for r in df.collect()}
+    assert got == {1: [10], 2: [10, 30]}
+
+
 def test_result_tree_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([(0, [1, 2], [0.1, 0.2])],
                                "qid bigint, neighbors array<bigint>, distances array<float>")
