@@ -24,7 +24,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from bigvectorbench_spark.functions import text as tx
 from bigvectorbench_spark.functions import distance as dist_fns
@@ -263,31 +262,46 @@ def minhash_lsh_pairs(
 
 def simhash64(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document: per-token xxhash64 is computed JVM-side;
-    the bit-vote aggregation runs as a vectorized Arrow-batched pandas UDF
-    (numpy bit unpacking — the one part plain SQL does badly).
+    the bit-vote aggregation is a fully vectorized Arrow kernel — the list
+    column flattens to one hash vector, bits unpack as an (nnz, 64) matrix,
+    and per-document vote sums come from cumsum differences at the list
+    offsets (handles empty documents, unlike reduceat).
     Output: (id, simhash BIGINT)."""
+    import pyarrow as pa
+
     hashed = _widen(df).select(
         F.col(id_col).alias("id"),
         F.transform(tx.tokens(F.col(text_col)), lambda w: F.xxhash64(w)).alias("hs"),
     )
 
-    @F.pandas_udf(T.LongType())
-    def _simhash(hs: pd.Series) -> pd.Series:
-        out = np.zeros(len(hs), dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for i, arr in enumerate(hs):
-            if arr is None or len(arr) == 0:
-                continue
-            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
-            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for b in np.where(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(b)
-            out[i] = sig.astype(np.int64)
-        return pd.Series(out)
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts)
 
-    return hashed.select("id", _simhash("hs").alias("simhash"))
+    def _simhash(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column("id").to_numpy()
+            lv = batch.column("hs")
+            counts = np.asarray([len(lv[i]) for i in range(len(lv))], dtype=np.int64) \
+                if not hasattr(lv, "value_lengths") else lv.value_lengths().to_numpy(zero_copy_only=False)
+            offsets = np.concatenate([[0], np.cumsum(counts)])
+            flat = lv.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+            if len(flat):
+                bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8)
+                pm = (2 * bits - 1).astype(np.int8)
+                cs = np.vstack([np.zeros((1, 64), dtype=np.int64),
+                                np.cumsum(pm, axis=0, dtype=np.int64)])
+                votes = cs[offsets[1:]] - cs[offsets[:-1]]
+            else:
+                votes = np.zeros((len(ids), 64), dtype=np.int64)
+            sig = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
+            yield pa.RecordBatch.from_pydict({
+                "id": pa.array(ids, pa.int64()),
+                "simhash": pa.array(sig.astype(np.int64), pa.int64()),
+            })
+
+    return hashed.mapInArrow(_simhash, schema="id bigint, simhash bigint")
 
 
 def simhash_pairs(
