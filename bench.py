@@ -26,13 +26,23 @@ from bigvectorbench_spark import get_spark
 # filtered search, multi-vector, dedup at three algorithms, text profiling,
 # relational aggregation, windows/sessions).
 HEADLINE = [
+    # vector search
     "knn_euclid_gemm",
     "knn_euclid",
     "knn_angular",
+    "knn_hamming",
+    "knn_jaccard",
     "filter_knn_eq",
     "filter_knn_range",
+    "postfilter_knn",
     "mv_knn",
+    "mv_knn_fused",
+    "mm_knn",
     "ivf_knn",
+    "groundtruth_pack",
+    "recall_lowdim_vs_full",
+    "recall_summary",
+    # dedup / text
     "ngram_jaccard_dups",
     "minhash_dups",
     "simhash_dups",
@@ -41,12 +51,19 @@ HEADLINE = [
     "token_stats",
     "quality_scores",
     "lang_id",
+    "doc_fingerprints",
+    "corpus_stats",
+    # relational / metrics / streaming-shape
     "pricing_summary",
     "revenue_by_nation",
     "topk_per_group",
     "events_hourly",
     "sessionize",
     "latency_percentiles",
+    "qps_by_type",
+    "pareto_frontier",
+    "best_search_time",
+    "train_test_split",
 ]
 
 
