@@ -29,6 +29,7 @@ from bigvectorbench_spark.operators import metrics as mx
 from bigvectorbench_spark.operators import multivector as mv
 from bigvectorbench_spark.operators.filter_knn import filtered_knn, postfilter_knn
 from bigvectorbench_spark.operators.knn import knn
+from bigvectorbench_spark.operators.pq import PQIndex
 from bigvectorbench_spark.operators.similarity import IVFIndex
 from bigvectorbench_spark.sources.tables import load_table
 from bigvectorbench_spark.streaming.ingest import sessionize, windowed_event_counts
@@ -170,6 +171,18 @@ def q_ivf_knn(spark, sf):
     idx = IVFIndex.fit(t, nlist=8, seed=1, max_iter=8)
     res = idx.search(idx.assign(t), _queries_mod(spark, sf), k=10, nprobe=4)
     return res.select("qid", "id", _r(F.col("dist")).alias("dist"), F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_pq_knn(spark, sf):
+    """§2.7 PQ: product-quantized ADC scan (reads ARRAY<SMALLINT> codes only,
+    never float vectors) + exact refine of the overfetched candidates —
+    KMeans codebooks are not SQL-expressible, rows-only check."""
+    t = _train(spark, sf)
+    idx = PQIndex.fit(t, m=8, ksub=16, seed=1, max_iter=8)
+    res = idx.search(idx.encode(t), _queries_mod(spark, sf), k=10,
+                     refine_train=t, overfetch=4)
+    return res.select("qid", "id", _r(F.col("dist")).alias("dist"),
+                      F.col("rank").cast("bigint").alias("rank"))
 
 
 def q_recall_lowdim_vs_full(spark, sf):
@@ -457,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_knn_fused": q_mv_knn_fused,
         "mm_knn": q_mm_knn,
         "ivf_knn": q_ivf_knn,
+        "pq_knn": q_pq_knn,
         "groundtruth_pack": q_groundtruth_pack,
         "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
         "recall_summary": q_recall_summary,

@@ -39,6 +39,7 @@ HEADLINE = [
     "mv_knn_fused",
     "mm_knn",
     "ivf_knn",
+    "pq_knn",
     "groundtruth_pack",
     "recall_lowdim_vs_full",
     "recall_summary",

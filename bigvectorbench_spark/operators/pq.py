@@ -1,0 +1,282 @@
+"""Product quantization (PQ) with asymmetric-distance scoring — the PQ
+capability of SURVEY §2.7 (the reference benchmarks IVF_PQ via its backend
+engines, milvus/module.py:567-713) expressed Spark-first.
+
+Layout: each d-dim float vector is split into ``m`` contiguous subvectors of
+``d/m`` dims; each subvector is replaced by the id of its nearest centroid in
+a per-subspace codebook of ``ksub`` entries.  The stored column is
+``ARRAY<SMALLINT>`` of length m — for d=1536 float32 and m=96 that is a 64×
+storage/bandwidth reduction, which is what makes a 100 TB corpus scannable.
+
+Search is ADC (asymmetric distance computation): the *query* stays full
+precision; per query a (m × ksub) lookup table of subspace distances is built
+once on the driver (tiny: m·ksub doubles), broadcast, and each train row's
+approximate distance is the sum of m table lookups — no float vectors are
+read at all.  The scan is an Arrow kernel emitting per-batch partial top-k,
+identical shuffle discipline to the exact GEMM path (operators/knn.py): the
+shuffle carries O(q·k·batches) rows, never O(q·n).
+
+Codebooks are fit driver-side on a bounded sample (the standard fit-on-sample
+/ assign-distributed pattern, same as IVFIndex.fit).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, ShortType, StructField, StructType
+
+from bigvectorbench_spark.operators.knn import _collect_queries, topk_window
+from bigvectorbench_spark.operators.similarity import _kmeans_pp
+
+_OUT_SCHEMA = "qid bigint, id bigint, dist double, rank int"
+
+
+@dataclass
+class PQIndex:
+    """Per-subspace codebooks: (m, ksub, dsub) float64.  ``metric`` is
+    'euclidean' (L2 ADC) or 'angular' (vectors unit-normalized at fit/encode
+    time; ADC sums inner products, dist = 1 − Σ ip)."""
+
+    codebooks: np.ndarray
+    metric: str = "euclidean"
+
+    # ---- build -----------------------------------------------------------
+    @classmethod
+    def fit(
+        cls,
+        train: DataFrame,
+        *,
+        vec_col: str = "vec",
+        m: int = 8,
+        ksub: int = 256,
+        metric: str = "euclidean",
+        seed: int = 1,
+        max_iter: int = 15,
+        max_sample_rows: int = 100_000,
+    ) -> "PQIndex":
+        if metric not in ("euclidean", "angular"):
+            raise ValueError(f"PQ supports euclidean/angular, not {metric!r}")
+        rows = train.select(vec_col).limit(max_sample_rows).collect()
+        X = np.array([r[0] for r in rows], dtype=np.float64)
+        if X.ndim != 2 or X.shape[0] < ksub:
+            raise ValueError(f"{X.shape[0] if X.ndim == 2 else 0} sample rows < ksub={ksub}")
+        d = X.shape[1]
+        if d % m != 0:
+            raise ValueError(f"d={d} not divisible by m={m}")
+        if metric == "angular":
+            X = _unit_rows(X)
+        dsub = d // m
+        books = np.stack([
+            _kmeans_pp(X[:, j * dsub:(j + 1) * dsub], ksub, seed + j, max_iter)
+            for j in range(m)
+        ])
+        return cls(codebooks=books, metric=metric)
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def ksub(self) -> int:
+        return self.codebooks.shape[1]
+
+    @property
+    def dsub(self) -> int:
+        return self.codebooks.shape[2]
+
+    # ---- persistence (index artifact, shareable across jobs) -------------
+    def save(self, spark: SparkSession, path: str) -> None:
+        rows = [
+            (j, c, [float(x) for x in self.codebooks[j, c]], self.metric)
+            for j in range(self.m)
+            for c in range(self.ksub)
+        ]
+        spark.createDataFrame(
+            rows, "subspace int, code int, centroid array<double>, metric string"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "PQIndex":
+        rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+        if not rows:
+            raise ValueError(f"no codebooks at {path}")
+        m = rows[-1]["subspace"] + 1
+        ksub = rows[-1]["code"] + 1
+        books = np.array([r["centroid"] for r in rows], dtype=np.float64).reshape(
+            m, ksub, -1)
+        return cls(codebooks=books, metric=rows[0]["metric"])
+
+    # ---- encode (index build: one narrow map, no shuffle) ----------------
+    def encode(self, df: DataFrame, *, vec_col: str = "vec", out_col: str = "codes") -> DataFrame:
+        """Append ``out_col: ARRAY<SMALLINT>`` (length m) — nearest codebook
+        entry per subspace, via one GEMM per (batch × subspace).  All input
+        columns are preserved; callers typically drop the float column
+        afterwards for the ~(4·dsub)× storage win."""
+        import pyarrow as pa
+
+        books = self.codebooks
+        metric = self.metric
+        m, _, dsub = books.shape
+        bc = df.sparkSession.sparkContext.broadcast(books)
+        # StructType.add mutates in place — build a fresh StructType instead.
+        out_schema = StructType(
+            list(df.schema.fields) + [StructField(out_col, ArrayType(ShortType()))]
+        )
+        vec_idx = df.columns.index(vec_col)
+
+        def fn(batches):
+            b = bc.value
+            # ‖c‖² per subspace, precomputed once per task: (m, ksub)
+            c2 = (b * b).sum(axis=2)
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                X = (batch.column(vec_idx).flatten().to_numpy(zero_copy_only=False)
+                     .astype(np.float64, copy=False).reshape(n, m, dsub))
+                if metric == "angular":
+                    flat = X.reshape(n, m * dsub)
+                    nrm = np.linalg.norm(flat, axis=1, keepdims=True)
+                    nrm[nrm == 0] = 1.0
+                    X = (flat / nrm).reshape(n, m, dsub)
+                codes = np.empty((n, m), dtype=np.int16)
+                for j in range(m):
+                    S = X[:, j, :]
+                    d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ b[j].T) + c2[j][None, :]
+                    codes[:, j] = d2.argmin(axis=1).astype(np.int16)
+                yield pa.RecordBatch.from_arrays(
+                    [*batch.columns,
+                     pa.FixedSizeListArray.from_arrays(
+                         pa.array(codes.ravel(), pa.int16()), m).cast(pa.list_(pa.int16()))],
+                    schema=pa.schema(
+                        [batch.schema.field(i) for i in range(batch.num_columns)]
+                        + [pa.field(out_col, pa.list_(pa.int16()))]
+                    ),
+                )
+
+        return df.mapInArrow(fn, schema=out_schema)
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        """Reconstruct approximations from an (n, m) code matrix (test /
+        error-analysis helper; never used in the search path)."""
+        n = codes.shape[0]
+        out = np.empty((n, self.m * self.dsub), dtype=np.float64)
+        for j in range(self.m):
+            out[:, j * self.dsub:(j + 1) * self.dsub] = self.codebooks[j][codes[:, j]]
+        return out
+
+    # ---- search (ADC) ----------------------------------------------------
+    def search(
+        self,
+        encoded: DataFrame,
+        queries: DataFrame,
+        k: int = 10,
+        *,
+        codes_col: str = "codes",
+        query_vec_col: str = "vec",
+        id_col: str = "id",
+        qid_col: str = "qid",
+        pre_filter=None,
+        refine_train: DataFrame | None = None,
+        refine_vec_col: str = "vec",
+        overfetch: int = 4,
+    ) -> DataFrame:
+        """ADC top-k over the coded table.  ``pre_filter`` (SQL string or
+        Column over ``encoded`` columns) composes filtered-ANN semantics —
+        it is applied before scoring so Catalyst pushes it into the scan.
+
+        ``refine_train``: when given, ADC overfetches ``k·overfetch``
+        candidates per query and re-ranks them with exact distances read
+        from this table (joined by id — a broadcast semi-join, so the float
+        vectors of only the ~q·k·overfetch candidates are ever touched).
+        This is the standard PQ-then-refine pipeline: ADC never reads float
+        data, refine reads a few thousand rows of it."""
+        spark = encoded.sparkSession
+        qids, qmat = _collect_queries(queries, qid_col, query_vec_col)
+        if len(qids) == 0:
+            return spark.createDataFrame([], _OUT_SCHEMA)
+        if qmat.shape[1] != self.m * self.dsub:
+            raise ValueError(
+                f"query d={qmat.shape[1]} != index d={self.m * self.dsub}")
+        if pre_filter is not None:
+            encoded = encoded.filter(
+                F.expr(pre_filter) if isinstance(pre_filter, str) else pre_filter)
+        metric = self.metric
+        if metric == "angular":
+            qmat = _unit_rows(qmat)
+        # LUT[j, c, q]: subspace distance (L2²) or inner product — m·ksub·nq
+        # doubles, built once and broadcast (for m=96, ksub=256, 10k queries:
+        # ~2 GB worst case; typical benchmark query sets are ≤10k and m ≤ 64).
+        Qs = qmat.reshape(len(qids), self.m, self.dsub)
+        if metric == "euclidean":
+            lut = np.stack([
+                ((self.codebooks[j][:, None, :] - Qs[None, :, j, :]) ** 2).sum(axis=2)
+                for j in range(self.m)
+            ])  # (m, ksub, nq)
+        else:
+            lut = np.stack([self.codebooks[j] @ Qs[:, j, :].T for j in range(self.m)])
+        bc = spark.sparkContext.broadcast((qids, lut, metric))
+        m = self.m
+        k_adc = k * overfetch if refine_train is not None else k
+
+        import pyarrow as pa
+
+        def score(batches):
+            b_qids, b_lut, b_metric = bc.value
+            nq = len(b_qids)
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                ids = batch.column("id").to_numpy()
+                codes = (batch.column("codes").flatten().to_numpy(zero_copy_only=False)
+                         .astype(np.int64, copy=False).reshape(n, m))
+                acc = np.zeros((n, nq), dtype=np.float64)
+                for j in range(m):
+                    acc += b_lut[j][codes[:, j], :]
+                D = np.sqrt(np.maximum(acc, 0.0)) if b_metric == "euclidean" else 1.0 - acc
+                kk = min(k_adc, n)
+                part = np.argpartition(D, kk - 1, axis=0)[:kk, :]
+                yield pa.RecordBatch.from_pydict({
+                    "qid": pa.array(np.repeat(b_qids, kk), pa.int64()),
+                    "id": pa.array(ids[part.T].ravel(), pa.int64()),
+                    "dist": pa.array(np.take_along_axis(D, part, axis=0).T.ravel(), pa.float64()),
+                    "rank": pa.array(np.zeros(nq * kk, dtype=np.int32), pa.int32()),
+                })
+
+        t = encoded.select(
+            F.col(id_col).cast("bigint").alias("id"), F.col(codes_col).alias("codes"))
+        partial = t.mapInArrow(score, schema=_OUT_SCHEMA)
+        adc = topk_window(partial.drop("rank"), k_adc).select("qid", "id", "dist", "rank")
+        if refine_train is None:
+            return adc
+        return self._refine(adc, refine_train, queries, k,
+                            refine_vec_col, id_col, qid_col, query_vec_col)
+
+    def _refine(self, cand, train, queries, k, vec_col, id_col, qid_col, qvec_col) -> DataFrame:
+        """Exact re-rank of the ADC candidates: broadcast the (qid, id) pairs
+        against the float table, score with the Column kernels."""
+        from bigvectorbench_spark.functions import distance as dist_fns
+
+        vecs = train.select(
+            F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("_tvec"))
+        q = queries.select(
+            F.col(qid_col).cast("bigint").alias("qid"), F.col(qvec_col).alias("_qvec"))
+        scored = (
+            F.broadcast(cand.select("qid", "id"))
+            .join(vecs, "id")
+            .join(F.broadcast(q), "qid")
+            .select("qid", "id",
+                    dist_fns.metric_dist(self.metric, F.col("_tvec"), F.col("_qvec")).alias("dist"))
+        )
+        return topk_window(scored, k).select("qid", "id", "dist", "rank")
+
+
+def _unit_rows(X: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return X / n
