@@ -276,6 +276,112 @@ class PQIndex:
         return topk_window(scored, k).select("qid", "id", "dist", "rank")
 
 
+def ivfpq_search(
+    ivf,
+    pq: PQIndex,
+    indexed_encoded: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    codes_col: str = "codes",
+    query_vec_col: str = "vec",
+    id_col: str = "id",
+    qid_col: str = "qid",
+    pre_filter=None,
+    refine_train: DataFrame | None = None,
+    refine_vec_col: str = "vec",
+    overfetch: int = 4,
+) -> DataFrame:
+    """IVF_PQ composition (the reference's workhorse index family,
+    milvus/module.py:567-620): IVF cell pruning bounds WHICH rows are
+    scanned (partition pruning when the table is written partitioned by
+    cluster_id), PQ ADC bounds WHAT is read per row (m smallint codes, no
+    float vectors).  One Arrow kernel does LUT-gather scoring with a
+    (cluster × query) membership mask so rows outside a query's probe list
+    never enter its partial top-k — the same mask discipline as
+    IVFIndex._search_gemm.
+
+    ``indexed_encoded`` must carry both ``cluster_id`` (ivf.assign) and
+    ``codes_col`` (pq.encode).  Optional exact refine as in PQIndex.search.
+    """
+    import pyarrow as pa
+
+    from bigvectorbench_spark.operators.similarity import CLUSTER_COL
+
+    spark = indexed_encoded.sparkSession
+    qids, qmat = _collect_queries(queries, qid_col, query_vec_col)
+    if len(qids) == 0:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    probes = ivf.probe_lists(qmat, nprobe)
+    nlist = len(ivf.centroids)
+    member = np.zeros((nlist, len(qids)), dtype=bool)
+    for qi, cells in enumerate(probes):
+        member[cells, qi] = True
+
+    all_cells = sorted({int(c) for row in probes for c in row})
+    pruned = indexed_encoded.filter(F.col(CLUSTER_COL).isin(all_cells))
+    if pre_filter is not None:
+        pruned = pruned.filter(
+            F.expr(pre_filter) if isinstance(pre_filter, str) else pre_filter)
+
+    metric = pq.metric
+    if metric == "angular":
+        qmat = _unit_rows(qmat)
+    Qs = qmat.reshape(len(qids), pq.m, pq.dsub)
+    if metric == "euclidean":
+        lut = np.stack([
+            ((pq.codebooks[j][:, None, :] - Qs[None, :, j, :]) ** 2).sum(axis=2)
+            for j in range(pq.m)
+        ])
+    else:
+        lut = np.stack([pq.codebooks[j] @ Qs[:, j, :].T for j in range(pq.m)])
+    bc = spark.sparkContext.broadcast((qids, lut, member, metric))
+    m = pq.m
+    k_adc = k * overfetch if refine_train is not None else k
+
+    def score(batches):
+        b_qids, b_lut, b_member, b_metric = bc.value
+        nq = len(b_qids)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column("id").to_numpy()
+            cl = batch.column(CLUSTER_COL).to_numpy()
+            codes = (batch.column("codes").flatten().to_numpy(zero_copy_only=False)
+                     .astype(np.int64, copy=False).reshape(n, m))
+            acc = np.zeros((n, nq), dtype=np.float64)
+            for j in range(m):
+                acc += b_lut[j][codes[:, j], :]
+            D = np.sqrt(np.maximum(acc, 0.0)) if b_metric == "euclidean" else 1.0 - acc
+            D = np.where(b_member[cl], D, np.inf)
+            kk = min(k_adc, n)
+            part = np.argpartition(D, kk - 1, axis=0)[:kk, :]
+            out_d = np.take_along_axis(D, part, axis=0).T.ravel()
+            out_id = ids[part.T].ravel()
+            out_qid = np.repeat(b_qids, kk)
+            keep = np.isfinite(out_d)
+            yield pa.RecordBatch.from_pydict({
+                "qid": pa.array(out_qid[keep], pa.int64()),
+                "id": pa.array(out_id[keep], pa.int64()),
+                "dist": pa.array(out_d[keep], pa.float64()),
+                "rank": pa.array(np.zeros(int(keep.sum()), dtype=np.int32), pa.int32()),
+            })
+
+    t = pruned.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(CLUSTER_COL).cast("int").alias(CLUSTER_COL),
+        F.col(codes_col).alias("codes"),
+    )
+    partial = t.mapInArrow(score, schema=_OUT_SCHEMA)
+    adc = topk_window(partial.drop("rank"), k_adc).select("qid", "id", "dist", "rank")
+    if refine_train is None:
+        return adc
+    return pq._refine(adc, refine_train, queries, k,
+                      refine_vec_col, id_col, qid_col, query_vec_col)
+
+
 def _unit_rows(X: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(X, axis=1, keepdims=True)
     n[n == 0] = 1.0

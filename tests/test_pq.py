@@ -140,3 +140,38 @@ def test_pq_edges(pq_data, spark):
     bad = spark.createDataFrame([(0, [1.0] * 8)], "qid bigint, vec array<float>")
     with pytest.raises(ValueError, match="query d="):
         idx.search(encoded, bad, k=3)
+
+
+def test_ivfpq_composition(pq_data, spark):
+    from bigvectorbench_spark.operators.pq import ivfpq_search
+    from bigvectorbench_spark.operators.similarity import IVFIndex
+    _, train, test, idx, encoded = pq_data
+    ivf = IVFIndex.fit(train, nlist=8, seed=3)
+    table = ivf.assign(encoded).cache()
+    exact = knn(train, test, k=10, method="expr")
+    # full probe == pure-PQ result set (cell mask admits everything)
+    full = ivfpq_search(ivf, idx, table, test, k=10, nprobe=8)
+    pure = idx.search(encoded, test, k=10)
+    a = sorted((r["qid"], r["id"]) for r in full.collect())
+    b = sorted((r["qid"], r["id"]) for r in pure.collect())
+    assert a == b
+    # recall monotone in nprobe; refine lifts it
+    r2 = _recall(ivfpq_search(ivf, idx, table, test, k=10, nprobe=2), exact, 10)
+    r8 = _recall(full, exact, 10)
+    assert r2 <= r8 + 1e-9
+    refined = _recall(
+        ivfpq_search(ivf, idx, table, test, k=10, nprobe=8,
+                     refine_train=train, overfetch=5), exact, 10)
+    assert refined > 0.9
+
+
+def test_ivfpq_filtered(pq_data, spark):
+    import pyspark.sql.functions as F
+    from bigvectorbench_spark.operators.pq import ivfpq_search
+    from bigvectorbench_spark.operators.similarity import IVFIndex
+    _, train, test, idx, encoded = pq_data
+    ivf = IVFIndex.fit(train, nlist=8, seed=3)
+    table = ivf.assign(encoded).withColumn("lab", F.col("id") % 3)
+    got = ivfpq_search(ivf, idx, table, test, k=5, nprobe=8, pre_filter="lab = 0")
+    assert all(r["id"] % 3 == 0 for r in got.collect())
+    assert got.count() == 40 * 5
