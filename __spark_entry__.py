@@ -87,13 +87,13 @@ def q_knn_hamming(spark, sf):
 def q_knn_jaccard(spark, sf):
     """Q1 with jaccard distance (D4) over document token sets, including the
     validity rule (drop non-overlapping, distance.py:38)."""
-    docs = load_table(spark, sf, "documents")
+    docs = _docs_wide(spark, sf)
     t = docs.select(F.col("doc_id").alias("id"),
                     F.array_sort(F.array_distinct(tx.tokens(F.col("text")))).alias("vec"))
     q = docs.filter("doc_id % 100 = 0").select(
         F.col("doc_id").alias("qid"),
         F.array_sort(F.array_distinct(tx.tokens(F.col("text")))).alias("vec"))
-    res = knn(t, q, k=5, metric="jaccard", method="expr")
+    res = knn(t, q, k=5, metric="jaccard", method="sparse")
     return res.select("qid", "id", F.round(F.col("dist"), 6).alias("dist"), F.col("rank").cast("bigint").alias("rank"))
 
 
@@ -412,29 +412,46 @@ def q_embedding_cosine_dups_srp(spark, sf):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _docs_wide(spark, sf):
+    """documents, spread across cores: the table arrives as ONE parquet file
+    (one scan partition), which would run every per-doc text pipeline on a
+    single thread.  The shuffle moves only the raw text once — cheap — and
+    every downstream stage then uses the full cluster.  (At 100 TB the
+    source would already be many files and this becomes a no-op choice.)"""
+    import os
+    par = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return load_table(spark, sf, "documents").repartition(par)
+
+
 def q_token_stats(spark, sf):
-    """Token counting + ratios per document."""
-    docs = load_table(spark, sf, "documents")
-    return docs.select(
+    """Token counting + ratios per document.  Two-phase projection: ``tk``
+    is referenced four times downstream, which keeps CollapseProject from
+    re-inlining the tokenizer (one tokenize per doc, not four)."""
+    tokenized = _docs_wide(spark, sf).select(
+        "doc_id", F.col("text"), tx.tokens(F.col("text")).alias("tk"))
+    return tokenized.select(
         "doc_id",
-        tx.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.size("tk").cast("bigint").alias("n_tokens"),
         tx.char_count(F.col("text")).cast("bigint").alias("n_chars"),
-        F.round(tx.avg_token_len(F.col("text")), 6).alias("avg_token_len"),
-        F.round(tx.stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+        F.round(tx.avg_token_len_from_tokens(F.col("tk")), 6).alias("avg_token_len"),
+        F.round(tx.stopword_ratio_from_tokens(F.col("tk")), 6).alias("stop_ratio"),
     )
 
 
 def q_quality_scores(spark, sf):
     """Quality scoring — regex character classes differ across engines,
-    rows-only check."""
-    docs = load_table(spark, sf, "documents")
-    return docs.select("doc_id", F.round(tx.quality_score(F.col("text")), 6).alias("quality"))
+    rows-only check.  Tokens materialized once (see q_token_stats)."""
+    tokenized = _docs_wide(spark, sf).select(
+        "doc_id", F.col("text"), tx.tokens(F.col("text")).alias("tk"))
+    return tokenized.select(
+        "doc_id",
+        F.round(tx.quality_score_from_tokens(F.col("tk"), F.col("text")), 6).alias("quality"))
 
 
 def q_lang_id(spark, sf):
     """Language-ID heuristic (marker n-grams) — rows-only check."""
-    docs = load_table(spark, sf, "documents")
-    tokenized = docs.select("doc_id", tx.tokens(F.col("text")).alias("tk"))
+    tokenized = _docs_wide(spark, sf).select(
+        "doc_id", tx.tokens(F.col("text")).alias("tk"))
     with_joined = tokenized.withColumn("joined", F.concat_ws("", "tk"))
     return with_joined.select(
         "doc_id",
@@ -443,8 +460,8 @@ def q_lang_id(spark, sf):
 
 def q_doc_fingerprints(spark, sf):
     """Winnowing fingerprints — xxhash64 is engine-specific, rows-only."""
-    docs = load_table(spark, sf, "documents")
-    tokenized = docs.select("doc_id", tx.tokens(F.col("text")).alias("tk"))
+    tokenized = _docs_wide(spark, sf).select(
+        "doc_id", tx.tokens(F.col("text")).alias("tk"))
     return tokenized.select(
         "doc_id", tx.fingerprint_from_tokens(F.col("tk")).alias("fingerprint"))
 

@@ -43,10 +43,16 @@ def char_count(text: Column) -> Column:
     return F.length(text)
 
 
-def avg_token_len(text: Column) -> Column:
-    tk = tokens(text)
+def avg_token_len_from_tokens(tk: Column) -> Column:
+    """Mean token length from a MATERIALIZED tokens column (see
+    shingles_from_tokens for why hot paths must not inline ``tokens(text)``
+    here: it is referenced twice)."""
     total = F.aggregate(tk, F.lit(0.0), lambda acc, w: acc + F.length(w))
     return F.when(F.size(tk) == 0, 0.0).otherwise(total / F.size(tk).cast("double"))
+
+
+def avg_token_len(text: Column) -> Column:
+    return avg_token_len_from_tokens(tokens(text))
 
 
 def _index_range(count: Column) -> Column:
@@ -88,11 +94,15 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
 
 
-def stopword_ratio(text: Column, stopwords: Sequence[str] = EN_STOPWORDS) -> Column:
-    tk = tokens(text)
+def stopword_ratio_from_tokens(tk: Column, stopwords: Sequence[str] = EN_STOPWORDS) -> Column:
+    """Stopword fraction from a MATERIALIZED tokens column."""
     sw = F.lit(list(stopwords))
     hits = F.size(F.filter(tk, lambda w: F.array_contains(sw, w)))
     return F.when(F.size(tk) == 0, 0.0).otherwise(hits / F.size(tk).cast("double"))
+
+
+def stopword_ratio(text: Column, stopwords: Sequence[str] = EN_STOPWORDS) -> Column:
+    return stopword_ratio_from_tokens(tokens(text), stopwords)
 
 
 def punct_ratio(text: Column) -> Column:
@@ -109,20 +119,28 @@ def digit_ratio(text: Column) -> Column:
     )
 
 
-def quality_score(text: Column) -> Column:
-    """Heuristic document quality ∈ [0,1]: rewards mid-length documents with
-    natural word lengths and some stopword mass; punishes punctuation/digit
-    noise.  (The standard cheap pre-filter in web-corpus pipelines.)"""
-    ntok = token_count(text).cast("double")
+def quality_score_from_tokens(tk: Column, text: Column) -> Column:
+    """Heuristic document quality ∈ [0,1] from a MATERIALIZED tokens column:
+    rewards mid-length documents with natural word lengths and some stopword
+    mass; punishes punctuation/digit noise.  (The standard cheap pre-filter
+    in web-corpus pipelines.)  ``tk`` is referenced five times — inlining
+    ``tokens(text)`` would re-tokenize the document five times per row."""
+    ntok = F.size(tk).cast("double")
     len_score = F.least(ntok / F.lit(64.0), F.lit(1.0))
-    awl = avg_token_len(text)
+    awl = avg_token_len_from_tokens(tk)
     awl_score = F.when((awl >= 3.0) & (awl <= 10.0), 1.0).otherwise(0.3)
-    sw_score = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    sw_score = F.least(stopword_ratio_from_tokens(tk) * 4.0, F.lit(1.0))
     noise = punct_ratio(text) + digit_ratio(text)
     noise_score = F.greatest(F.lit(1.0) - noise * 2.0, F.lit(0.0))
     return (
         0.3 * len_score + 0.2 * awl_score + 0.2 * sw_score + 0.3 * noise_score
     ).alias("quality")
+
+
+def quality_score(text: Column) -> Column:
+    """Convenience form over raw text — single-use contexts; hot paths
+    materialize tokens first (see ``quality_score_from_tokens``)."""
+    return quality_score_from_tokens(tokens(text), text)
 
 
 def lang_scores_from_tokens(tk: Column, joined: Column) -> Column:

@@ -100,3 +100,20 @@ def _group(rows):
     for r in rows:
         out.setdefault(r["qid"], []).append(r)
     return out
+
+
+def test_jaccard_sparse_matches_expr(spark):
+    rng = np.random.RandomState(5)
+    sets = [sorted(set(rng.randint(0, 40, size=rng.randint(3, 15)).tolist()))
+            for _ in range(80)]
+    train = spark.createDataFrame(
+        [(i, [int(x) for x in sets[i]]) for i in range(60)], "id bigint, vec array<int>")
+    test = spark.createDataFrame(
+        [(i, [int(x) for x in sets[60 + i]]) for i in range(20)], "qid bigint, vec array<int>")
+    a = knn_ops.knn(train, test, k=5, metric="jaccard", method="expr")
+    b = knn_ops.knn(train, test, k=5, metric="jaccard", method="sparse")
+    ra = [(r["qid"], r["id"], round(r["dist"], 9), r["rank"])
+          for r in a.orderBy("qid", "rank").collect()]
+    rb = [(r["qid"], r["id"], round(r["dist"], 9), r["rank"])
+          for r in b.orderBy("qid", "rank").collect()]
+    assert ra == rb
