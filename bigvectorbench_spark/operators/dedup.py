@@ -196,6 +196,55 @@ def minhash_from_hashes(hashes: Column, *, num_perm: int = 64, seed: int = 1) ->
     )
 
 
+def minhash_sets(
+    sets_df: DataFrame,
+    *,
+    num_perm: int = 64,
+    seed: int = 1,
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>) MinHash signatures from an (id, sh) shingle-set
+    table — the scale path: one Arrow kernel computes all permutations for a
+    whole batch as a (nnz, num_perm) matrix and takes per-document minima via
+    ``minimum.reduceat`` at the list offsets.  Bit-identical to
+    ``minhash_from_hashes`` (same universal-hash params, same modulus); the
+    Column form evaluates num_perm interpreted ops per shingle and is kept
+    for single-use contexts and as the parity oracle."""
+    import pyarrow as pa
+
+    params = np.array(_perm_params(num_perm, seed), dtype=np.int64)
+    bc = sets_df.sparkSession.sparkContext.broadcast(params)
+
+    def kernel(batches):
+        ab = bc.value
+        a, b = ab[:, 0], ab[:, 1]
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column("id").to_numpy()
+            lv = batch.column("sh")
+            counts = lv.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+            offsets = np.concatenate([[0], np.cumsum(counts)])
+            flat = lv.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            sigs = np.full((n, len(a)), _MERSENNE, dtype=np.int64)
+            if len(flat):
+                hm = flat % _MERSENNE  # numpy % matches pmod (non-negative)
+                H = (hm[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+                starts = np.minimum(offsets[:-1], len(flat) - 1)
+                red = np.minimum.reduceat(H, starts, axis=0)
+                nonempty = counts > 0
+                sigs[nonempty] = red[nonempty]
+            yield pa.RecordBatch.from_pydict({
+                "id": pa.array(ids, pa.int64()),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.ravel(), pa.int64()), len(a)
+                ).cast(pa.list_(pa.int64())),
+            })
+
+    t = sets_df.select(F.col("id").cast("bigint").alias("id"), "sh")
+    return t.mapInArrow(kernel, schema="id bigint, sig array<bigint>")
+
+
 def minhash_signature(text: Column, *, shingle_n: int = 3, num_perm: int = 64,
                       seed: int = 1) -> Column:
     """Convenience form over raw text — single-use contexts only; the LSH
@@ -228,10 +277,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
 
     sets_df = _shingle_sets(_widen(df), id_col, text_col, shingle_n).cache()
-    sig = sets_df.select(
-        "id",
-        minhash_from_hashes(F.col("sh"), num_perm=num_perm, seed=seed).alias("sig"),
-    )
+    sig = minhash_sets(sets_df, num_perm=num_perm, seed=seed)
     banded = sig.select(
         "id",
         F.posexplode(
@@ -364,7 +410,7 @@ def embedding_dup_pairs(
     sign bits split into ``bands`` bucket keys; only same-bucket pairs are
     scored, then exactly verified.  The scale path: shuffle is O(candidates).
     Output: (id_a, id_b, cosine)."""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    base = _widen(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
     unit = base.select("id", dist_fns.unit_vec(F.col("vec")).alias("u"))
 
     def _cos(a, b):
@@ -395,31 +441,39 @@ def embedding_dup_pairs(
 
     # All plane projections in one numpy GEMM per Arrow batch (SURVEY §4
     # BLAS batching): num_planes separate dot-product expressions would run
-    # O(num_planes·d) interpreted HOF steps per row.
+    # O(num_planes·d) interpreted HOF steps per row.  mapInArrow so the list
+    # column's contiguous values buffer reshapes straight into the GEMM
+    # matrix (no per-row Python object conversion).
     bc_planes = base.sparkSession.sparkContext.broadcast(planes)
 
     def _sigs(batches):
+        import pyarrow as pa
+
         P = bc_planes.value
         weights = (1 << np.arange(per_band - 1, -1, -1)).astype(np.int64)
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64, copy=False)
+            ids = batch.column("id").to_numpy()
+            X = (batch.column("vec").flatten().to_numpy(zero_copy_only=False)
+                 .astype(np.float64, copy=False).reshape(n, -1))
             bits = (X @ P.T) >= 0  # (n, num_planes)
-            ids, bands_out, buckets = [], [], []
+            out_id, out_band, out_bucket = [], [], []
             for band in range(bands):
                 chunk = bits[:, band * per_band:(band + 1) * per_band]
-                bucket = chunk.astype(np.int64) @ weights
-                ids.append(pdf["id"].to_numpy())
-                bands_out.append(np.full(len(pdf), band, dtype=np.int32))
-                buckets.append(bucket)
-            yield pd.DataFrame({
-                "id": np.concatenate(ids),
-                "band": np.concatenate(bands_out),
-                "bucket": np.concatenate(buckets),
+                out_id.append(ids)
+                out_band.append(np.full(n, band, dtype=np.int32))
+                out_bucket.append(chunk.astype(np.int64) @ weights)
+            yield pa.RecordBatch.from_pydict({
+                "id": pa.array(np.concatenate(out_id), pa.int64()),
+                "band": pa.array(np.concatenate(out_band), pa.int32()),
+                "bucket": pa.array(np.concatenate(out_bucket), pa.int64()),
             })
 
-    sigs = base.mapInPandas(_sigs, schema="id bigint, band int, bucket bigint")
+    sigs = base.select(
+        F.col("id").cast("bigint").alias("id"), "vec"
+    ).mapInArrow(_sigs, schema="id bigint, band int, bucket bigint")
     a, b = sigs.alias("a"), sigs.alias("b")
     # candidates carry only ids through distinct; unit vectors re-join after,
     # so the (potentially wide) bucket join shuffles narrow rows only

@@ -121,3 +121,16 @@ def test_embedding_dups_srp_no_false_positives(vectors):
                                   num_planes=16, bands=8).collect()}
     assert got.issubset(exact)          # verification: no false positives
     assert (6, 7) in got                # colinear pair always shares all bands
+
+
+def test_minhash_kernel_matches_expr(spark):
+    """The Arrow reduceat kernel and the Column aggregate form are the same
+    hash family — signatures must be bit-identical, including empty docs."""
+    import pyspark.sql.functions as F
+    from bigvectorbench_spark.operators.dedup import minhash_from_hashes, minhash_sets
+    rows = [(0, [11, 22, 33]), (1, []), (2, [-5, 7]), (3, [2**40, -2**40])]
+    sets_df = spark.createDataFrame(rows, "id bigint, sh array<bigint>")
+    kern = {r["id"]: r["sig"] for r in minhash_sets(sets_df, num_perm=16).collect()}
+    expr = {r["id"]: r["sig"] for r in sets_df.select(
+        "id", minhash_from_hashes(F.col("sh"), num_perm=16).alias("sig")).collect()}
+    assert kern == expr
