@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bigvectorbench_spark.functions import distance as dist_fns
-from bigvectorbench_spark.operators.knn import knn, topk_window
+from bigvectorbench_spark.operators.knn import topk_window
 
 
 def mv_mean_dist(a, b, weights: Optional[Sequence[float]] = None):
@@ -94,23 +94,33 @@ def mv_knn_fused(
         raise ValueError(f"{len(w)} weights for {v} vector positions")
     fetch = per_vector_k or 2 * k
 
-    parts = []
-    for j in range(v):
-        tj = train.select(
-            F.col(id_col).alias("id"), F.element_at(F.col(vecs_col), j + 1).alias("vec")
-        )
-        qj = queries.select(
-            F.col(qid_col).alias("qid"), F.element_at(F.col(qvecs), j + 1).alias("vec")
-        )
-        parts.append(
-            knn(tj, qj, k=fetch, metric="euclidean", method="expr")
-            .withColumn("score", F.lit(w[j]) / (F.lit(1.0) + F.col("dist")))
-            .select("qid", "id", "score")
-        )
-    unioned = parts[0]
-    for p in parts[1:]:
-        unioned = unioned.unionByName(p)
-    fused = unioned.groupBy("qid", "id").agg(F.sum("score").alias("score"))
+    # Single-scan formulation: posexplode both sides to (row, position,
+    # vector), join on position (queries broadcast), per-(qid, position)
+    # top-``fetch`` window, then fuse.  Equivalent to v separate kNN
+    # subqueries (same per-position candidates, same (dist, id) tie order)
+    # but the train table is scanned — and, when it is itself an
+    # aggregation, computed — ONCE instead of v times.
+    tj = train.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.posexplode(F.col(vecs_col)).alias("j", "vec"),
+    )
+    qj = queries.select(
+        F.col(qid_col).cast("bigint").alias("qid"),
+        F.posexplode(F.col(qvecs)).alias("j", "qvec"),
+    )
+    scored = tj.join(F.broadcast(qj), "j").select(
+        "qid", "id", "j", dist_fns.l2_dist(F.col("vec"), F.col("qvec")).alias("dist")
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("qid", "j").orderBy(F.col("dist").asc(), F.col("id").asc())
+    top = scored.withColumn("rn", F.row_number().over(win)).filter(F.col("rn") <= fetch)
+    w_arr = F.lit([float(x) for x in w]).cast("array<double>")
+    per_pos = top.select(
+        "qid", "id",
+        (F.element_at(w_arr, F.col("j") + 1) / (F.lit(1.0) + F.col("dist"))).alias("score"),
+    )
+    fused = per_pos.groupBy("qid", "id").agg(F.sum("score").alias("score"))
     # higher fused score = better; reuse topk by ordering on -score
     ranked = topk_window(fused.withColumn("dist", -F.col("score")), k)
     return ranked.select("qid", "id", F.col("score"), "rank")
