@@ -439,8 +439,7 @@ def q_token_stats(spark, sf):
 
 
 def q_quality_scores(spark, sf):
-    """Quality scoring — regex character classes differ across engines,
-    rows-only check.  Tokens materialized once (see q_token_stats)."""
+    """Quality scoring.  Tokens materialized once (see q_token_stats)."""
     tokenized = _docs_wide(spark, sf).select(
         "doc_id", F.col("text"), tx.tokens(F.col("text")).alias("tk"))
     return tokenized.select(
@@ -449,7 +448,7 @@ def q_quality_scores(spark, sf):
 
 
 def q_lang_id(spark, sf):
-    """Language-ID heuristic (marker n-grams) — rows-only check."""
+    """Language-ID heuristic (marker n-grams)."""
     tokenized = _docs_wide(spark, sf).select(
         "doc_id", tx.tokens(F.col("text")).alias("tk"))
     with_joined = tokenized.withColumn("joined", F.concat_ws("", "tk"))
@@ -753,5 +752,46 @@ SELECT doc_id, len(tk) AS n_tokens, length(text) AS n_chars,
                        ['the','and','of','to','is','a','in','that'], w)))::DOUBLE / len(tk) END, 6)
            AS stop_ratio
 FROM tk
+""",
+        # quality/lang-id: the documents corpus is lowercase word soup (no
+        # punctuation/digits/CJK), so the engine-specific regex character
+        # classes agree exactly and the heuristics are SQL-expressible.
+        "quality_scores": f"""
+WITH tk AS (SELECT doc_id, text, {_TOKENS} AS tk FROM documents),
+s AS (SELECT doc_id,
+             len(tk)::DOUBLE AS ntok,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(tk, w -> length(w)))::DOUBLE / len(tk) END AS awl,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE len(list_filter(tk, w -> list_contains(
+                       ['the','and','of','to','is','a','in','that'], w)))::DOUBLE / len(tk) END AS swr,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END AS pr,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text) END AS dr
+      FROM tk)
+SELECT doc_id,
+       round(0.3 * least(ntok / 64.0, 1.0)
+           + 0.2 * (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.3 END)
+           + 0.2 * least(swr * 4.0, 1.0)
+           + 0.3 * greatest(1.0 - (pr + dr) * 2.0, 0.0), 6) AS quality
+FROM s
+""",
+        "lang_id": f"""
+WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+j AS (SELECT doc_id, tk, list_aggregate(tk, 'string_agg', '') AS joined FROM tk),
+h AS (SELECT doc_id,
+  len(list_filter(tk, w -> list_contains(['der','die','und','das','ist','ein','nicht','mit'], w))) AS h_de,
+  len(list_filter(tk, w -> list_contains(['the','and','of','to','is','a','in','that'], w))) AS h_en,
+  len(list_filter(tk, w -> list_contains(['el','los','las','es','una','que','por','con'], w))) AS h_es,
+  len(list_filter(tk, w -> list_contains(['le','la','et','les','des','est','une','dans'], w))) AS h_fr,
+  coalesce((SELECT sum(length(joined) - length(replace(joined, m, '')))
+   FROM unnest(['的','是','了','在','和','有','我','不']) AS t(m)), 0) AS h_zh
+  FROM j),
+b AS (SELECT doc_id, list_sort([
+        {{'n': -h_de, 'l': 'de'}}, {{'n': -h_en, 'l': 'en'}}, {{'n': -h_es, 'l': 'es'}},
+        {{'n': -h_fr, 'l': 'fr'}}, {{'n': -h_zh::BIGINT, 'l': 'zh'}}])[1] AS best
+      FROM h)
+SELECT doc_id, CASE WHEN best.n < 0 THEN best.l ELSE 'en' END AS pred_lang FROM b
 """,
     }
