@@ -185,6 +185,21 @@ def q_pq_knn(spark, sf):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_ivfpq_knn(spark, sf):
+    """§2.7 IVF_PQ: cell pruning bounds which rows are scanned, ADC bounds
+    what is read per row; exact refine restores result quality — KMeans is
+    not SQL-expressible, rows-only check."""
+    from bigvectorbench_spark.operators.pq import ivfpq_search
+    t = _train(spark, sf)
+    ivf = IVFIndex.fit(t, nlist=8, seed=1, max_iter=8)
+    pq = PQIndex.fit(t, m=8, ksub=16, seed=1, max_iter=8)
+    table = ivf.assign(pq.encode(t))
+    res = ivfpq_search(ivf, pq, table, _queries_mod(spark, sf), k=10, nprobe=4,
+                       refine_train=t, overfetch=4)
+    return res.select("qid", "id", _r(F.col("dist")).alias("dist"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_recall_lowdim_vs_full(spark, sf):
     """A6 recall metric as a first-class query: run = kNN on the first 32
     dims, truth = kNN on all 64; per-query recall@10 then the mean."""
@@ -487,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_knn": q_mm_knn,
         "ivf_knn": q_ivf_knn,
         "pq_knn": q_pq_knn,
+        "ivfpq_knn": q_ivfpq_knn,
         "groundtruth_pack": q_groundtruth_pack,
         "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
         "recall_summary": q_recall_summary,

@@ -40,6 +40,7 @@ HEADLINE = [
     "mm_knn",
     "ivf_knn",
     "pq_knn",
+    "ivfpq_knn",
     "groundtruth_pack",
     "recall_lowdim_vs_full",
     "recall_summary",
