@@ -141,8 +141,9 @@ def q_mv_knn(spark, sf):
 
 def q_mv_knn_fused(spark, sf):
     """Q7 fusion variant (WeightedRanker analog, milvus/module.py:422-458):
-    per-position top-k subqueries fused by weighted similarity — approximate
-    by construction, rows-only check."""
+    per-position top-k subqueries fused by weighted similarity.  Approximate
+    vs exact mean-distance kNN, but deterministic given the tie rules, so it
+    gets a full SQL oracle."""
     emb = load_table(spark, sf, "embeddings")
     ent = (
         emb.select(F.expr("vec_id div 4").alias("eid"),
@@ -600,6 +601,23 @@ s AS (SELECT q.qid, ent.eid AS id,
 r AS (SELECT qid, id, round(d, 4) AS dist,
              row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank FROM s)
 SELECT qid, id, dist, rank FROM r WHERE rank <= 5
+""",
+        # WeightedRanker fusion is deterministic given the per-position
+        # top-``fetch`` candidate sets (ties broken by ascending id at both
+        # levels), so it oracles exactly: per-(qid, position) top-10, score
+        # w/(1+dist), sum per (qid, id), final top-5 by score desc.
+        "mv_knn_fused": f"""
+WITH e AS (SELECT vec_id // 4 AS eid, vec_id % 4 AS vi, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT eid AS qid, vi AS j, v AS qv FROM e WHERE eid < 5),
+s AS (SELECT q.qid, e.eid AS id, q.j, {_L2.format(a="e.v", b="q.qv")} AS d
+      FROM q JOIN e ON e.vi = q.j),
+top AS (SELECT qid, id, j, d,
+               row_number() OVER (PARTITION BY qid, j ORDER BY d, id) AS rn FROM s),
+fused AS (SELECT qid, id, sum(0.25 / (1.0 + d)) AS score
+          FROM top WHERE rn <= 10 GROUP BY qid, id),
+r AS (SELECT qid, id, round(score, 6) AS score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank FROM fused)
+SELECT qid, id, score, rank FROM r WHERE rank <= 5
 """,
         "mm_knn": _knn_oracle(where_q="vec_id % 50 = 1", dist=l2),
         "groundtruth_pack": f"""
