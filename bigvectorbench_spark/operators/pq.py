@@ -57,9 +57,20 @@ class PQIndex:
         seed: int = 1,
         max_iter: int = 15,
         max_sample_rows: int = 100_000,
+        engine: str = "auto",
     ) -> "PQIndex":
+        """``engine``: where the m independent per-subspace kmeans fits run.
+        'driver' = sequential numpy; 'spark' = one task per subspace over a
+        broadcast of the sample (the m fits are embarrassingly parallel and
+        memory-bandwidth-bound, so driver threads plateau at ~4×; executor
+        tasks scale with the cluster and keep the driver free).  'auto'
+        switches to spark when the per-fit work is large enough to amortize
+        the broadcast.  Both engines produce bit-identical codebooks (same
+        sample, same per-subspace seed)."""
         if metric not in ("euclidean", "angular"):
             raise ValueError(f"PQ supports euclidean/angular, not {metric!r}")
+        if engine not in ("auto", "driver", "spark"):
+            raise ValueError(f"unknown engine {engine!r}")
         rows = train.select(vec_col).limit(max_sample_rows).collect()
         X = np.array([r[0] for r in rows], dtype=np.float64)
         if X.ndim != 2 or X.shape[0] < ksub:
@@ -70,10 +81,17 @@ class PQIndex:
         if metric == "angular":
             X = _unit_rows(X)
         dsub = d // m
-        books = np.stack([
-            _kmeans_pp(X[:, j * dsub:(j + 1) * dsub], ksub, seed + j, max_iter)
-            for j in range(m)
-        ])
+        if engine == "auto":
+            # rows·ksub·d ~ total argmin work across all m fits; below ~2e8
+            # the job-dispatch overhead exceeds the fit itself
+            engine = "spark" if len(X) * ksub * d >= 2e8 and m > 1 else "driver"
+        if engine == "spark":
+            books = _fit_books_spark(train.sparkSession, X, m, dsub, ksub, seed, max_iter)
+        else:
+            books = np.stack([
+                _kmeans_pp(X[:, j * dsub:(j + 1) * dsub], ksub, seed + j, max_iter)
+                for j in range(m)
+            ])
         return cls(codebooks=books, metric=metric)
 
     @property
@@ -380,6 +398,40 @@ def ivfpq_search(
         return adc
     return pq._refine(adc, refine_train, queries, k,
                       refine_vec_col, id_col, qid_col, query_vec_col)
+
+
+def _fit_books_spark(
+    spark: SparkSession, X: np.ndarray, m: int, dsub: int, ksub: int,
+    seed: int, max_iter: int,
+) -> np.ndarray:
+    """Fan the m per-subspace kmeans fits out as one Spark task each over a
+    broadcast of the (already-bounded) sample.  On a cluster this is how
+    codebook training should run anyway: the driver never burns m × fit-time,
+    and adding executors shortens the build."""
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(X))
+
+    def fit_one(batches):
+        import pandas as pd
+        Xb = bc.value
+        for pdf in batches:
+            js = [int(j) for j in pdf["j"]]
+            cents = [
+                _kmeans_pp(Xb[:, j * dsub:(j + 1) * dsub], ksub, seed + j, max_iter)
+                .ravel().tolist()
+                for j in js
+            ]
+            yield pd.DataFrame({"j": js, "cent": cents})
+
+    rows = (
+        spark.range(0, m, 1, m).withColumnRenamed("id", "j")
+        .mapInPandas(fit_one, schema="j bigint, cent array<double>")
+        .collect()
+    )
+    bc.unpersist()
+    return np.stack([
+        np.array(r["cent"], dtype=np.float64).reshape(ksub, dsub)
+        for r in sorted(rows, key=lambda r: r["j"])
+    ])
 
 
 def _unit_rows(X: np.ndarray) -> np.ndarray:

@@ -93,10 +93,13 @@ def main() -> None:
     table = ivf.assign(encoded_full).drop("vec").cache()
     table.count()
     print(f"ivf layer (fit+assign): {time.perf_counter() - t0:.2f}s", flush=True)
+    # overfetch=16 so the refine ceiling (~ADC ranking quality) sits above
+    # the nprobe effect being measured; at overfetch=4 every nprobe reads
+    # the same 0.39 ceiling and the sweep is uninformative
     for nprobe in (4, 8, 16):
         run(f"ivfpq np={nprobe:2d}", ivfpq_search(ivf, pq, table, queries, k=10,
                                                   nprobe=nprobe,
-                                                  refine_train=train, overfetch=4))
+                                                  refine_train=train, overfetch=16))
 
 
 if __name__ == "__main__":

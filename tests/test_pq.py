@@ -125,6 +125,16 @@ def test_pq_save_load_roundtrip(pq_data, tmp_path, spark):
     assert a == b
 
 
+def test_pq_fit_engines_identical(pq_data, spark):
+    _, train, _, idx, _ = pq_data
+    # the spark fan-out fit must reproduce the driver fit bit-for-bit (same
+    # sample, same per-subspace seed)
+    sp = PQIndex.fit(train, m=4, ksub=64, seed=1, engine="spark")
+    dr = PQIndex.fit(train, m=4, ksub=64, seed=1, engine="driver")
+    assert np.array_equal(sp.codebooks, dr.codebooks)
+    assert np.array_equal(dr.codebooks, idx.codebooks)
+
+
 def test_pq_edges(pq_data, spark):
     _, train, test, idx, encoded = pq_data
     # empty query set → empty result with the contract schema
