@@ -173,6 +173,71 @@ def read_ratings_sets(
         F.sort_array(F.collect_set("item")).alias("items"))
 
 
+def hf_batches_to_df(
+    spark: SparkSession,
+    batches,
+    *,
+    vec_col: str = "emb",
+    text_col: str | None = None,
+    id_offset: int = 0,
+) -> DataFrame:
+    """Convert an iterable of pandas batches (the shape HuggingFace's
+    ``Dataset.to_pandas(batched=True)`` yields) into the engine's standard
+    (id, vec ARRAY<FLOAT>[, text]) table.  Ids are positional across batches
+    (reference convention, datasets.py:788-795).  Split out from
+    ``read_huggingface`` so the conversion is testable without the
+    ``datasets`` package."""
+    import pandas as pd
+
+    frames = []
+    base = id_offset
+    for pdf in batches:
+        out = pd.DataFrame({
+            "id": np.arange(base, base + len(pdf), dtype=np.int64),
+            "vec": [
+                [float(x) for x in v] if v is not None else None
+                for v in pdf[vec_col]
+            ],
+        })
+        if text_col is not None:
+            out["text"] = pdf[text_col].astype(str)
+        frames.append(out)
+        base += len(pdf)
+    schema = "id bigint, vec array<float>" + (", text string" if text_col else "")
+    if not frames:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True), schema=schema)
+
+
+def read_huggingface(
+    spark: SparkSession,
+    name: str,
+    *,
+    split: str = "train",
+    vec_col: str = "emb",
+    text_col: str | None = None,
+    batch_size: int = 10_000,
+) -> DataFrame:
+    """HuggingFace ``load_dataset`` ingest (S4, datasets.py:761-807).  The
+    ``datasets`` package is not part of this engine's pinned environment, so
+    the download step is import-gated; the batch→DataFrame conversion is
+    ``hf_batches_to_df`` (real and tested).  At scale, prefer exporting the
+    HF dataset to parquet once and using ``spark.read.parquet`` — this path
+    streams through the driver, which is exactly what the reference does."""
+    try:
+        import datasets  # type: ignore
+    except ImportError as e:  # pragma: no cover - env without `datasets`
+        raise NotImplementedError(
+            "read_huggingface requires the `datasets` package; export the "
+            "dataset to parquet and use spark.read.parquet instead"
+        ) from e
+    ds = datasets.load_dataset(name, split=split)  # pragma: no cover
+    return hf_batches_to_df(  # pragma: no cover
+        spark, ds.to_pandas(batch_size=batch_size, batched=True),
+        vec_col=vec_col, text_col=text_col,
+    )
+
+
 def write_results(df: DataFrame, path: str, *, dataset: str, count: int, algo: str) -> None:
     """Result sink (S5/S7, results.py:47-86, 161-187): parquet partitioned
     ``dataset=/count=/algo=`` so the metrics layer scans the result tree with

@@ -95,3 +95,29 @@ def test_result_tree_roundtrip(spark, tmp_path):
     out = src.load_all_results(spark, str(tmp_path / "res"), algo="flat")
     assert out.count() == 1
     assert out.collect()[0]["dataset"] == "fx"
+
+
+def test_hf_batches_to_df(spark):
+    import pandas as pd
+
+    batches = [
+        pd.DataFrame({"emb": [[0.5, 1.0], [2.0, 3.0]], "body": ["a", "b"]}),
+        pd.DataFrame({"emb": [[4.0, 5.0]], "body": ["c"]}),
+    ]
+    df = src.hf_batches_to_df(spark, batches, vec_col="emb", text_col="body")
+    rows = {r["id"]: (r["vec"], r["text"]) for r in df.collect()}
+    assert rows == {0: ([0.5, 1.0], "a"), 1: ([2.0, 3.0], "b"), 2: ([4.0, 5.0], "c")}
+    assert dict(df.dtypes)["vec"] == "array<float>"
+    # empty input keeps the contract schema
+    assert src.hf_batches_to_df(spark, [], vec_col="emb").count() == 0
+
+
+def test_read_huggingface_gated(spark):
+    import importlib.util
+
+    if importlib.util.find_spec("datasets") is not None:
+        import pytest
+        pytest.skip("datasets installed in this env")
+    import pytest
+    with pytest.raises(NotImplementedError):
+        src.read_huggingface(spark, "some/dataset")
