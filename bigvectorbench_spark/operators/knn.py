@@ -108,11 +108,19 @@ def _check_dims(train, queries, vec_col, qvec) -> None:
 def _knn_expr(train, queries, k, metric, vec_col, qvec, id_col, qid_col) -> DataFrame:
     t = train.select(F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("_tvec"))
     q = queries.select(F.col(qid_col).cast("bigint").alias("qid"), F.col(qvec).alias("_qvec"))
-    scored = t.crossJoin(F.broadcast(q)).select(
-        "qid",
-        "id",
-        dist_fns.metric_dist(metric, F.col("_tvec"), F.col("_qvec")).alias("dist"),
-    )
+    if metric == "angular":
+        # SURVEY §4 partial-distance algebra: ‖row‖ is query-independent, so
+        # fold it once per side BELOW the join (projections on join children
+        # are not collapsed into the per-pair projection) — the per-pair
+        # expression keeps only the dot fold.  1 − dot/(tn·qn) is the same
+        # arithmetic as angular_dist, so distance values are bit-identical.
+        t = t.withColumn("_tn", dist_fns.norm_l2(F.col("_tvec")))
+        q = q.withColumn("_qn", dist_fns.norm_l2(F.col("_qvec")))
+        dist = F.lit(1.0) - dist_fns.dot(F.col("_tvec"), F.col("_qvec")) / (
+            F.col("_tn") * F.col("_qn"))
+    else:
+        dist = dist_fns.metric_dist(metric, F.col("_tvec"), F.col("_qvec"))
+    scored = t.crossJoin(F.broadcast(q)).select("qid", "id", dist.alias("dist"))
     scored = scored.filter(dist_fns.metric_valid(metric, F.col("dist")))
     return topk_window(scored, k).select("qid", "id", "dist", "rank")
 
