@@ -53,9 +53,12 @@ from bigvectorbench_spark.operators.dedup import (
     simhash_pairs,
 )
 from bigvectorbench_spark.operators.mutation import VectorTable
+from bigvectorbench_spark.operators.pq import PQIndex, ivfpq_search
+from bigvectorbench_spark.operators.quantize import knn_quantized, quantize_table
 
 __all__ = [
     "IVFIndex",
+    "PQIndex",
     "VectorTable",
     "assert_unique_candidates",
     "build_groundtruth",
@@ -64,8 +67,10 @@ __all__ = [
     "exact_dup_groups",
     "filtered_knn",
     "get_spark",
+    "ivfpq_search",
     "knn",
     "knn_hamming_packed",
+    "knn_quantized",
     "latency_percentiles",
     "minhash_lsh_pairs",
     "mv_knn",
@@ -75,6 +80,7 @@ __all__ = [
     "pareto_frontier",
     "postfilter_knn",
     "qps",
+    "quantize_table",
     "recall_per_query",
     "recall_summary",
     "simhash_pairs",
