@@ -115,8 +115,9 @@ def q_filter_knn_range(spark, sf):
 
 
 def q_postfilter_knn(spark, sf):
-    """G5 post-filter plan (over-fetch then label check) — approximate by
-    construction, rows-only check."""
+    """G5 post-filter plan (over-fetch then label check) — approximate vs
+    true filtered kNN, but deterministic under the overfetch + tie rules,
+    so it gets a full SQL oracle."""
     res = postfilter_knn(_train(spark, sf), _queries_mod(spark, sf), k=10,
                          metric="euclidean", filter_template="label <= {label}",
                          query_param_cols=["label"], selectivity=0.5)
@@ -601,6 +602,21 @@ s AS (SELECT q.qid, ent.eid AS id,
 r AS (SELECT qid, id, round(d, 4) AS dist,
              row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank FROM s)
 SELECT qid, id, dist, rank FROM r WHERE rank <= 5
+""",
+        # The post-filter plan is approximate vs true filtered kNN but
+        # deterministic given the overfetch rule: top-30 by (dist, id)
+        # (fetch = k·1.5/selectivity), predicate check, re-rank top-10.
+        "postfilter_knn": f"""
+WITH t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v, label AS qlabel FROM embeddings
+      WHERE vec_id % 50 = 0),
+s AS (SELECT q.qid, t.id, {_L2.format(a="t.v", b="q.v")} AS d, t.label, q.qlabel
+      FROM q CROSS JOIN t),
+over_f AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rn FROM s),
+kept AS (SELECT qid, id, d FROM over_f WHERE rn <= 30 AND label <= qlabel),
+r AS (SELECT qid, id, round(d, 4) AS dist,
+             row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank FROM kept)
+SELECT qid, id, dist, rank FROM r WHERE rank <= 10
 """,
         # WeightedRanker fusion is deterministic given the per-position
         # top-``fetch`` candidate sets (ties broken by ascending id at both
