@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigvectorbench_spark.functions import distance as dist_fns
-from bigvectorbench_spark.operators.knn import topk_window
+from bigvectorbench_spark.operators.knn import pair_dist_below_join, topk_window
 
 _PLACEHOLDER = re.compile(r"\{(\w+)\}")
 _EQ_REWRITE = re.compile(r"(?<![=!<>])==")
@@ -84,12 +84,13 @@ def filtered_knn(
         F.col(qvec).alias("__qvec"),
         *[F.col(c).alias(f"{QUERY_PREFIX}{c}") for c in query_param_cols],
     )
+    t, q, dist = pair_dist_below_join(metric, train, q, vec_col, "__qvec")
     scored = (
-        train.join(F.broadcast(q), on=F.expr(cond), how="inner")
+        t.join(F.broadcast(q), on=F.expr(cond), how="inner")
         .select(
             "qid",
             F.col(id_col).cast("bigint").alias("id"),
-            dist_fns.metric_dist(metric, F.col(vec_col), F.col("__qvec")).alias("dist"),
+            dist.alias("dist"),
         )
         .filter(dist_fns.metric_valid(metric, F.col("dist")))
     )
@@ -129,10 +130,11 @@ def postfilter_knn(
     )
     # over-fetched candidates, labels carried through for the post-check
     label_cols = [c for c in train.columns if c not in (vec_col,)]
-    scored = train.crossJoin(F.broadcast(q)).select(
+    t, q, dist = pair_dist_below_join(metric, train, q, vec_col, "__qvec")
+    scored = t.crossJoin(F.broadcast(q)).select(
         "qid",
         F.col(id_col).cast("bigint").alias("id"),
-        dist_fns.metric_dist(metric, F.col(vec_col), F.col("__qvec")).alias("dist"),
+        dist.alias("dist"),
         *[c for c in label_cols if c != id_col],
         *[f"{QUERY_PREFIX}{c}" for c in query_param_cols],
     )

@@ -105,21 +105,31 @@ def _check_dims(train, queries, vec_col, qvec) -> None:
         )
 
 
+def pair_dist_below_join(metric, t: DataFrame, q: DataFrame, tvec: str, qvec: str):
+    """(t', q', dist Column) for a per-pair distance above a t×q join.
+
+    SURVEY §4 partial-distance algebra: for angular, ‖row‖ is
+    query-independent, so fold it once per side BELOW the join (projections
+    on join children are not collapsed into the per-pair projection) — the
+    per-pair expression keeps only the dot fold.  1 − dot/(tn·qn) is the
+    same arithmetic as ``angular_dist``, so distance values stay
+    bit-identical to the inline form.  Other metrics have no
+    query-independent fold that preserves bit-identity (the euclidean
+    norm-expansion changes rounding — that is the GEMM path's documented
+    1e-8 difference) and pass through unchanged."""
+    if metric == "angular":
+        t = t.withColumn("__tnorm", dist_fns.norm_l2(F.col(tvec)))
+        q = q.withColumn("__qnorm", dist_fns.norm_l2(F.col(qvec)))
+        dist = F.lit(1.0) - dist_fns.dot(F.col(tvec), F.col(qvec)) / (
+            F.col("__tnorm") * F.col("__qnorm"))
+        return t, q, dist
+    return t, q, dist_fns.metric_dist(metric, F.col(tvec), F.col(qvec))
+
+
 def _knn_expr(train, queries, k, metric, vec_col, qvec, id_col, qid_col) -> DataFrame:
     t = train.select(F.col(id_col).cast("bigint").alias("id"), F.col(vec_col).alias("_tvec"))
     q = queries.select(F.col(qid_col).cast("bigint").alias("qid"), F.col(qvec).alias("_qvec"))
-    if metric == "angular":
-        # SURVEY §4 partial-distance algebra: ‖row‖ is query-independent, so
-        # fold it once per side BELOW the join (projections on join children
-        # are not collapsed into the per-pair projection) — the per-pair
-        # expression keeps only the dot fold.  1 − dot/(tn·qn) is the same
-        # arithmetic as angular_dist, so distance values are bit-identical.
-        t = t.withColumn("_tn", dist_fns.norm_l2(F.col("_tvec")))
-        q = q.withColumn("_qn", dist_fns.norm_l2(F.col("_qvec")))
-        dist = F.lit(1.0) - dist_fns.dot(F.col("_tvec"), F.col("_qvec")) / (
-            F.col("_tn") * F.col("_qn"))
-    else:
-        dist = dist_fns.metric_dist(metric, F.col("_tvec"), F.col("_qvec"))
+    t, q, dist = pair_dist_below_join(metric, t, q, "_tvec", "_qvec")
     scored = t.crossJoin(F.broadcast(q)).select("qid", "id", dist.alias("dist"))
     scored = scored.filter(dist_fns.metric_valid(metric, F.col("dist")))
     return topk_window(scored, k).select("qid", "id", "dist", "rank")
