@@ -61,6 +61,26 @@ def test_filtered_knn_matches_oracle(fdata):
         assert got.get(qi, []) == _numpy_filtered(X, labs, qi, 10), f"qid={qi}"
 
 
+def test_filtered_knn_angular_matches_numpy(fdata):
+    """Covers the below-join norm-fold branch (pair_dist_below_join)."""
+    X, labs, train, test = fdata
+    res = fknn.filtered_knn(
+        train, test, k=5, metric="angular",
+        filter_template=TEMPLATE, query_param_cols=["label_0", "label_1"],
+    )
+    got = {}
+    for r in res.orderBy("qid", "rank").collect():
+        got.setdefault(r["qid"], []).append(r["id"])
+    for qi in range(30):
+        q = X[350 + qi].astype(np.float64)
+        mask = (labs[:350, 0] <= labs[350 + qi, 0]) & (labs[:350, 1] <= labs[350 + qi, 1])
+        ids = np.where(mask)[0]
+        T = X[ids].astype(np.float64)
+        d = 1.0 - (T @ q) / (np.linalg.norm(T, axis=1) * np.linalg.norm(q))
+        order = np.lexsort((ids, d))[:5]
+        assert got.get(qi, []) == list(ids[order]), f"qid={qi}"
+
+
 def test_filtered_knn_or_template(fdata):
     """The DSL admits or-disjunctions (weaviate/utils.py:105-179 grammar);
     most reference backends raise on them — we support them for free via
