@@ -29,6 +29,7 @@ from bigvectorbench_spark.operators import metrics as mx
 from bigvectorbench_spark.operators import multivector as mv
 from bigvectorbench_spark.operators.filter_knn import filtered_knn, postfilter_knn
 from bigvectorbench_spark.operators.knn import knn
+from bigvectorbench_spark.operators import retrieval as rt
 from bigvectorbench_spark.operators.pq import PQIndex
 from bigvectorbench_spark.operators.similarity import IVFIndex
 from bigvectorbench_spark.sources.tables import load_table
@@ -474,6 +475,35 @@ def q_lang_id(spark, sf):
         tx.lang_id_from_tokens(F.col("tk"), F.col("joined")).alias("pred_lang"))
 
 
+def q_dedup_components(spark, sf):
+    """Transitive closure of the near-dup pair list: connected components
+    via iterative min-label propagation (one shuffle join per round).
+    Turns pairwise matches into keep/drop groups — the step between pair
+    generation and canonical selection in a dedup pipeline."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dd.dup_components(pairs)
+
+
+def q_bm25_topk(spark, sf):
+    """Inverted-index BM25 top-10: postings semi-joined to the broadcast
+    query-term set before scoring, DECIMAL-accumulated per-term scores for
+    engine-stable ranks.  Queries = every 500th doc, terms = its 3
+    alphabetically-first distinct tokens."""
+    docs = _docs_wide(spark, sf)
+    queries = load_table(spark, sf, "documents").filter("doc_id % 500 = 0").select(
+        F.col("doc_id").alias("qid"),
+        F.slice(F.array_sort(F.array_distinct(tx.tokens(F.col("text")))), 1, 3).alias("terms"),
+    )
+    return rt.bm25_topk(docs, queries, k=10)
+
+
+def q_top_terms_per_source(spark, sf):
+    """Vocabulary heavy hitters: exact top-10 terms per source slice
+    (explode → map-side-combined count → per-group top-n window)."""
+    return rt.top_terms(_docs_wide(spark, sf), group_col="source", n=10)
+
+
 def q_doc_fingerprints(spark, sf):
     """Winnowing fingerprints — xxhash64 is engine-specific, rows-only."""
     tokenized = _docs_wide(spark, sf).select(
@@ -525,6 +555,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
+        "dedup_components": q_dedup_components,
+        "bm25_topk": q_bm25_topk,
+        "top_terms_per_source": q_top_terms_per_source,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -781,6 +814,53 @@ p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM p WHERE jaccard >= 0.5
+""",
+        "dedup_components": f"""
+WITH RECURSIVE tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM tk WHERE len(tk) >= 3),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (SELECT a, b FROM e
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b != r.a)
+SELECT a AS id, least(a, min(b)) AS component_id FROM reach GROUP BY a
+""",
+        "bm25_topk": f"""
+WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+d AS (SELECT doc_id, tk, len(tk) AS dl FROM tk),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM d),
+q AS (SELECT doc_id AS qid, list_sort(list_distinct(tk))[1:3] AS terms FROM tk
+      WHERE doc_id % 500 = 0),
+qt AS (SELECT DISTINCT qid, unnest(terms) AS term FROM q),
+post AS (SELECT doc_id, dl, unnest(tk) AS term FROM d),
+tfs AS (SELECT term, doc_id, dl, count(*) AS tf FROM post GROUP BY term, doc_id, dl),
+hits AS (SELECT t.* FROM tfs t WHERE term IN (SELECT term FROM qt)),
+dfr AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+sc AS (SELECT qt.qid, h.doc_id,
+              round(ln(1.0 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5)) *
+                    (h.tf::DOUBLE * (1.2 + 1.0)) /
+                    (h.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * h.dl::DOUBLE / s.avgdl)),
+                    9)::DECIMAL(28,10) AS term_score
+       FROM hits h JOIN qt ON h.term = qt.term
+       JOIN dfr ON h.term = dfr.term CROSS JOIN stats s),
+agg AS (SELECT qid, doc_id, CAST(round(sum(term_score), 6) AS DOUBLE) AS score
+        FROM sc GROUP BY qid, doc_id),
+r AS (SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+      FROM agg)
+SELECT qid, doc_id, score, rank FROM r WHERE rank <= 10
+""",
+        "top_terms_per_source": f"""
+WITH tk AS (SELECT source, {_TOKENS} AS tk FROM documents),
+e AS (SELECT source, unnest(tk) AS term FROM tk),
+c AS (SELECT source, term, count(*) AS n_occurrences FROM e GROUP BY source, term),
+r AS (SELECT source, term, n_occurrences,
+             row_number() OVER (PARTITION BY source ORDER BY n_occurrences DESC, term) AS rank
+      FROM c)
+SELECT source, term, n_occurrences, rank FROM r WHERE rank <= 10
 """,
         "embedding_cosine_dups": """
 WITH u AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

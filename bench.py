@@ -50,6 +50,9 @@ HEADLINE = [
     "simhash_dups",
     "embedding_cosine_dups_srp",
     "dedup_exact",
+    "dedup_components",
+    "bm25_topk",
+    "top_terms_per_source",
     "token_stats",
     "quality_scores",
     "lang_id",

@@ -492,3 +492,108 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ------------------------------------------------- duplicate-group clustering
+
+
+def dup_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair edge list:
+    ``(id, component_id)`` for every id that appears in a pair, where
+    ``component_id`` is the minimum id reachable through any chain of pairs.
+
+    This is the step real dedup pipelines run *after* pair generation
+    (``ngram_jaccard_pairs`` / ``minhash_lsh_pairs`` / ``simhash_pairs``):
+    pairwise matches are transitive in intent — {A≈B, B≈C} is one keep/drop
+    group — so the pair list must be clustered before canonical selection.
+
+    Algorithm: iterative min-label propagation (the DataFrame form of
+    large-star from Kiveris et al., "Connected Components in MapReduce and
+    Beyond"). Each round every node takes the min of its own label and its
+    neighbors' labels — one shuffle join per round — and converges in
+    O(component diameter) rounds. Near-dup clusters are shallow (stars and
+    short chains), so rounds stay in the low single digits even at corpus
+    scale; ``max_iter`` guards against pathological chains. Lineage is
+    truncated each round with ``localCheckpoint`` so the plan size stays
+    constant across iterations, and the symmetric edge list is checkpointed
+    once and re-joined every round (its shuffle is reused).
+
+    No reference analog (the reference stops at pairwise ground truth);
+    part of the BASELINE.json dedup extension surface.
+    """
+    # Checkpoint the (possibly expensive) pair plan FIRST: the symmetric
+    # union references it twice, and without the cut both union branches
+    # would re-execute the whole candidate-generation job.
+    edges = pairs.select(
+        F.col(id_a).cast("bigint").alias("a"), F.col(id_b).cast("bigint").alias("b")
+    ).localCheckpoint()
+    # Size the label frames to the edge count: propagation rounds shuffle
+    # only (id, label) pairs, so at dedup-typical densities (≪1 pair/doc)
+    # a handful of partitions beats the session-wide shuffle width.
+    n_edges = edges.count()
+    parallelism = pairs.sparkSession.sparkContext.defaultParallelism
+    parts = int(max(1, min(parallelism, n_edges // 200_000 + 1)))
+    sym = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition(parts, "b")
+        .localCheckpoint()
+    )
+
+    # Initial label: min(self, direct neighbors).
+    comp = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("nbr_min"))
+        .select(F.col("a").alias("id"), F.least("a", "nbr_min").alias("comp"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(comp.withColumnRenamed("id", "b_id"), sym["b"] == F.col("b_id"))
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new = (
+            comp.join(nbr.withColumnRenamed("a", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("comp", "new_comp")
+            .join(comp, "id")
+            .filter(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        comp = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"dup_components did not converge in {max_iter} rounds")
+
+    return comp.select("id", F.col("comp").alias("component_id"))
+
+
+def canonical_docs(
+    docs: DataFrame,
+    components: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-list after clustering: one row per surviving document — the
+    minimum-id member of each duplicate component plus every document that
+    was in no pair. Anti-join of the drop set (component members with
+    id != component_id) against the corpus; no shuffle of document payloads
+    beyond the id join."""
+    drops = components.filter(F.col("id") != F.col("component_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(drops, id_col, "left_anti")

@@ -134,3 +134,65 @@ def test_minhash_kernel_matches_expr(spark):
     expr = {r["id"]: r["sig"] for r in sets_df.select(
         "id", minhash_from_hashes(F.col("sh"), num_perm=16).alias("sig")).collect()}
     assert kern == expr
+
+
+# ------------------------------------------------- components / canonical
+
+
+def _py_components(pairs):
+    """Union-find oracle."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_dup_components_chain_and_star(spark):
+    # chain 1-2-3, star 10-{11,12}, isolated pair 20-21
+    pairs = [(1, 2), (2, 3), (10, 11), (10, 12), (20, 21)]
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    got = {r["id"]: r["component_id"] for r in dd.dup_components(df).collect()}
+    assert got == _py_components(pairs)
+    assert got[3] == 1 and got[12] == 10 and got[21] == 20
+
+
+def test_dup_components_long_chain_converges(spark):
+    # a 30-node path needs many propagation rounds (diameter 29)
+    pairs = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    got = {r["id"]: r["component_id"] for r in dd.dup_components(df, max_iter=40).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 31
+
+
+def test_dup_components_reverse_labels(spark):
+    # min id reachable only through higher-id intermediaries
+    pairs = [(5, 9), (9, 1), (7, 5)]
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    got = {r["id"]: r["component_id"] for r in dd.dup_components(df).collect()}
+    assert got == {1: 1, 5: 1, 7: 1, 9: 1}
+
+
+def test_canonical_docs(docs, spark):
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (3, 0)], "id_a bigint, id_b bigint")
+    comps = dd.dup_components(pairs)
+    kept = sorted(r["doc_id"] for r in dd.canonical_docs(docs, comps).collect())
+    # component {0,1,2,3} keeps 0; 4 and 5 were never paired
+    assert kept == [0, 4, 5]
+
+
+def test_dup_components_on_ngram_pairs(docs):
+    pairs_df = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = [(r["id_a"], r["id_b"]) for r in pairs_df.collect()]
+    got = {r["id"]: r["component_id"] for r in dd.dup_components(pairs_df).collect()}
+    assert got == _py_components(pairs)
