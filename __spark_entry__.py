@@ -330,6 +330,54 @@ def q_sessionize(spark, sf):
     return sessionize(ev, gap="30 minutes")
 
 
+def q_asof_clicks(spark, sf):
+    """As-of join: for each purchase event, the same user's latest prior
+    click within 1 hour.  Union + one keyed window sweep — O(|L|+|R|) rows,
+    never a range-join explosion.  Right side pre-deduplicated per
+    (user, ts) so tie semantics are engine-independent."""
+    from pyspark.sql import Window
+    from bigvectorbench_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    res = asof_join(purchases, clicks, on="user_id",
+                    right_cols=["event_id", "value"],
+                    tolerance="1 hour", prefix="click_")
+    return res.select(
+        "event_id", "user_id", "ts", "click_ts", "click_event_id",
+        F.round("click_value", 6).alias("click_value"),
+    )
+
+
+def q_doclen_percentiles(spark, sf):
+    """A4 grouped form: exact per-source document-length percentiles."""
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99"),
+    )
+
+
+def q_corpus_stats_approx(spark, sf):
+    """Sketch-based corpus profiling — HLL++ distinct counts and KLL-style
+    approximate quantiles, the O(1)-memory form that replaces exact
+    distinct/percentile at 100 TB.  Sketches are engine-specific:
+    rows-only check (accuracy asserted vs exact in tests)."""
+    docs = load_table(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.approx_count_distinct("text", 0.01).alias("n_distinct_texts_approx"),
+        F.percentile_approx("n_chars", 0.5, 10000).alias("p50_chars_approx"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 def q_latency_percentiles(spark, sf):
     """A4: exact p50/p90/p95/p99 (×1000) over events.value as latencies."""
     ev = load_table(spark, sf, "events")
@@ -545,6 +593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
+        "asof_clicks": q_asof_clicks,
+        "doclen_percentiles": q_doclen_percentiles,
+        "corpus_stats_approx": q_corpus_stats_approx,
         "latency_percentiles": q_latency_percentiles,
         "qps_by_type": q_qps_by_type,
         "pareto_frontier": q_pareto_frontier,
@@ -773,6 +824,28 @@ g AS (SELECT user_id, ts,
 SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
        count(*) AS n_events
 FROM g GROUP BY user_id, grp
+""",
+        "asof_clicks": """
+WITH c0 AS (SELECT user_id, ts, event_id, value,
+                   row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click'),
+c AS (SELECT user_id, ts, event_id, value FROM c0 WHERE rn = 1),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+j AS (SELECT p.event_id, p.user_id, p.ts,
+             c.ts AS m_ts, c.event_id AS m_eid, c.value AS m_val
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+SELECT event_id, user_id, ts,
+       CASE WHEN m_ts >= ts - INTERVAL 1 HOUR THEN m_ts END AS click_ts,
+       CASE WHEN m_ts >= ts - INTERVAL 1 HOUR THEN m_eid END AS click_event_id,
+       CASE WHEN m_ts >= ts - INTERVAL 1 HOUR THEN round(m_val, 6) END AS click_value
+FROM j
+""",
+        "doclen_percentiles": """
+SELECT source,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY source
 """,
         "latency_percentiles": """
 SELECT round(quantile_cont(value, 0.5) * 1000, 6) AS p5,

@@ -62,6 +62,9 @@ HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
     "topk_per_group",
+    "asof_clicks",
+    "doclen_percentiles",
+    "corpus_stats_approx",
     "events_hourly",
     "sessionize",
     "latency_percentiles",

@@ -1,0 +1,118 @@
+"""Temporal alignment operators: as-of join (nearest-event matching).
+
+Training-data pipelines constantly align event streams that don't share
+timestamps — "the latest model snapshot before this sample", "the last
+click before this purchase", "the config active when this document was
+crawled". Spark has no built-in as-of join; the idiomatic scale plan is
+implemented here.
+
+Scale design — union + single window scan, NOT a join:
+
+- A range/theta join (``l.key = r.key AND r.ts <= l.ts`` + max-per-row)
+  explodes to O(|L|·matches) intermediate rows before aggregation. The
+  union-scan plan instead tags both sides, shuffles ONCE on the key, sorts
+  each partition by (ts, side), and sweeps with ``last(payload,
+  ignorenulls)`` — O(|L|+|R|) rows end to end, no blowup, AQE-coalescible.
+  This is the same trick a merge join would do, expressed declaratively so
+  Catalyst handles spill and codegen.
+- Skewed keys (one user with millions of events) concentrate a window
+  partition; if that bites, pre-split hot keys by a time-bucket salt and
+  re-merge — the sweep is associative across time buckets given carryover
+  of the last right row per bucket.
+
+No reference analog (the reference's closest temporal semantics is the
+cc_news 3-day sliding *predicate*, CONTRIBUTING.md:45-50); part of the
+pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    right_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For every left row, attach the nearest right row per key:
+    ``backward`` = latest right with ``r.ts <= l.ts`` (pandas
+    ``merge_asof`` semantics), ``forward`` = earliest right with
+    ``r.ts >= l.ts``. Unmatched left rows keep NULL right fields
+    (left-outer semantics).
+
+    ``tolerance`` is a SQL interval literal (e.g. ``'1 hour'``): matches
+    farther away than the interval are nulled out. ``allow_exact_matches``
+    controls whether ``r.ts == l.ts`` counts (strict < / > when False).
+
+    Ties — multiple right rows at the same (key, ts) — resolve to the one
+    with the greatest payload struct (field-wise comparison in declaration
+    order); pre-deduplicate the right side for domain-specific tie rules.
+
+    Output: every left column, then ``{prefix}{right_ts}`` (the matched
+    timestamp) and ``{prefix}{c}`` for each requested right column.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
+    right_ts = right_ts or left_ts
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*keys, right_ts)]
+    right_cols = list(right_cols)
+
+    payload = F.struct(
+        F.col(right_ts).cast("timestamp").alias("__matched_ts"),
+        *[F.col(c) for c in right_cols],
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).cast("timestamp").alias("__t"),
+        payload.alias("__p"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"`{c}`:{t}" for c, t in left.dtypes) + ">"
+        ).alias("__l"),
+        F.lit(0).alias("__side_right"),
+    )
+    l_tagged = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).cast("timestamp").alias("__t"),
+        F.lit(None).cast(dict(r_tagged.dtypes)["__p"]).alias("__p"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(1).alias("__side_right"),
+    )
+    both = r_tagged.unionByName(l_tagged)
+
+    # Within a timestamp tie, the right row must sort before the left row
+    # exactly when exact matches are allowed; among tied right rows the
+    # greatest payload sorts last (and wins the sweep).
+    side_order = F.col("__side_right") if allow_exact_matches else -F.col("__side_right")
+    ts_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    w = Window.partitionBy(*keys).orderBy(
+        ts_order, side_order.asc(), F.col("__p").asc_nulls_first()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    matched = F.last("__p", ignorenulls=True).over(w)
+
+    swept = both.withColumn("__m", matched).filter(F.col("__side_right") == 1)
+
+    if tolerance is not None:
+        if direction == "backward":
+            ok = F.col("__m.__matched_ts") >= F.expr(f"__t - INTERVAL {tolerance}")
+        else:
+            ok = F.col("__m.__matched_ts") <= F.expr(f"__t + INTERVAL {tolerance}")
+        swept = swept.withColumn("__m", F.when(ok, F.col("__m")))
+
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col("__m.__matched_ts").alias(f"{prefix}{right_ts}"))
+    out_cols.extend(F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_cols)
+    return swept.select(*out_cols)

@@ -1,0 +1,106 @@
+"""As-of join vs the pandas merge_asof oracle."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from bigvectorbench_spark.operators.temporal import asof_join
+
+
+def _ts(m, s=0):
+    return dt.datetime(2024, 1, 1, 0, m, s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left_rows = [
+        (1, "u1", _ts(10)), (2, "u1", _ts(20)), (3, "u1", _ts(30)),
+        (4, "u2", _ts(5)), (5, "u2", _ts(25)),
+        (6, "u3", _ts(15)),                       # u3 has no right rows
+    ]
+    right_rows = [
+        (101, "u1", _ts(8), 1.5), (102, "u1", _ts(20), 2.5), (103, "u1", _ts(28), 3.5),
+        (104, "u2", _ts(24), 4.5), (105, "u2", _ts(26), 5.5),
+    ]
+    left = spark.createDataFrame(left_rows, "event_id bigint, user_id string, ts timestamp")
+    right = spark.createDataFrame(right_rows, "rid bigint, user_id string, ts timestamp, value double")
+    lp = pd.DataFrame(left_rows, columns=["event_id", "user_id", "ts"])
+    rp = pd.DataFrame(right_rows, columns=["rid", "user_id", "ts", "value"])
+    return left, right, lp, rp
+
+
+def _pd_asof(lp, rp, **kw):
+    out = pd.merge_asof(
+        lp.sort_values("ts"), rp.sort_values("ts"), on="ts", by="user_id", **kw
+    )
+    return {
+        int(r.event_id): (None if pd.isna(r.rid) else int(r.rid))
+        for r in out.itertuples()
+    }
+
+
+def _spark_asof(left, right, **kw):
+    out = asof_join(left, right, on="user_id", right_cols=["rid", "value"], **kw)
+    return {r["event_id"]: r["asof_rid"] for r in out.collect()}
+
+
+def test_backward_matches_pandas(frames):
+    left, right, lp, rp = frames
+    assert _spark_asof(left, right) == _pd_asof(lp, rp, direction="backward")
+
+
+def test_backward_strict(frames):
+    left, right, lp, rp = frames
+    got = _spark_asof(left, right, allow_exact_matches=False)
+    assert got == _pd_asof(lp, rp, direction="backward", allow_exact_matches=False)
+    # event 2 at ts=20 must now skip rid 102 (same ts) and take rid 101
+    assert got[2] == 101
+
+
+def test_forward_matches_pandas(frames):
+    left, right, lp, rp = frames
+    assert _spark_asof(left, right, direction="forward") == _pd_asof(
+        lp, rp, direction="forward")
+
+
+def test_forward_strict(frames):
+    left, right, lp, rp = frames
+    assert _spark_asof(left, right, direction="forward", allow_exact_matches=False) == \
+        _pd_asof(lp, rp, direction="forward", allow_exact_matches=False)
+
+
+def test_tolerance(frames):
+    left, right, lp, rp = frames
+    got = _spark_asof(left, right, tolerance="3 minutes")
+    assert got == _pd_asof(lp, rp, direction="backward",
+                           tolerance=pd.Timedelta("3 minutes"))
+    # event 1 (ts=10) is 2 min after rid 101 (ts=8) → kept;
+    # event 5 (ts=25) is 1 min after rid 104 (ts=24) → kept;
+    # event 4 (ts=5) has no prior → None
+    assert got[1] == 101 and got[5] == 104 and got[4] is None
+
+
+def test_unmatched_left_rows_survive(frames):
+    left, right, _, _ = frames
+    out = asof_join(left, right, on="user_id", right_cols=["rid"])
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert len(rows) == 6
+    assert rows[6]["asof_rid"] is None and rows[6]["asof_ts"] is None
+
+
+def test_left_columns_and_payload_columns(frames):
+    left, right, _, _ = frames
+    out = asof_join(left, right, on="user_id", right_cols=["rid", "value"], prefix="m_")
+    assert out.columns == ["event_id", "user_id", "ts", "m_ts", "m_rid", "m_value"]
+    row = {r["event_id"]: r for r in out.collect()}[3]
+    assert row["m_rid"] == 103 and row["m_value"] == 3.5 and row["m_ts"] == _ts(28)
+
+
+def test_tie_on_right_ts_takes_greatest_payload(spark):
+    left = spark.createDataFrame([(1, "u", _ts(10))], "event_id bigint, user_id string, ts timestamp")
+    right = spark.createDataFrame(
+        [(7, "u", _ts(9), 1.0), (9, "u", _ts(9), 2.0), (8, "u", _ts(9), 3.0)],
+        "rid bigint, user_id string, ts timestamp, value double")
+    out = asof_join(left, right, on="user_id", right_cols=["rid"]).collect()
+    assert out[0]["asof_rid"] == 9
