@@ -317,6 +317,53 @@ def q_revenue_by_nation(spark, sf):
     )
 
 
+def q_customers_semi_returns(spark, sf):
+    """Semi-join chain (EXISTS): customers with ≥1 returned high-quantity
+    item.  LEFT SEMI keeps the probe side narrow — no payload duplication,
+    and Catalyst pushes both filters to the scans."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    ret_orders = li.filter("l_returnflag = 'R' and l_quantity >= 45").select("l_orderkey")
+    qual = o.join(ret_orders, o.o_orderkey == ret_orders.l_orderkey, "left_semi")
+    return c.join(qual, c.c_custkey == qual.o_custkey, "left_semi").select(
+        "c_custkey", "c_name")
+
+
+def q_customers_anti_urgent(spark, sf):
+    """Anti-join (NOT EXISTS): customers with no urgent-priority order —
+    the skip-if-done / exclusion pattern (A12) as a declared query."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    urgent = o.filter("o_orderpriority = '1-URGENT'")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment")
+
+
+def q_corpus_rollup(spark, sf):
+    """Multi-level aggregation: ROLLUP(source, lang) — per-(source, lang),
+    per-source subtotals, and the grand total in one pass."""
+    docs = load_table(spark, sf, "documents")
+    return docs.rollup("source", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+
+
+def q_top_revenue_orders(spark, sf):
+    """TPC-H Q3 shape: date-filtered join + agg + global top-10 — the
+    ORDER BY/LIMIT plans as TakeOrderedAndProject (no full sort)."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
 def q_events_hourly(spark, sf):
     """Streaming-shape tumbling window counts (batch mode of the streaming
     operator, so the oracle can check the same semantics)."""
@@ -553,11 +600,13 @@ def q_top_terms_per_source(spark, sf):
 
 
 def q_doc_fingerprints(spark, sf):
-    """Winnowing fingerprints — xxhash64 is engine-specific, rows-only."""
+    """Winnowing fingerprints with the portable md5-derived 60-bit hash,
+    so the fingerprint values themselves oracle-check (the xxhash64 fast
+    path is the library default; this query declares the portable mode)."""
     tokenized = _docs_wide(spark, sf).select(
         "doc_id", tx.tokens(F.col("text")).alias("tk"))
     return tokenized.select(
-        "doc_id", tx.fingerprint_from_tokens(F.col("tk")).alias("fingerprint"))
+        "doc_id", tx.fingerprint_from_tokens(F.col("tk"), hash="md5").alias("fingerprint"))
 
 
 # -------------------------------------------------------------------- contract
@@ -591,6 +640,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
+        "customers_semi_returns": q_customers_semi_returns,
+        "customers_anti_urgent": q_customers_anti_urgent,
+        "corpus_rollup": q_corpus_rollup,
+        "top_revenue_orders": q_top_revenue_orders,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "asof_clicks": q_asof_clicks,
@@ -809,6 +862,30 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """,
+        "customers_semi_returns": """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_custkey = c.c_custkey
+                AND l.l_returnflag = 'R' AND l.l_quantity >= 45)
+""",
+        "customers_anti_urgent": """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+        "corpus_rollup": """
+SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP(source, lang)
+""",
+        "top_revenue_orders": """
+WITH r AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+  GROUP BY o_orderkey, o_orderdate)
+SELECT o_orderkey, o_orderdate, revenue FROM r ORDER BY revenue DESC, o_orderkey LIMIT 10
+""",
         "events_hourly": """
 SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events
 FROM events GROUP BY 1, 2
@@ -943,6 +1020,15 @@ p AS (SELECT a.id AS id_a, b.id AS id_b,
              list_sum(list_transform(list_zip(a.u, b.u), x -> x[1]*x[2])) AS cosine
       FROM n a JOIN n b ON a.id < b.id)
 SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.4
+""",
+        "doc_fingerprints": f"""
+WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM tk),
+h AS (SELECT doc_id,
+             list_sort(list_distinct(list_transform(s,
+                 x -> ('0x' || substr(md5(x), 1, 15))::BIGINT))) AS hs
+      FROM sh)
+SELECT doc_id, hs[1:8] AS fingerprint FROM h
 """,
         "token_stats": f"""
 WITH tk AS (SELECT doc_id, text, {_TOKENS} AS tk FROM documents)

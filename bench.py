@@ -62,6 +62,10 @@ HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
     "topk_per_group",
+    "customers_semi_returns",
+    "customers_anti_urgent",
+    "corpus_rollup",
+    "top_revenue_orders",
     "asof_clicks",
     "doclen_percentiles",
     "corpus_stats_approx",

@@ -188,17 +188,36 @@ def lang_id(text: Column, default: str = "en") -> Column:
     return lang_id_from_tokens(tk, F.concat_ws("", tk), default)
 
 
-def fingerprint_from_tokens(tk: Column, *, shingle_n: int = 3, num_mins: int = 8) -> Column:
+def portable_hash60(s: Column) -> Column:
+    """Engine-portable 60-bit hash: the first 15 hex digits of md5, as a
+    BIGINT.  md5 is bit-identical everywhere, so any engine can reproduce
+    it (DuckDB: ``('0x' || substr(md5(x), 1, 15))::BIGINT``) — the hash to
+    use when downstream artifacts (fingerprints, signatures) must be
+    cross-checkable.  ~2× slower than xxhash64; 60 bits keeps the value
+    positive in a signed 64-bit int."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def fingerprint_from_tokens(
+    tk: Column, *, shingle_n: int = 3, num_mins: int = 8, hash: str = "xxhash64"
+) -> Column:
     """Winnowing-style fingerprint from a materialized tokens column: the
     ``num_mins`` smallest 64-bit hashes of the word shingles, sorted
     ascending.  Two documents sharing most of their content share most
     fingerprint entries; the column is tiny (num_mins longs) so it can be
-    stored and joined at corpus scale."""
-    hashes = F.transform(shingles_from_tokens(tk, shingle_n), lambda s: F.xxhash64(s))
+    stored and joined at corpus scale.
+
+    ``hash="xxhash64"`` (default) is the fast engine-native path;
+    ``hash="md5"`` uses ``portable_hash60`` so the fingerprints are
+    reproducible outside Spark (oracle-checkable)."""
+    hash_fn = (lambda s: F.xxhash64(s)) if hash == "xxhash64" else portable_hash60
+    hashes = F.transform(shingles_from_tokens(tk, shingle_n), hash_fn)
     return F.slice(F.array_sort(F.array_distinct(hashes)), 1, num_mins)
 
 
-def doc_fingerprint(text: Column, *, shingle_n: int = 3, num_mins: int = 8) -> Column:
+def doc_fingerprint(text: Column, *, shingle_n: int = 3, num_mins: int = 8,
+                    hash: str = "xxhash64") -> Column:
     """Convenience form over raw text — single-use contexts; hot paths
     materialize tokens first (see ``shingles_from_tokens``)."""
-    return fingerprint_from_tokens(tokens(text), shingle_n=shingle_n, num_mins=num_mins)
+    return fingerprint_from_tokens(tokens(text), shingle_n=shingle_n,
+                                   num_mins=num_mins, hash=hash)

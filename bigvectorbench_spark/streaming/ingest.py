@@ -117,3 +117,33 @@ def sessionize(
             "n_events",
         )
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    *,
+    id_cols: "list[str] | tuple[str, ...]" = ("id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact in-flight dedup with bounded state: emit the first occurrence
+    of each key, drop re-arrivals within the watermark horizon, and evict
+    key state once the watermark passes it.
+
+    This is the streaming form of ``operators/dedup.py::exact_dedup`` for
+    continuous ingest: state size is bounded by (arrival rate × horizon),
+    never corpus size, which is what makes exact dedup feasible on an
+    unbounded stream — the batch operator re-keys the whole corpus; this
+    one only remembers the recent past and relies on a downstream batch
+    compaction for cross-horizon duplicates (the standard lambda split).
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+): duplicates are
+    dropped when they arrive while the first occurrence is still in state;
+    rows pass through immediately (append mode, no emission latency).
+    In batch mode falls back to plain ``dropDuplicates`` so the same call
+    is oracle-checkable.
+    """
+    cols = list(id_cols)
+    if not stream.isStreaming:
+        return stream.dropDuplicates(cols)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(cols)

@@ -90,3 +90,36 @@ def test_gemm_path_partial_topk_reduces_shuffle(pq, queries):
     kernel = "MapInArrow" if "MapInArrow" in plan else "MapInPandas"
     assert kernel in plan
     assert plan.index(kernel) > plan.index("Exchange")  # formatted: tree order
+
+
+def test_semi_anti_and_topk_plan_shapes(spark, sf_dir):
+    import __spark_entry__ as e
+
+    semi = plan_of(e.queries()["customers_semi_returns"](spark, sf_dir))
+    assert "LeftSemi" in semi
+    # both filters reach the scans (lineitem flag/qty as pushed filters)
+    assert "EqualTo(l_returnflag,R)" in semi and "GreaterThanOrEqual(l_quantity,45" in semi
+
+    anti = plan_of(e.queries()["customers_anti_urgent"](spark, sf_dir))
+    assert "LeftAnti" in anti
+    assert "EqualTo(o_orderpriority,1-URGENT)" in anti
+
+    topk = plan_of(e.queries()["top_revenue_orders"](spark, sf_dir))
+    # global ORDER BY + LIMIT must plan as TakeOrderedAndProject, not a
+    # full sort of the aggregated frame
+    assert "TakeOrderedAndProject" in topk
+    # the date predicate reaches the orders scan
+    assert "o_orderdate" in topk and "PushedFilters: [IsNotNull(o_orderdate)" in topk
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    from bigvectorbench_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, "u", None)], "event_id bigint, user_id string, ts timestamp")
+    right = spark.createDataFrame([(2, "u", None, 1.0)], "rid bigint, user_id string, ts timestamp, value double")
+    plan = plan_of(asof_join(left, right, on="user_id", right_cols=["rid"]))
+    # the sweep is a union + window — no join operator of any kind
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan
+    assert "Window" in plan and "Union" in plan
