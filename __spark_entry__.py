@@ -485,19 +485,22 @@ def q_ngram_jaccard_dups(spark, sf):
 
 
 def q_minhash_dups(spark, sf):
-    """MinHash-LSH candidates verified with exact Jaccard ≥ 0.5 — banding
-    uses engine-specific hashing, rows-only check (exact-verified so the
-    pair set equals q_ngram_jaccard_dups)."""
+    """MinHash-LSH near-dup pairs with the portable md5-60bit shingle hash:
+    signatures, band collisions, and the exact-Jaccard verification are all
+    reproducible outside Spark, so the full pipeline value-oracles
+    (signature math checked bit-for-bit against DuckDB)."""
     docs = load_table(spark, sf, "documents")
-    out = dd.minhash_lsh_pairs(docs, threshold=0.5)
+    out = dd.minhash_lsh_pairs(docs, threshold=0.5, hash="md5")
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash_dups(spark, sf):
-    """SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures) — xxhash64
-    is engine-specific, rows-only check."""
+    """SimHash near-dup pairs (hamming ≤ 3) with the portable hash — the
+    60-bit signatures and band blocking reproduce exactly in DuckDB, full
+    value oracle."""
     docs = load_table(spark, sf, "documents")
-    return dd.simhash_pairs(docs, max_hamming=3)
+    out = dd.simhash_pairs(docs, max_hamming=3, hash="md5")
+    return out.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 def q_embedding_cosine_dups(spark, sf):
@@ -693,8 +696,13 @@ SELECT {cols} FROM r WHERE rank <= {k}
 """
 
 
+_PHASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
 def oracle_sql() -> dict[str, str]:
     l2 = _L2.format(a="t.v", b="q.v")
+    p = dd._MERSENNE
+    perms = "[" + ", ".join(f"[{a}, {b}]" for a, b in dd._perm_params(64)) + "]"
     return {
         "knn_euclid": _knn_oracle(where_q="vec_id % 50 = 0", dist=l2),
         "knn_euclid_gemm": _knn_oracle(where_q="vec_id % 50 = 0", dist=l2,
@@ -964,6 +972,51 @@ p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM p WHERE jaccard >= 0.5
+""",
+        # MinHash: portable shingle hashes → 64-perm signatures (identical
+        # universal-hash params embedded below) → 16 bands × 4 rows → bucket
+        # collisions → exact-Jaccard verification.  Spark hashes the band
+        # string with xxhash64 purely as a bucket key; grouping is identical
+        # to grouping on the string itself, which the oracle uses directly.
+        "minhash_dups": f"""
+WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+sh AS (SELECT doc_id, list_transform({_SHINGLES}, x -> {_PHASH.format(x='x')}) AS s
+       FROM tk WHERE len(tk) >= 3),
+sig AS (SELECT doc_id, list_transform({perms}::BIGINT[][], ab ->
+            list_min(list_transform(s, h -> (ab[1] * (h % {p}) + ab[2]) % {p}))) AS sig
+        FROM sh),
+bands AS (SELECT doc_id, t.b AS band,
+                 array_to_string(sig[(t.b*4 + 1):(t.b*4 + 4)], ',') AS bucket
+          FROM sig CROSS JOIN unnest(range(0, 16)) AS t(b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+v AS (SELECT c.id_a, c.id_b,
+             len(list_intersect(x.s, y.s))::DOUBLE /
+             (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+      FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM v WHERE jaccard >= 0.5
+""",
+        # SimHash: per-token portable hashes → per-bit majority votes →
+        # 60-bit signature → 4 × 16-bit bands (pigeonhole complete for
+        # hamming ≤ 3) → bit_count(xor) verification.
+        "simhash_dups": f"""
+WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+hs AS (SELECT doc_id, list_transform(tk, x -> {_PHASH.format(x='x')}) AS hs FROM tk),
+sim AS (SELECT doc_id, list_sum(list_transform(range(0, 60), b ->
+            CASE WHEN coalesce(list_sum(list_transform(hs, h ->
+                     CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+                 THEN (1::BIGINT << b) ELSE 0 END)) AS simhash
+        FROM hs),
+bands AS (SELECT doc_id, simhash, t.b AS band,
+                 (simhash >> (16 * t.b)) & 65535 AS chunk
+          FROM sim CROSS JOIN unnest(range(0, 4)) AS t(b)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.simhash AS sa, b.simhash AS sb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """,
         "dedup_components": f"""
 WITH RECURSIVE tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),

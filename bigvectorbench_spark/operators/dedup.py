@@ -70,7 +70,19 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # ------------------------------------------------- n-gram Jaccard (inverted index)
 
 
-def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _hash_fn(hash: str):
+    """Shingle/token hash choice: engine-native xxhash64 (fast) or the
+    portable md5-derived 60-bit hash (cross-engine reproducible — lets the
+    whole signature pipeline be oracle-checked value-for-value)."""
+    if hash == "xxhash64":
+        return lambda s: F.xxhash64(s)
+    if hash == "md5":
+        return tx.portable_hash60
+    raise ValueError(f"unknown hash {hash!r}")
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int,
+                  hash: str = "xxhash64") -> DataFrame:
     """(id, sh ARRAY<BIGINT>): distinct hashed n-gram shingles per doc.
 
     Two-phase projection: tokens materialize before shingling (see
@@ -83,7 +95,7 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     # expression substituted in — re-running the quadratic pipeline per row.
     return tokenized.filter(F.size("tk") >= n).select(
         "id",
-        F.transform(tx.shingles_from_tokens(F.col("tk"), n), lambda s: F.xxhash64(s)).alias("sh"),
+        F.transform(tx.shingles_from_tokens(F.col("tk"), n), _hash_fn(hash)).alias("sh"),
     )
 
 
@@ -266,6 +278,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     seed: int = 1,
     verify: bool = True,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding (shingle→minhash→band→
     bucket-join).  With ``verify`` the candidates are re-checked with *exact*
@@ -276,7 +289,7 @@ def minhash_lsh_pairs(
         raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
     rows_per_band = num_perm // bands
 
-    sets_df = _shingle_sets(_widen(df), id_col, text_col, shingle_n).cache()
+    sets_df = _shingle_sets(_widen(df), id_col, text_col, shingle_n, hash=hash).cache()
     sig = minhash_sets(sets_df, num_perm=num_perm, seed=seed)
     banded = sig.select(
         "id",
@@ -306,7 +319,8 @@ def minhash_lsh_pairs(
 # -------------------------------------------------------------------- SimHash
 
 
-def simhash64(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash64(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+              hash: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document: per-token xxhash64 is computed JVM-side;
     the bit-vote aggregation is a fully vectorized Arrow kernel — the list
     column flattens to one hash vector, bits unpack as an (nnz, 64) matrix,
@@ -317,7 +331,7 @@ def simhash64(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") 
 
     hashed = _widen(df).select(
         F.col(id_col).alias("id"),
-        F.transform(tx.tokens(F.col(text_col)), lambda w: F.xxhash64(w)).alias("hs"),
+        F.transform(tx.tokens(F.col(text_col)), _hash_fn(hash)).alias("hs"),
     )
 
     shifts = np.arange(64, dtype=np.uint64)
@@ -356,13 +370,14 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Pairs of documents whose SimHashes differ in ≤ ``max_hamming`` bits.
     Blocking: split the 64-bit hash into 4 16-bit bands — by pigeonhole any
     pair within distance 3 shares at least one exact band, so the bucket join
     finds every qualifying pair; verification is a bit_count(xor) filter.
     Output: (id_a, id_b, hamming)."""
-    sh = simhash64(df, id_col=id_col, text_col=text_col)
+    sh = simhash64(df, id_col=id_col, text_col=text_col, hash=hash)
     bands = sh.select(
         "id", "simhash",
         F.posexplode(F.array(*[

@@ -196,3 +196,15 @@ def test_dup_components_on_ngram_pairs(docs):
     pairs = [(r["id_a"], r["id_b"]) for r in pairs_df.collect()]
     got = {r["id"]: r["component_id"] for r in dd.dup_components(pairs_df).collect()}
     assert got == _py_components(pairs)
+
+
+def test_portable_hash_mode_same_pairs(docs):
+    """Hash choice must not change which near-dup pairs are found."""
+    fast = {(r["id_a"], r["id_b"]) for r in dd.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    port = {(r["id_a"], r["id_b"]) for r in dd.minhash_lsh_pairs(docs, threshold=0.5, hash="md5").collect()}
+    assert fast == port and fast
+    fast_s = {(r["id_a"], r["id_b"]) for r in dd.simhash_pairs(docs, max_hamming=10).collect()}
+    port_s = {(r["id_a"], r["id_b"]) for r in dd.simhash_pairs(docs, max_hamming=10, hash="md5").collect()}
+    # band collisions differ per hash, but the exact-dup pair (0,1,2 group)
+    # must appear under both
+    assert {(0, 1), (0, 2), (1, 2)} <= fast_s and {(0, 1), (0, 2), (1, 2)} <= port_s
