@@ -402,6 +402,28 @@ def q_asof_clicks(spark, sf):
     )
 
 
+def q_clicks_before_purchase(spark, sf):
+    """Event-time RANGE-frame window: clicks by the same user in the 30
+    minutes before each purchase.  The union of both event types shuffles
+    once on user_id and a range frame over microsecond epochs does the
+    counting — no join, no per-row probing."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").filter(
+        "event_type in ('click', 'purchase')"
+    ).select(
+        "event_id", "user_id", "ts", "event_type",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_click"),
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us").rangeBetween(-1_800_000_000, 0)
+    return (
+        ev.withColumn("n_clicks", F.sum("is_click").over(w))
+        .filter("event_type = 'purchase'")
+        .select("event_id", "user_id", "ts", "n_clicks")
+    )
+
+
 def q_doclen_percentiles(spark, sf):
     """A4 grouped form: exact per-source document-length percentiles."""
     docs = load_table(spark, sf, "documents")
@@ -650,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "asof_clicks": q_asof_clicks,
+        "clicks_before_purchase": q_clicks_before_purchase,
         "doclen_percentiles": q_doclen_percentiles,
         "corpus_stats_approx": q_corpus_stats_approx,
         "latency_percentiles": q_latency_percentiles,
@@ -924,6 +947,17 @@ SELECT event_id, user_id, ts,
        CASE WHEN m_ts >= ts - INTERVAL 1 HOUR THEN m_eid END AS click_event_id,
        CASE WHEN m_ts >= ts - INTERVAL 1 HOUR THEN round(m_val, 6) END AS click_value
 FROM j
+""",
+        "clicks_before_purchase": """
+WITH e AS (SELECT event_id, user_id, ts, event_type,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+                  epoch_us(ts) AS us
+           FROM events WHERE event_type IN ('click', 'purchase')),
+w AS (SELECT *, sum(is_click) OVER (PARTITION BY user_id ORDER BY us
+          RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS n_clicks
+      FROM e)
+SELECT event_id, user_id, ts, n_clicks::BIGINT AS n_clicks
+FROM w WHERE event_type = 'purchase'
 """,
         "doclen_percentiles": """
 SELECT source,
