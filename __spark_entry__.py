@@ -364,6 +364,62 @@ def q_top_revenue_orders(spark, sf):
     )
 
 
+def q_lang_pivot(spark, sf):
+    """PIVOT: doc counts per source × language as a wide table (fixed
+    column set so the plan is a single pass of conditional aggregates)."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy("source")
+        .pivot("lang", ["de", "en", "es", "fr", "zh"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+def q_quality_deciles(spark, sf):
+    """ntile quality bucketing: the decile assignment a pipeline uses for
+    quality-threshold filtering; deterministic under (quality, doc_id)
+    ordering. Output: per-decile count + mean quality.
+
+    Scale note: exact equal-size deciles require a global ordering (one
+    window partition) — fine for the aggregate report here, but to *tag*
+    100 TB of rows with deciles, compute approx quantile thresholds
+    (percentile_approx) and bucket by comparison instead; that plan is
+    embarrassingly parallel and q_corpus_stats_approx shows the sketch."""
+    from pyspark.sql import Window
+
+    tokenized = _docs_wide(spark, sf).select(
+        "doc_id", F.col("text"), tx.tokens(F.col("text")).alias("tk"))
+    scored = tokenized.select(
+        "doc_id",
+        F.round(tx.quality_score_from_tokens(F.col("tk"), F.col("text")), 6).alias("q"))
+    w = Window.orderBy(F.col("q"), F.col("doc_id"))
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.round(F.sum(F.col("q").cast("decimal(18,6)")), 6).cast("double")
+             / F.count("*")).alias("mean_q"),
+        )
+    )
+
+
+def q_peak_events(spark, sf):
+    """arg-max per group: the highest-value event per type (max_by with a
+    deterministic (value, event_id) tie rule via struct ordering)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.max(F.struct(F.col("value"), F.col("event_id"))).alias("m"))
+        .select(
+            "event_type",
+            F.col("m.event_id").alias("event_id"),
+            F.round("m.value", 6).alias("peak_value"),
+        )
+    )
+
+
 def q_events_hourly(spark, sf):
     """Streaming-shape tumbling window counts (batch mode of the streaming
     operator, so the oracle can check the same semantics)."""
@@ -668,6 +724,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_semi_returns": q_customers_semi_returns,
         "customers_anti_urgent": q_customers_anti_urgent,
         "corpus_rollup": q_corpus_rollup,
+        "lang_pivot": q_lang_pivot,
+        "quality_deciles": q_quality_deciles,
+        "peak_events": q_peak_events,
         "top_revenue_orders": q_top_revenue_orders,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
@@ -907,6 +966,49 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
         "corpus_rollup": """
 SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY ROLLUP(source, lang)
+""",
+        "lang_pivot": """
+SELECT source,
+       count(*) FILTER (lang = 'de') AS de,
+       count(*) FILTER (lang = 'en') AS en,
+       count(*) FILTER (lang = 'es') AS es,
+       count(*) FILTER (lang = 'fr') AS fr,
+       count(*) FILTER (lang = 'zh') AS zh
+FROM documents GROUP BY source
+""",
+        "quality_deciles": f"""
+WITH tk AS (SELECT doc_id, text, {_TOKENS} AS tk FROM documents),
+s AS (SELECT doc_id,
+             len(tk)::DOUBLE AS ntok,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(tk, w -> length(w)))::DOUBLE / len(tk) END AS awl,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE len(list_filter(tk, w -> list_contains(
+                       ['the','and','of','to','is','a','in','that'], w)))::DOUBLE / len(tk) END AS swr,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END AS pr,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text) END AS dr
+      FROM tk),
+q AS (SELECT doc_id,
+             round(0.3 * least(ntok / 64.0, 1.0)
+                 + 0.2 * (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.3 END)
+                 + 0.2 * least(swr * 4.0, 1.0)
+                 + 0.3 * greatest(1.0 - (pr + dr) * 2.0, 0.0), 6) AS q
+      FROM s),
+d AS (SELECT q, ntile(10) OVER (ORDER BY q, doc_id) AS decile FROM q)
+SELECT decile::BIGINT AS decile, count(*) AS n_docs,
+       CAST(round(sum(q::DECIMAL(18,6)), 6) AS DOUBLE) / count(*) AS mean_q
+FROM d GROUP BY decile
+""",
+        # Spark's max(struct(value, event_id)) = max value then max id;
+        # mirrored as (value DESC, event_id DESC) row_number.
+        "peak_events": """
+WITH r AS (SELECT event_type, event_id, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value DESC, event_id DESC) AS rn
+           FROM events)
+SELECT event_type, event_id, round(value, 6) AS peak_value FROM r WHERE rn = 1
 """,
         "top_revenue_orders": """
 WITH r AS (

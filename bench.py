@@ -67,6 +67,10 @@ HEADLINE = [
     "corpus_rollup",
     "top_revenue_orders",
     "asof_clicks",
+    "clicks_before_purchase",
+    "lang_pivot",
+    "quality_deciles",
+    "peak_events",
     "doclen_percentiles",
     "corpus_stats_approx",
     "events_hourly",
