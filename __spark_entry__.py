@@ -458,6 +458,23 @@ def q_asof_clicks(spark, sf):
     )
 
 
+def q_interval_clicks(spark, sf):
+    """Interval join: every (purchase, click) pair of the same user within
+    ±15 minutes — bucketized (key, time-bucket) equi-join + exact BETWEEN
+    refinement, so the intermediate is O(candidates in ±1 bucket), never
+    the per-user L×R product a theta join would build."""
+    from bigvectorbench_spark.operators.temporal import interval_join
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"))
+    out = interval_join(purchases, clicks, on="user_id",
+                        before="15 minutes", after="15 minutes",
+                        right_cols=["click_id"], prefix="m_")
+    return out.select("event_id", "user_id", "ts", "m_ts", "m_click_id")
+
+
 def q_clicks_before_purchase(spark, sf):
     """Event-time RANGE-frame window: clicks by the same user in the 30
     minutes before each purchase.  The union of both event types shuffles
@@ -731,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "asof_clicks": q_asof_clicks,
+        "interval_clicks": q_interval_clicks,
         "clicks_before_purchase": q_clicks_before_purchase,
         "doclen_percentiles": q_doclen_percentiles,
         "corpus_stats_approx": q_corpus_stats_approx,
@@ -1049,6 +1067,14 @@ SELECT event_id, user_id, ts,
        CASE WHEN m_ts >= ts - INTERVAL 1 HOUR THEN m_eid END AS click_event_id,
        CASE WHEN m_ts >= ts - INTERVAL 1 HOUR THEN round(m_val, 6) END AS click_value
 FROM j
+""",
+        "interval_clicks": """
+SELECT p.event_id, p.user_id, p.ts, c.ts AS m_ts, c.event_id AS m_click_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 15 MINUTE
+ AND c.ts <= p.ts + INTERVAL 15 MINUTE
 """,
         "clicks_before_purchase": """
 WITH e AS (SELECT event_id, user_id, ts, event_type,

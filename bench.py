@@ -67,6 +67,7 @@ HEADLINE = [
     "corpus_rollup",
     "top_revenue_orders",
     "asof_clicks",
+    "interval_clicks",
     "clicks_before_purchase",
     "lang_pivot",
     "quality_deciles",

@@ -1,4 +1,5 @@
-"""Temporal alignment operators: as-of join (nearest-event matching).
+"""Temporal alignment operators: as-of join (nearest-event matching) and
+interval join (all pairs within a time window).
 
 Training-data pipelines constantly align event streams that don't share
 timestamps — "the latest model snapshot before this sample", "the last
@@ -116,3 +117,90 @@ def asof_join(
     out_cols.append(F.col("__m.__matched_ts").alias(f"{prefix}{right_ts}"))
     out_cols.extend(F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_cols)
     return swept.select(*out_cols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    before: str = "15 minutes",
+    after: str = "15 minutes",
+    right_cols: Sequence[str] | None = None,
+    how: str = "inner",
+    prefix: str = "match_",
+) -> DataFrame:
+    """All (left, right) pairs per key with
+    ``l.ts − before ≤ r.ts ≤ l.ts + after`` (bounds inclusive).
+
+    Scale plan — bucketized equi-join, not a theta join: right rows land in
+    one time bucket of width ``before + after``; each left row probes the
+    (at most two) buckets its window can overlap, via a tiny explode. The
+    join is then a pure (key, bucket) equi-join Catalyst can hash/sort-merge
+    and AQE can skew-split, followed by the exact BETWEEN refinement. A
+    key-only equi-join with the BETWEEN as a post-filter would build every
+    per-key (L × R) combination first — at high per-key density that
+    intermediate is the product, not the matches.
+
+    ``how``: "inner" (matched pairs) or "left" (unmatched left rows kept
+    with NULL right fields). Each qualifying pair appears exactly once —
+    a right row lives in exactly one bucket.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unknown how {how!r}")
+    right_ts = right_ts or left_ts
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*keys, right_ts)]
+    right_cols = list(right_cols)
+
+    before_us = F.unix_micros(
+        F.lit("1970-01-01").cast("timestamp") + F.expr(f"INTERVAL {before}"))
+    after_us = F.unix_micros(
+        F.lit("1970-01-01").cast("timestamp") + F.expr(f"INTERVAL {after}"))
+    width = before_us + after_us
+
+    def bucket_of(x):
+        # exact integer floor-division (x may not be a multiple of width;
+        # double division + floor risks off-by-one at bucket boundaries)
+        return ((x - F.pmod(x, width)) / width).cast("long")
+
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("__rt"),
+        F.struct(F.col(right_ts).cast("timestamp").alias(f"{prefix}{right_ts}"),
+                 *[F.col(c).alias(f"{prefix}{c}") for c in right_cols]).alias("__p"),
+    ).withColumn("__bucket", bucket_of(F.col("__rt")))
+
+    l0 = left.withColumn("__lid", F.monotonically_increasing_id())
+    l = l0.withColumn(
+        "__lt", F.unix_micros(F.col(left_ts).cast("timestamp"))
+    ).withColumn(
+        "__bucket",
+        F.explode(F.sequence(
+            bucket_of(F.col("__lt") - before_us),
+            bucket_of(F.col("__lt") + after_us),
+        )),
+    )
+
+    cond = [l[k] == r[k] for k in keys] + [
+        l["__bucket"] == r["__bucket"],
+        r["__rt"] >= l["__lt"] - before_us,
+        r["__rt"] <= l["__lt"] + after_us,
+    ]
+    inner = l.join(r, cond, "inner").select(
+        *[l[c] for c in l0.columns], "__p.*"
+    )
+    if how == "inner":
+        return inner.drop("__lid")
+
+    # left outer: recover left rows with zero matches across ALL probed
+    # buckets (the exploded left-join would emit spurious NULL rows for
+    # buckets that matched nothing while a sibling bucket matched)
+    payload_fields = r.schema["__p"].dataType.fields
+    missing = l0.join(inner.select("__lid"), "__lid", "left_anti").select(
+        "*", *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload_fields]
+    )
+    return inner.unionByName(missing).drop("__lid")

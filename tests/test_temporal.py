@@ -104,3 +104,72 @@ def test_tie_on_right_ts_takes_greatest_payload(spark):
         "rid bigint, user_id string, ts timestamp, value double")
     out = asof_join(left, right, on="user_id", right_cols=["rid"]).collect()
     assert out[0]["asof_rid"] == 9
+
+
+# ------------------------------------------------------------ interval join
+
+
+def _naive_interval(spark, left, right, before_s, after_s, how="inner"):
+    """Theta-join oracle."""
+    import pyspark.sql.functions as F
+    r = right.select(F.col("user_id"), F.col("ts").alias("m_ts"),
+                     F.col("rid"), F.col("value"))
+    cond = ((left.user_id == r.user_id)
+            & (r.m_ts >= left.ts - F.expr(f"INTERVAL {before_s} SECONDS"))
+            & (r.m_ts <= left.ts + F.expr(f"INTERVAL {after_s} SECONDS")))
+    j = left.join(r, cond, how).select(
+        left.event_id, F.col("rid").alias("match_rid"))
+    return {(r["event_id"], r["match_rid"]) for r in j.collect()}
+
+
+def test_interval_join_matches_theta_join(spark):
+    from bigvectorbench_spark.operators.temporal import interval_join
+    import random
+
+    random.seed(7)
+    left_rows = [(i, f"u{random.randrange(5)}", _ts(random.randrange(0, 59), random.randrange(60)))
+                 for i in range(60)]
+    right_rows = [(100 + i, f"u{random.randrange(5)}", _ts(random.randrange(0, 59), random.randrange(60)), float(i))
+                  for i in range(120)]
+    left = spark.createDataFrame(left_rows, "event_id bigint, user_id string, ts timestamp")
+    right = spark.createDataFrame(right_rows, "rid bigint, user_id string, ts timestamp, value double")
+
+    for before, after in [("300 seconds", "300 seconds"), ("120 seconds", "0 seconds"),
+                          ("0 seconds", "90 seconds")]:
+        got = interval_join(left, right, on="user_id", before=before, after=after,
+                            right_cols=["rid", "value"])
+        got_pairs = {(r["event_id"], r["match_rid"]) for r in got.collect()}
+        want = _naive_interval(spark, left, right,
+                               int(before.split()[0]), int(after.split()[0]))
+        assert got_pairs == want, (before, after)
+        # each qualifying pair exactly once
+        assert len(got.collect()) == len(got_pairs)
+
+
+def test_interval_join_left_outer(spark):
+    from bigvectorbench_spark.operators.temporal import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(10)), (2, "u1", _ts(40)), (3, "u2", _ts(10))],
+        "event_id bigint, user_id string, ts timestamp")
+    right = spark.createDataFrame(
+        [(9, "u1", _ts(11), 1.0), (8, "u1", _ts(12), 2.0)],
+        "rid bigint, user_id string, ts timestamp, value double")
+    out = interval_join(left, right, on="user_id", before="5 minutes",
+                        after="5 minutes", right_cols=["rid"], how="left")
+    rows = sorted([(r["event_id"], r["match_rid"]) for r in out.collect()])
+    # event 1 matches both clicks; events 2 (out of range) and 3 (no user
+    # match) appear exactly once with NULL
+    assert rows == [(1, 8), (1, 9), (2, None), (3, None)]
+
+
+def test_interval_join_bounds_inclusive(spark):
+    from bigvectorbench_spark.operators.temporal import interval_join
+
+    left = spark.createDataFrame([(1, "u", _ts(30))], "event_id bigint, user_id string, ts timestamp")
+    right = spark.createDataFrame(
+        [(7, "u", _ts(20), 0.0), (8, "u", _ts(40), 0.0), (9, "u", _ts(19, 59), 0.0)],
+        "rid bigint, user_id string, ts timestamp, value double")
+    out = interval_join(left, right, on="user_id", before="10 minutes",
+                        after="10 minutes", right_cols=["rid"])
+    assert sorted(r["match_rid"] for r in out.collect()) == [7, 8]
