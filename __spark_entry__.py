@@ -668,6 +668,48 @@ def q_lang_id(spark, sf):
         tx.lang_id_from_tokens(F.col("tk"), F.col("joined")).alias("pred_lang"))
 
 
+def q_media_pipeline(spark, sf):
+    """Multimodal column pipeline on a deterministic media table derived
+    from documents: opaque BINARY payloads + typed metadata.  The declared
+    outputs are the oracle-able stages — payload plumbing (byte length,
+    md5 over the binary column) and the metadata-only planners
+    (aspect-preserving resize plan, every-nth frame sampling work-list).
+    The decode/feature kernels (stubbed codecs) stay test-verified."""
+    from bigvectorbench_spark.operators import multimodal as mmx
+
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            (F.col("n_chars") % 512 + 64).cast("int").alias("width"),
+            (F.col("n_chars") % 256 + 48).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars") % 100 + 1).cast("int").alias("n_frames"),
+            F.lit(1.0).cast("float").alias("duration_s"),
+        ).alias("meta"),
+    )
+    planned = mmx.resize_meta(media, max_side=256)
+    frames = (
+        mmx.sample_frames(media.filter(F.col("kind") == "video"), every_n=10)
+        .groupBy("media_id").agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        planned.join(frames, "media_id", "left")
+        .select(
+            "media_id", "kind",
+            F.length("content").cast("bigint").alias("n_bytes"),
+            F.md5("content").alias("payload_md5"),
+            F.col("target_width").cast("bigint").alias("target_width"),
+            F.col("target_height").cast("bigint").alias("target_height"),
+            F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
+        )
+    )
+
+
 def q_dedup_components(spark, sf):
     """Transitive closure of the near-dup pair list: connected components
     via iterative min-label propagation (one shuffle join per round).
@@ -762,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
+        "media_pipeline": q_media_pipeline,
         "dedup_components": q_dedup_components,
         "bm25_topk": q_bm25_topk,
         "top_terms_per_source": q_top_terms_per_source,
@@ -1134,6 +1177,24 @@ p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM p WHERE jaccard >= 0.5
+""",
+        "media_pipeline": """
+WITH m AS (SELECT doc_id AS media_id,
+                  ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+                  text,
+                  (n_chars % 512 + 64)::INT AS w,
+                  (n_chars % 256 + 48)::INT AS h,
+                  (n_chars % 100 + 1)::INT AS n_frames
+           FROM documents),
+s AS (SELECT *, least(1.0, 256 / greatest(w, h)::DOUBLE) AS scale FROM m)
+SELECT media_id, kind,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5,
+       ceil(w * scale)::BIGINT AS target_width,
+       ceil(h * scale)::BIGINT AS target_height,
+       CASE WHEN kind = 'video' THEN ((n_frames - 1) // 10 + 1)::BIGINT
+            ELSE 0 END AS n_sampled
+FROM s
 """,
         # MinHash: portable shingle hashes → 64-perm signatures (identical
         # universal-hash params embedded below) → 16 bands × 4 rows → bucket

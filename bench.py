@@ -58,6 +58,7 @@ HEADLINE = [
     "lang_id",
     "doc_fingerprints",
     "corpus_stats",
+    "media_pipeline",
     # relational / metrics / streaming-shape
     "pricing_summary",
     "revenue_by_nation",
