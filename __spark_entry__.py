@@ -203,6 +203,24 @@ def q_ivfpq_knn(spark, sf):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_jl_knn(spark, sf):
+    """Johnson-Lindenstrauss compressed search: embeddings projected
+    64→16 dims (seeded Gaussian matrix, 4× bandwidth/FLOP cut), exact
+    kNN in the reduced space.  Projected coordinates round to 6 dp before
+    ranking so the whole pipeline — projection fold included — is
+    engine-stable and value-oracled (the GEMM path is the scale twin,
+    pinned to this one in tests)."""
+    from bigvectorbench_spark.operators import projection as pj
+
+    emb = load_table(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    proj = pj.project(emb, out_dim=16, in_dim=64, seed=1, method="expr", round_to=6)
+    q = proj.filter("id % 50 = 0").select(F.col("id").alias("qid"), "vec")
+    res = knn(proj, q, k=10, method="expr")
+    return res.select("qid", "id", _r(F.col("dist")).alias("dist"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_recall_lowdim_vs_full(spark, sf):
     """A6 recall metric as a first-class query: run = kNN on the first 32
     dims, truth = kNN on all 64; per-query recall@10 then the mean."""
@@ -773,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_knn": q_pq_knn,
         "ivfpq_knn": q_ivfpq_knn,
         "groundtruth_pack": q_groundtruth_pack,
+        "jl_knn": q_jl_knn,
         "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
         "recall_summary": q_recall_summary,
         "best_search_time": q_best_search_time,
@@ -846,6 +865,11 @@ def oracle_sql() -> dict[str, str]:
     l2 = _L2.format(a="t.v", b="q.v")
     p = dd._MERSENNE
     perms = "[" + ", ".join(f"[{a}, {b}]" for a, b in dd._perm_params(64)) + "]"
+    from bigvectorbench_spark.operators.projection import projection_matrix
+    jl_mat = "[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]"
+        for row in projection_matrix(64, 16, seed=1)
+    ) + "]"
     return {
         "knn_euclid": _knn_oracle(where_q="vec_id % 50 = 0", dist=l2),
         "knn_euclid_gemm": _knn_oracle(where_q="vec_id % 50 = 0", dist=l2,
@@ -939,6 +963,20 @@ SELECT q.qid,
                    list_transform(range(60 - len(coalesce(k.ds, []))), x -> 'inf'::DOUBLE))
            AS distances
 FROM q LEFT JOIN k ON q.qid = k.qid
+""",
+        # JL projection: the seeded 16×64 matrix is embedded as a literal;
+        # the same left-to-right double fold computes each coordinate,
+        # rounded to 6 dp before distance ranking on both engines.
+        "jl_knn": f"""
+WITH t0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+pr AS (SELECT id, list_transform({jl_mat}::DOUBLE[][], row ->
+           round(list_sum(list_transform(list_zip(v, row), x -> x[1]*x[2])), 6)) AS v
+       FROM t0),
+q AS (SELECT id AS qid, v FROM pr WHERE id % 50 = 0),
+s AS (SELECT q.qid, pr.id, {_L2.format(a="pr.v", b="q.v")} AS d FROM q CROSS JOIN pr),
+r AS (SELECT qid, id, round(d, 4) AS dist,
+             row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank FROM s)
+SELECT qid, id, dist, rank FROM r WHERE rank <= 10
 """,
         "recall_summary": f"""
 WITH t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -38,6 +38,7 @@ HEADLINE = [
     "mv_knn",
     "mv_knn_fused",
     "mm_knn",
+    "jl_knn",
     "ivf_knn",
     "pq_knn",
     "ivfpq_knn",
