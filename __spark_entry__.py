@@ -382,6 +382,46 @@ def q_top_revenue_orders(spark, sf):
     )
 
 
+def q_user_gap_stats(spark, sf):
+    """lag() family: per-user inter-event gap statistics (mean/max gap in
+    seconds) — the cadence profiling behind sessionization thresholds."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    # integer µs sums are exact in both engines; the double cast of the
+    # same exact integer is identical, so no DECIMAL dance is needed
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.round((F.sum("gap_us").cast("double") / 1e6) / F.count("*"), 6).alias("mean_gap_s"),
+        F.round(F.max("gap_us") / F.lit(1e6), 6).alias("max_gap_s"),
+    )
+
+
+def q_revenue_running(spark, sf):
+    """Cumulative window aggregation: per-priority daily order totals with
+    a running sum over days.  Partitioned by priority so no global-order
+    window exists at scale; DECIMAL accumulation keeps the running values
+    order-independent."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    daily = o.groupBy("o_orderpriority", F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_total"))
+    w = Window.partitionBy("o_orderpriority").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "o_orderpriority",
+        F.col("day").cast("timestamp").alias("day"),
+        F.round("day_total", 2).cast("double").alias("day_total"),
+        F.round(F.sum("day_total").over(w), 2).cast("double").alias("running_total"),
+    )
+
+
 def q_lang_pivot(spark, sf):
     """PIVOT: doc counts per source × language as a wide table (fixed
     column set so the plan is a single pass of conditional aggregates)."""
@@ -802,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_semi_returns": q_customers_semi_returns,
         "customers_anti_urgent": q_customers_anti_urgent,
         "corpus_rollup": q_corpus_rollup,
+        "user_gap_stats": q_user_gap_stats,
+        "revenue_running": q_revenue_running,
         "lang_pivot": q_lang_pivot,
         "quality_deciles": q_quality_deciles,
         "peak_events": q_peak_events,
@@ -1065,6 +1107,27 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
         "corpus_rollup": """
 SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY ROLLUP(source, lang)
+""",
+        "user_gap_stats": """
+WITH g AS (SELECT user_id,
+                  epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                        ORDER BY ts, event_id)) AS gap_us
+           FROM events),
+f AS (SELECT * FROM g WHERE gap_us IS NOT NULL)
+SELECT user_id, count(*) AS n_gaps,
+       round((sum(gap_us)::DOUBLE / 1000000.0) / count(*), 6) AS mean_gap_s,
+       round(max(gap_us) / 1000000.0, 6) AS max_gap_s
+FROM f GROUP BY user_id
+""",
+        "revenue_running": """
+WITH daily AS (SELECT o_orderpriority, date_trunc('day', o_orderdate)::TIMESTAMP AS day,
+                      sum(o_totalprice::DECIMAL(18,2)) AS day_total
+               FROM orders GROUP BY 1, 2)
+SELECT o_orderpriority, day,
+       CAST(round(day_total, 2) AS DOUBLE) AS day_total,
+       CAST(round(sum(day_total) OVER (PARTITION BY o_orderpriority ORDER BY day
+                ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_total
+FROM daily
 """,
         "lang_pivot": """
 SELECT source,

@@ -64,6 +64,8 @@ HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
     "topk_per_group",
+    "user_gap_stats",
+    "revenue_running",
     "customers_semi_returns",
     "customers_anti_urgent",
     "corpus_rollup",
