@@ -239,7 +239,9 @@ def q_groundtruth_pack(spark, sf):
     """G2/S5: packed filtered ground truth with the reference's padding
     convention — k=60 under a label-equality filter leaves most queries with
     ~50 qualifying rows, so neighbors pad with −1 and distances with +inf
-    (results.py:85-86)."""
+    (results.py:85-86).  Declared in exploded (qid, pos, neighbor, dist)
+    form: the packed arrays stay the storage format (tests cover them), but
+    the driver's value hash needs scalar columns."""
     from bigvectorbench_spark.operators.groundtruth import build_groundtruth
 
     packed = build_groundtruth(
@@ -247,8 +249,13 @@ def q_groundtruth_pack(spark, sf):
         filter_template="label == {label}", query_param_cols=["label"],
     )
     return packed.select(
-        "qid", "neighbors",
-        F.transform("distances", lambda d: F.round(d.cast("double"), 4)).alias("distances"),
+        "qid",
+        F.posexplode(F.arrays_zip("neighbors", "distances")).alias("pos0", "z"),
+    ).select(
+        "qid",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.col("z.neighbors").cast("bigint").alias("neighbor"),
+        F.round(F.col("z.distances").cast("double"), 4).alias("dist"),
     )
 
 
@@ -803,8 +810,12 @@ def q_doc_fingerprints(spark, sf):
     path is the library default; this query declares the portable mode)."""
     tokenized = _docs_wide(spark, sf).select(
         "doc_id", tx.tokens(F.col("text")).alias("tk"))
+    # comma-joined BIGINTs: integer-to-string formatting is engine-identical,
+    # and the driver's value hash needs scalar (non-list) columns.
     return tokenized.select(
-        "doc_id", tx.fingerprint_from_tokens(F.col("tk"), hash="md5").alias("fingerprint"))
+        "doc_id",
+        F.concat_ws(",", tx.fingerprint_from_tokens(F.col("tk"), hash="md5")
+                    .cast("array<string>")).alias("fingerprint"))
 
 
 # -------------------------------------------------------------------- contract
@@ -889,11 +900,14 @@ _SHINGLES = (
 def _knn_oracle(*, where_q: str, dist: str, join: str = "CROSS JOIN", cond: str = "",
                 k: int = 10, round_n: int = 4, cols: str = "qid, id, dist, rank",
                 train_extra: str = "", q_extra: str = "") -> str:
+    # ``+ 0.0`` normalizes IEEE -0.0 to +0.0: Spark's round() goes through
+    # BigDecimal (never signs zero) while DuckDB's keeps the sign, and the
+    # driver's value hash distinguishes the two bit patterns.
     return f"""
 WITH t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label{train_extra} FROM embeddings),
 q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v, label{q_extra} FROM embeddings WHERE {where_q}),
 s AS (SELECT q.qid, t.id, {dist} AS d FROM q {join} t {cond}),
-r AS (SELECT qid, id, round(d, {round_n}) AS dist,
+r AS (SELECT qid, id, round(d, {round_n}) + 0.0 AS dist,
              row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank
       FROM s)
 SELECT {cols} FROM r WHERE rank <= {k}
@@ -995,16 +1009,13 @@ WITH t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label FROM embeddings)
 q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v, label FROM embeddings WHERE vec_id % 50 = 0),
 s AS (SELECT q.qid, t.id, {l2} AS d FROM q JOIN t ON t.label = q.label),
 r AS (SELECT qid, id, d, row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rn FROM s),
-k AS (SELECT qid, array_agg(id ORDER BY rn) AS n, array_agg(round(d, 4) ORDER BY rn) AS ds
-      FROM r WHERE rn <= 60 GROUP BY qid)
-SELECT q.qid,
-       list_concat(coalesce(k.n, []),
-                   list_transform(range(60 - len(coalesce(k.n, []))), x -> (-1)::BIGINT))
-           AS neighbors,
-       list_concat(coalesce(k.ds, []),
-                   list_transform(range(60 - len(coalesce(k.ds, []))), x -> 'inf'::DOUBLE))
-           AS distances
-FROM q LEFT JOIN k ON q.qid = k.qid
+c AS (SELECT q.qid, coalesce(k.c, 0) AS c
+      FROM q LEFT JOIN (SELECT qid, count(*) AS c FROM r WHERE rn <= 60 GROUP BY qid) k
+      ON q.qid = k.qid)
+SELECT qid, rn AS pos, id AS neighbor, round(d, 4) AS dist FROM r WHERE rn <= 60
+UNION ALL
+SELECT c.qid, t.i AS pos, (-1)::BIGINT AS neighbor, 'inf'::DOUBLE AS dist
+FROM c CROSS JOIN range(1, 61) t(i) WHERE t.i > c.c
 """,
         # JL projection: the seeded 16×64 matrix is embedded as a literal;
         # the same left-to-right double fold computes each coordinate,
@@ -1405,7 +1416,7 @@ h AS (SELECT doc_id,
              list_sort(list_distinct(list_transform(s,
                  x -> ('0x' || substr(md5(x), 1, 15))::BIGINT))) AS hs
       FROM sh)
-SELECT doc_id, hs[1:8] AS fingerprint FROM h
+SELECT doc_id, array_to_string(hs[1:8], ',') AS fingerprint FROM h
 """,
         "token_stats": f"""
 WITH tk AS (SELECT doc_id, text, {_TOKENS} AS tk FROM documents)

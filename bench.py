@@ -106,24 +106,33 @@ def main() -> None:
     qs = entry.queries()
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(max(1, runs)):  # best-of-N (reference runner.py:222-226)
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        try:
+            for _ in range(max(1, runs)):  # best-of-N (runner.py:222-226)
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+            print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        except Exception as e:  # one broken query must not kill the run
+            msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+            errors[name] = msg
+            print(f"  {name}: FAILED ({msg})", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

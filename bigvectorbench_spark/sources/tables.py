@@ -26,9 +26,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division: ns / 1000 in DOUBLE loses precision at epoch scale
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division: ns/1000 in DOUBLE loses precision at epoch scale
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Spark 4.1 reads TIMESTAMP(NANOS) parquet as TIMESTAMP_NTZ when
+            # the session planned the scan before nanosAsLong took effect.
+            # With the session pinned to UTC above, NTZ -> TIMESTAMP keeps the
+            # same instant DuckDB's naive epoch_us sees, and downstream
+            # unix_micros/window arithmetic type-checks.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
