@@ -183,8 +183,11 @@ def q_ivf_knn(spark, sf):
 
 def q_pq_knn(spark, sf):
     """§2.7 PQ: product-quantized ADC scan (reads ARRAY<SMALLINT> codes only,
-    never float vectors) + exact refine of the overfetched candidates —
-    KMeans codebooks are not SQL-expressible, rows-only check."""
+    never float vectors) + exact refine of the overfetched candidates.
+    Value-oracled: the deterministic codebook fit / encode / LUT-sum ADC is
+    recomputed at oracle-generation time and the per-query candidate sets
+    embedded as literals; the refine stage uses the expression fold on both
+    engines, so even distances hash-match (see _ann_oracles)."""
     t = _train(spark, sf)
     idx = PQIndex.fit(t, m=8, ksub=16, seed=1, max_iter=8)
     res = idx.search(idx.encode(t), _queries_mod(spark, sf), k=10,
@@ -195,8 +198,8 @@ def q_pq_knn(spark, sf):
 
 def q_ivfpq_knn(spark, sf):
     """§2.7 IVF_PQ: cell pruning bounds which rows are scanned, ADC bounds
-    what is read per row; exact refine restores result quality — KMeans is
-    not SQL-expressible, rows-only check."""
+    what is read per row; exact refine restores result quality.
+    Value-oracled via recomputed candidate sets (see _ann_oracles)."""
     from bigvectorbench_spark.operators.pq import ivfpq_search
     t = _train(spark, sf)
     ivf = IVFIndex.fit(t, nlist=8, seed=1, max_iter=8)
@@ -851,10 +854,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groundtruth_pack": q_groundtruth_pack,
         "jl_knn": q_jl_knn,
         "ivf_knn": q_ivf_knn,
+        "pq_knn": q_pq_knn,
+        "ivfpq_knn": q_ivfpq_knn,
         "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
         "best_search_time": q_best_search_time,
         "train_test_split": q_train_test_split,
-        "topk_per_group": q_topk_per_group,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "customers_semi_returns": q_customers_semi_returns,
@@ -866,7 +870,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_deciles": q_quality_deciles,
         "peak_events": q_peak_events,
         "top_revenue_orders": q_top_revenue_orders,
-        "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "asof_clicks": q_asof_clicks,
         "interval_clicks": q_interval_clicks,
@@ -887,12 +890,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
-        # --- below the 50-slot correctness window -------------------------
+        # --- below the 50-slot correctness window: derivative aggregates
+        # (base queries value-checked above), mechanics duplicated by
+        # in-window queries, and genuinely non-SQL sketches ----------------
         "recall_summary": q_recall_summary,
         "corpus_stats": q_corpus_stats,
         "doclen_percentiles": q_doclen_percentiles,
-        "pq_knn": q_pq_knn,
-        "ivfpq_knn": q_ivfpq_knn,
+        "topk_per_group": q_topk_per_group,
+        "events_hourly": q_events_hourly,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
     }
@@ -932,19 +937,23 @@ _PHASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
-def _ivf_oracle() -> "str | None":
-    """Full value oracle for q_ivf_knn: rerun the seeded, deterministic
-    KMeans build (same numpy code path the Spark index uses — centroid fit
-    on collected sample, norm-expansion argmin assignment, probe-list
-    selection) and embed the (id, cell) assignment plus per-query probe
-    lists as literals.  DuckDB then scores exactly the candidate rows the
-    IVF plan scans, ranking by the exact L2 fold — so candidate pruning,
-    the part KMeans controls, is hash-checked end to end."""
+def _ann_oracles() -> dict[str, str]:
+    """Full value oracles for the ANN index families (ivf_knn, pq_knn,
+    ivfpq_knn): rerun the seeded, deterministic index builds with the SAME
+    numpy code paths the Spark operators use (fit on collected sample,
+    norm-expansion argmin assignment/encode, LUT-sum ADC), then embed the
+    data-dependent artifacts — IVF cell assignments + probe lists, PQ ADC
+    candidate sets — as SQL literals.  DuckDB re-scores the identical
+    candidate rows with the exact L2 fold, so the index-controlled part
+    (which rows are scanned) is hash-checked end to end.  For PQ/IVFPQ the
+    Spark refine stage also uses the expression fold, so even the emitted
+    distances hash-match; IVF's GEMM kernel distances differ at ~1e-8, so
+    that oracle checks ids/ranks (knn_euclid_gemm convention)."""
     import os
 
     path = f"{_ORACLE_SF_DIR}/embeddings.parquet"
     if not os.path.exists(path):
-        return None
+        return {}
     import numpy as np
     import pyarrow.parquet as pq_
 
@@ -953,30 +962,94 @@ def _ivf_oracle() -> "str | None":
     tbl = pq_.read_table(path, columns=["vec_id", "embedding"])
     ids = tbl.column("vec_id").to_numpy()
     X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    qmask = ids % 50 == 0
+    qids_, Q = ids[qmask], X[qmask]
+    l2 = _L2.format(a="t.v", b="q.v")
+
+    # ---- IVF (nlist=8, seed=1, max_iter=8, nprobe=4) ---------------------
     C = _kmeans_pp(X, 8, seed=1, max_iter=8)
     # assignment: identical expansion to IVFIndex._assign_gemm
     d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
     cid = d2.argmin(axis=1)
-    qmask = ids % 50 == 0
-    qids_, Q = ids[qmask], X[qmask]
     # probe lists: identical to IVFIndex.probe_lists
     dq = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     probes = np.argpartition(dq, 3, axis=1)[:, :4]
     assign_vals = ", ".join(f"({int(i)},{int(c)})" for i, c in zip(ids, cid))
     probe_vals = ", ".join(
         f"({int(q)},{int(c)})" for qi, q in enumerate(qids_) for c in probes[qi])
-    return f"""
+    ivf_sql = f"""
 WITH assign(id, cell) AS (VALUES {assign_vals}),
 probe(qid, cell) AS (VALUES {probe_vals}),
 t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 = 0),
-s AS (SELECT q.qid, t.id, {_L2.format(a="t.v", b="q.v")} AS d
+s AS (SELECT q.qid, t.id, {l2} AS d
       FROM q JOIN probe ON probe.qid = q.qid
       JOIN assign ON assign.cell = probe.cell
       JOIN t ON t.id = assign.id),
 r AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank FROM s)
 SELECT qid, id, rank FROM r WHERE rank <= 10
 """
+
+    # ---- PQ (m=8, ksub=16, seed=1, max_iter=8, overfetch=4) --------------
+    m, ksub, k_adc = 8, 16, 40
+    dsub = X.shape[1] // m
+    books = np.stack([
+        _kmeans_pp(X[:, j * dsub:(j + 1) * dsub], ksub, 1 + j, 8) for j in range(m)
+    ])
+    # encode: identical expansion to PQIndex.encode
+    c2 = (books * books).sum(axis=2)
+    codes = np.empty((len(X), m), dtype=np.int64)
+    Xs = X.reshape(len(X), m, dsub)
+    for j in range(m):
+        S = Xs[:, j, :]
+        codes[:, j] = ((S * S).sum(1)[:, None] - 2.0 * (S @ books[j].T)
+                       + c2[j][None, :]).argmin(axis=1)
+    # ADC: identical LUT build + accumulation order to PQIndex.search
+    Qs = Q.reshape(len(qids_), m, dsub)
+    lut = np.stack([
+        ((books[j][:, None, :] - Qs[None, :, j, :]) ** 2).sum(axis=2)
+        for j in range(m)
+    ])  # (m, ksub, nq)
+    acc = np.zeros((len(X), len(qids_)), dtype=np.float64)
+    for j in range(m):
+        acc += lut[j][codes[:, j], :]
+    D = np.sqrt(np.maximum(acc, 0.0))
+
+    def _adc_topk(D_col, row_ids):
+        order = np.lexsort((row_ids, D_col))
+        return row_ids[order[:k_adc]]
+
+    def _cand_sql(cand_pairs: str) -> str:
+        return f"""
+WITH cand(qid, id) AS (VALUES {cand_pairs}),
+t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 = 0),
+s AS (SELECT q.qid, t.id, {l2} AS d
+      FROM cand JOIN q ON q.qid = cand.qid JOIN t ON t.id = cand.id),
+r AS (SELECT qid, id, round(d, 4) + 0.0 AS dist,
+             row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank FROM s)
+SELECT qid, id, dist, rank FROM r WHERE rank <= 10
+"""
+
+    pq_pairs = ", ".join(
+        f"({int(q)},{int(i)})"
+        for qi, q in enumerate(qids_) for i in _adc_topk(D[:, qi], ids))
+    pq_sql = _cand_sql(pq_pairs)
+
+    # ---- IVFPQ (IVF mask over the same ADC scores) -----------------------
+    member = np.zeros((8, len(qids_)), dtype=bool)
+    for qi in range(len(qids_)):
+        member[probes[qi], qi] = True
+    D_masked = np.where(member[cid], D, np.inf)
+    ivfpq_pairs = []
+    for qi, q in enumerate(qids_):
+        col = D_masked[:, qi]
+        finite = np.isfinite(col)
+        top = _adc_topk(col[finite], ids[finite])
+        ivfpq_pairs.extend(f"({int(q)},{int(i)})" for i in top)
+    ivfpq_sql = _cand_sql(", ".join(ivfpq_pairs))
+
+    return {"ivf_knn": ivf_sql, "pq_knn": pq_sql, "ivfpq_knn": ivfpq_sql}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -988,9 +1061,7 @@ def oracle_sql() -> dict[str, str]:
         "[" + ", ".join(repr(float(x)) for x in row) + "]"
         for row in projection_matrix(64, 16, seed=1)
     ) + "]"
-    ivf = _ivf_oracle()
-    extra = {"ivf_knn": ivf} if ivf else {}
-    return extra | {
+    return _ann_oracles() | {
         "knn_euclid": _knn_oracle(where_q="vec_id % 50 = 0", dist=l2),
         "knn_euclid_gemm": _knn_oracle(where_q="vec_id % 50 = 0", dist=l2,
                                        cols="qid, id, rank"),
