@@ -176,7 +176,7 @@ def q_ivf_knn(spark, sf):
     GEMM-kernel distances, which differ from the SQL fold at ~1e-8 —
     same convention as knn_euclid_gemm)."""
     t = _train(spark, sf)
-    idx = IVFIndex.fit(t, nlist=8, seed=1, max_iter=8)
+    idx = IVFIndex.fit(t, nlist=8, seed=1, max_iter=8, sort_col="id")
     res = idx.search(idx.assign(t), _queries_mod(spark, sf), k=10, nprobe=4)
     return res.select("qid", "id", F.col("rank").cast("bigint").alias("rank"))
 
@@ -189,7 +189,7 @@ def q_pq_knn(spark, sf):
     embedded as literals; the refine stage uses the expression fold on both
     engines, so even distances hash-match (see _ann_oracles)."""
     t = _train(spark, sf)
-    idx = PQIndex.fit(t, m=8, ksub=16, seed=1, max_iter=8)
+    idx = PQIndex.fit(t, m=8, ksub=16, seed=1, max_iter=8, sort_col="id")
     res = idx.search(idx.encode(t), _queries_mod(spark, sf), k=10,
                      refine_train=t, overfetch=4)
     return res.select("qid", "id", _r(F.col("dist")).alias("dist"),
@@ -202,8 +202,8 @@ def q_ivfpq_knn(spark, sf):
     Value-oracled via recomputed candidate sets (see _ann_oracles)."""
     from bigvectorbench_spark.operators.pq import ivfpq_search
     t = _train(spark, sf)
-    ivf = IVFIndex.fit(t, nlist=8, seed=1, max_iter=8)
-    pq = PQIndex.fit(t, m=8, ksub=16, seed=1, max_iter=8)
+    ivf = IVFIndex.fit(t, nlist=8, seed=1, max_iter=8, sort_col="id")
+    pq = PQIndex.fit(t, m=8, ksub=16, seed=1, max_iter=8, sort_col="id")
     table = ivf.assign(pq.encode(t))
     res = ivfpq_search(ivf, pq, table, _queries_mod(spark, sf), k=10, nprobe=4,
                        refine_train=t, overfetch=4)
@@ -932,9 +932,13 @@ SELECT {cols} FROM r WHERE rank <= {k}
 
 _PHASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
-# The driver evaluates oracles at sf0.01 (TESTDATA.md contract); the IVF
-# oracle recomputes the deterministic index build on that table.
-_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+# The driver evaluates oracles at sf0.01 (TESTDATA.md contract); the ANN
+# oracles recompute the deterministic index builds on that table.  The
+# directory is env-overridable so an evaluation at another sf can point the
+# embedded literals at the right table instead of failing spuriously.
+import os as _os
+
+_ORACLE_SF_DIR = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _ann_oracles() -> dict[str, str]:
@@ -953,6 +957,9 @@ def _ann_oracles() -> dict[str, str]:
 
     path = f"{_ORACLE_SF_DIR}/embeddings.parquet"
     if not os.path.exists(path):
+        import sys
+        print(f"[oracle] {path} missing: ANN queries degrade to rows-only",
+              file=sys.stderr, flush=True)
         return {}
     import numpy as np
     import pyarrow.parquet as pq_
@@ -962,6 +969,12 @@ def _ann_oracles() -> dict[str, str]:
     tbl = pq_.read_table(path, columns=["vec_id", "embedding"])
     ids = tbl.column("vec_id").to_numpy()
     X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    # Pin the fit-sample order to vec_id: the Spark operators fit with
+    # sort_col="id" and kmeans++ seeding is row-order dependent, so both
+    # sides must index the same matrix (parquet row order is NOT part of
+    # either contract).
+    order = np.argsort(ids, kind="stable")
+    ids, X = ids[order], X[order]
     qmask = ids % 50 == 0
     qids_, Q = ids[qmask], X[qmask]
     l2 = _L2.format(a="t.v", b="q.v")

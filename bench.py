@@ -131,6 +131,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
+        # A partially-failed run must never look faster than a passing one:
+        # the headline value is only meaningful when every query ran, so a
+        # non-empty error set nulls it (consumers comparing `value` across
+        # rounds see the failure even if they never read `errors`).
+        out["value"] = None
         out["errors"] = errors
     print(json.dumps(out))
 

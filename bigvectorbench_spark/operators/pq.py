@@ -58,6 +58,7 @@ class PQIndex:
         max_iter: int = 15,
         max_sample_rows: int = 100_000,
         engine: str = "auto",
+        sort_col: str | None = None,
     ) -> "PQIndex":
         """``engine``: where the m independent per-subspace kmeans fits run.
         'driver' = sequential numpy; 'spark' = one task per subspace over a
@@ -71,6 +72,11 @@ class PQIndex:
             raise ValueError(f"PQ supports euclidean/angular, not {metric!r}")
         if engine not in ("auto", "driver", "spark"):
             raise ValueError(f"unknown engine {engine!r}")
+        # sort_col: same reproducibility guard as IVFIndex.fit — kmeans++
+        # seeding is row-order dependent, so pin the sample order when an
+        # external recomputation must reproduce the codebooks.
+        if sort_col is not None:
+            train = train.orderBy(sort_col)
         rows = train.select(vec_col).limit(max_sample_rows).collect()
         X = np.array([r[0] for r in rows], dtype=np.float64)
         if X.ndim != 2 or X.shape[0] < ksub:

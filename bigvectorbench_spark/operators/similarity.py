@@ -85,6 +85,7 @@ class IVFIndex:
         max_iter: int = 20,
         engine: str = "numpy",
         max_sample_rows: int = 1_000_000,
+        sort_col: str | None = None,
     ) -> "IVFIndex":
         """Fit centroids on a (bounded) sample.
 
@@ -93,8 +94,16 @@ class IVFIndex:
         100 TB pattern (fit on a sample, *assignment* stays distributed),
         and free of MLlib's per-job JVM overhead at small scale.
         ``engine="mllib"``: distributed MLlib KMeans for when even the
-        sample must not be collected."""
+        sample must not be collected.
+
+        ``sort_col``: kmeans++ seeding is row-order dependent (the rng
+        indexes into the sample matrix), so callers that need the fitted
+        centroids to be reproducible across readers (e.g. an external
+        recomputation of the same build) must pin the sample order to a
+        key column; None keeps whatever order the scan yields."""
         df = train if sample_fraction >= 1.0 else train.sample(sample_fraction, seed=seed)
+        if sort_col is not None:
+            df = df.orderBy(sort_col)
         if engine == "mllib":
             from pyspark.ml.clustering import KMeans
             from pyspark.ml.functions import array_to_vector
