@@ -28,7 +28,7 @@ from bigvectorbench_spark.operators import dedup as dd
 from bigvectorbench_spark.operators import metrics as mx
 from bigvectorbench_spark.operators import multivector as mv
 from bigvectorbench_spark.operators.filter_knn import filtered_knn, postfilter_knn
-from bigvectorbench_spark.operators.knn import knn
+from bigvectorbench_spark.operators.knn import knn, knn_hamming_packed
 from bigvectorbench_spark.operators import retrieval as rt
 from bigvectorbench_spark.operators.pq import PQIndex
 from bigvectorbench_spark.operators.similarity import IVFIndex
@@ -78,11 +78,38 @@ def q_knn_angular(spark, sf):
 
 
 def q_knn_hamming(spark, sf):
-    """Q1 with hamming distance (D3) over sign-bits of the embeddings."""
+    """Q1 with hamming distance (D3) over sign-bits of the embeddings,
+    via the packed-bits plan: booleans pack into 64-bit words on the fly
+    and scoring is one popcount per word (bit_count(xor)) — the scan that
+    survives 100× data, at 1/64th the width of the dense boolean compare.
+    Values are identical to the dense form (popcount/d is the same exact
+    division), so the oracle is the ground-truth boolean semantics."""
     t = _train(spark, sf).withColumn("vec", F.transform("vec", lambda x: x > 0))
     q = _queries_mod(spark, sf).withColumn("vec", F.transform("vec", lambda x: x > 0))
-    res = knn(t, q, k=10, metric="hamming", method="expr")
+    res = knn_hamming_packed(t, q, k=10, bits_col="vec")
     return res.select("qid", "id", F.round(F.col("dist"), 6).alias("dist"), F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_knn_hamming_packed(spark, sf):
+    """The packed-table form of q_knn_hamming: ARRAY<BIGINT> words are
+    materialized first (the M2 'index build' artifact a binary workload
+    would store — reference data.py:20-25 point_type='bit') and the search
+    reads ONLY the packed words (packed=True skips the boolean column
+    entirely).  Oracle: DuckDB packs the same sign-bits into a BIT string
+    and scores with bit_count(xor) — bit arithmetic on both engines."""
+    t = _train(spark, sf).withColumn("bits", F.transform("vec", lambda x: x > 0))
+    d_probe = t.select(F.size("bits").alias("d")).first()
+    assert d_probe is not None
+    d = d_probe["d"]
+    tp = t.select("id", dx.pack_bits(F.col("bits")).alias("words"))
+    qp = (
+        _queries_mod(spark, sf)
+        .withColumn("bits", F.transform("vec", lambda x: x > 0))
+        .select("qid", dx.pack_bits(F.col("bits")).alias("words"))
+    )
+    res = knn_hamming_packed(tp, qp, k=10, bits_col="words", d=d, packed=True)
+    return res.select("qid", "id", F.round(F.col("dist"), 6).alias("dist"),
+                      F.col("rank").cast("bigint").alias("rank"))
 
 
 def q_knn_jaccard(spark, sf):
@@ -844,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_euclid_gemm": q_knn_euclid_gemm,
         "knn_angular": q_knn_angular,
         "knn_hamming": q_knn_hamming,
+        "knn_hamming_packed": q_knn_hamming_packed,
         "knn_jaccard": q_knn_jaccard,
         "filter_knn_eq": q_filter_knn_eq,
         "filter_knn_range": q_filter_knn_range,
@@ -1090,6 +1118,22 @@ def oracle_sql() -> dict[str, str]:
                   "x -> CASE WHEN (x[1] > 0) = (x[2] > 0) THEN 0.0 ELSE 1.0 END)) / len(t.v)"),
             round_n=6,
         ),
+        # Packed form: DuckDB builds the same sign-bit string as a BIT value
+        # and scores with bit_count(xor) — genuine bit arithmetic mirroring
+        # Spark's ARRAY<BIGINT> popcount words.
+        "knn_hamming_packed": """
+WITH t AS (SELECT vec_id AS id,
+           list_aggregate(list_transform(embedding::DOUBLE[],
+               x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), 'string_agg', '')::BIT AS b
+           FROM embeddings),
+q AS (SELECT id AS qid, b FROM t WHERE id % 50 = 0),
+s AS (SELECT q.qid, t.id,
+             bit_count(xor(t.b, q.b))::DOUBLE / bit_length(t.b) AS d
+      FROM q CROSS JOIN t),
+r AS (SELECT qid, id, round(d, 6) + 0.0 AS dist,
+             row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank FROM s)
+SELECT qid, id, dist, rank FROM r WHERE rank <= 10
+""",
         "knn_jaccard": f"""
 WITH d AS (SELECT doc_id, list_sort(list_distinct({_TOKENS})) AS items FROM documents),
 q AS (SELECT doc_id AS qid, items FROM d WHERE doc_id % 100 = 0),

@@ -31,6 +31,7 @@ HEADLINE = [
     "knn_euclid",
     "knn_angular",
     "knn_hamming",
+    "knn_hamming_packed",
     "knn_jaccard",
     "filter_knn_eq",
     "filter_knn_range",
