@@ -256,6 +256,50 @@ def q_jl_knn(spark, sf):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_ivf_recall(spark, sf):
+    """Closes the IVF oracle self-reference (the ivf_knn oracle embeds the
+    recomputed probe lists, so a bug corrupting both sides identically
+    would pass): recall of the IVF path against the EXACT kNN, both
+    computed in Spark, emitted as threshold booleans the oracle asserts
+    TRUE.  Measured recall at sf0.01 is mean 0.79 / min 0.6 (nlist=8,
+    nprobe=4); an index-math bug (wrong assignment, wrong probe ranking,
+    dropped cells) craters it far below the 0.6/0.3 thresholds, making the
+    failure driver-visible instead of pytest-only."""
+    t, q = _train(spark, sf), _queries_mod(spark, sf)
+    idx = IVFIndex.fit(t, nlist=8, seed=1, max_iter=8, sort_col="id")
+    approx = idx.search(idx.assign(t), q, k=10, nprobe=4).groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    exact = knn(t, q, k=10, method="expr").groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    per_q = mx.recall_per_query(approx, exact)
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg("recall") >= 0.6).alias("mean_recall_ok"),
+        (F.min("recall") >= 0.3).alias("min_recall_ok"),
+    )
+
+
+def q_pq_recall(spark, sf):
+    """Same contract for the PQ path (codebook fit, encode, ADC scan,
+    refine): recall vs exact kNN as oracle-asserted booleans.  Measured at
+    sf0.01: mean 0.59 / min 0.4 (m=8, ksub=16, overfetch=4); thresholds
+    0.4/0.2 leave margin for data regeneration while still catching any
+    real codebook/ADC defect."""
+    t, q = _train(spark, sf), _queries_mod(spark, sf)
+    idx = PQIndex.fit(t, m=8, ksub=16, seed=1, max_iter=8, sort_col="id")
+    approx = idx.search(idx.encode(t), q, k=10, refine_train=t,
+                        overfetch=4).groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    exact = knn(t, q, k=10, method="expr").groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    per_q = mx.recall_per_query(approx, exact)
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg("recall") >= 0.4).alias("mean_recall_ok"),
+        (F.min("recall") >= 0.2).alias("min_recall_ok"),
+    )
+
+
 def q_recall_lowdim_vs_full(spark, sf):
     """A6 recall metric as a first-class query: run = kNN on the first 32
     dims, truth = kNN on all 64; per-query recall@10 then the mean."""
@@ -884,6 +928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": q_ivf_knn,
         "pq_knn": q_pq_knn,
         "ivfpq_knn": q_ivfpq_knn,
+        "ivf_recall": q_ivf_recall,
+        "pq_recall": q_pq_recall,
         "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
         "best_search_time": q_best_search_time,
         "train_test_split": q_train_test_split,
@@ -1093,6 +1139,17 @@ SELECT qid, id, dist, rank FROM r WHERE rank <= 10
     return {"ivf_knn": ivf_sql, "pq_knn": pq_sql, "ivfpq_knn": ivfpq_sql}
 
 
+# ivf_recall / pq_recall: the Spark side computes recall of the approximate
+# path against exact kNN and emits threshold booleans; the oracle asserts
+# they are TRUE (and checks the query count).  No index artifacts are
+# embedded, so this check CANNOT be fooled by a bug that corrupts the Spark
+# build and the oracle recomputation identically.
+_RECALL_GATE_SQL = """
+SELECT count(*) AS n_queries, TRUE AS mean_recall_ok, TRUE AS min_recall_ok
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     l2 = _L2.format(a="t.v", b="q.v")
     p = dd._MERSENNE
@@ -1103,6 +1160,8 @@ def oracle_sql() -> dict[str, str]:
         for row in projection_matrix(64, 16, seed=1)
     ) + "]"
     return _ann_oracles() | {
+        "ivf_recall": _RECALL_GATE_SQL,
+        "pq_recall": _RECALL_GATE_SQL,
         "knn_euclid": _knn_oracle(where_q="vec_id % 50 = 0", dist=l2),
         "knn_euclid_gemm": _knn_oracle(where_q="vec_id % 50 = 0", dist=l2,
                                        cols="qid, id, rank"),

@@ -43,6 +43,8 @@ HEADLINE = [
     "ivf_knn",
     "pq_knn",
     "ivfpq_knn",
+    "ivf_recall",
+    "pq_recall",
     "groundtruth_pack",
     "recall_lowdim_vs_full",
     "recall_summary",
