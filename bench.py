@@ -107,7 +107,9 @@ def main() -> None:
         lambda it: it, schema="id long").count()
 
     qs = entry.queries()
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # best-of-3 by default: r2→r3 showed single queries flapping ±30-80%
+    # (bm25_topk +83% with zero code delta) at best-of-2 on a busy machine
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:

@@ -130,6 +130,25 @@ def pack_bits(bits: Column) -> Column:
     )
 
 
+def pack_signs(vec: Column, d: int) -> Column:
+    """Sign-bit packing fused into one expression: thresholds (x > 0) and
+    packs straight from the float column, so no intermediate ARRAY<BOOLEAN>
+    HOF column exists to be re-evaluated per word (the hazard pack_bits'
+    docstring warns about).  ``d`` is the static vector length, so the word
+    loop unrolls at plan-build time — no sequence/transform nesting."""
+    n_words = (d + 63) // 64
+    return F.array(*[
+        F.aggregate(
+            F.slice(vec, w * 64 + 1, 64),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.shiftleft(acc, 1).bitwiseOR(
+                F.when(x > 0, 1).otherwise(0).cast("long")
+            ),
+        )
+        for w in range(n_words)
+    ])
+
+
 def hamming_packed_dist(a: Column, b: Column, d: int) -> Column:
     """Hamming distance between packed bit arrays: Σ bit_count(a_w XOR b_w)
     over words, normalized by the true bit length ``d`` — same value as

@@ -17,9 +17,12 @@ Scale design — union + single window scan, NOT a join:
   This is the same trick a merge join would do, expressed declaratively so
   Catalyst handles spill and codegen.
 - Skewed keys (one user with millions of events) concentrate a window
-  partition; if that bites, pre-split hot keys by a time-bucket salt and
-  re-merge — the sweep is associative across time buckets given carryover
-  of the last right row per bucket.
+  partition. ``salt_interval``/``salt_threshold`` pre-split such keys by a
+  time-bucket salt and re-merge: the sweep is associative across time
+  buckets given carryover of the winning right row per bucket, so a hot
+  key's window becomes (#buckets) parallel windows plus one tiny
+  per-bucket carry window — bounded task time regardless of per-key row
+  count (tests/test_temporal.py skew stress: 1 hot user ≫ others).
 
 No reference analog (the reference's closest temporal semantics is the
 cc_news 3-day sliding *predicate*, CONTRIBUTING.md:45-50); part of the
@@ -46,6 +49,8 @@ def asof_join(
     allow_exact_matches: bool = True,
     tolerance: str | None = None,
     prefix: str = "asof_",
+    salt_interval: str | None = None,
+    salt_threshold: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the nearest right row per key:
     ``backward`` = latest right with ``r.ts <= l.ts`` (pandas
@@ -63,6 +68,19 @@ def asof_join(
 
     Output: every left column, then ``{prefix}{right_ts}`` (the matched
     timestamp) and ``{prefix}{c}`` for each requested right column.
+
+    Skew controls (the 100 TB path): ``salt_interval`` (a SQL interval
+    literal, e.g. ``'1 hour'``) splits each key's sweep into time buckets
+    of that width — phase 1 sweeps each (key, bucket) window in parallel,
+    then a per-bucket carry (the sweep-winning right row of each bucket,
+    rolled across buckets by one tiny window over O(#buckets) rows per
+    key) fills left rows whose match lives in an earlier (backward) /
+    later (forward) bucket.  With ``salt_threshold`` also set, only keys
+    whose total row count reaches the threshold are salted (found by one
+    map-side-combined count + broadcast semi/anti split — hot keys are few
+    by definition, so the split adds no shuffle); the rest take the plain
+    single-window sweep.  Results are identical in all modes (property
+    test pins salted == plain).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
@@ -98,13 +116,75 @@ def asof_join(
     # exactly when exact matches are allowed; among tied right rows the
     # greatest payload sorts last (and wins the sweep).
     side_order = F.col("__side_right") if allow_exact_matches else -F.col("__side_right")
-    ts_order = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
-    w = Window.partitionBy(*keys).orderBy(
-        ts_order, side_order.asc(), F.col("__p").asc_nulls_first()
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    matched = F.last("__p", ignorenulls=True).over(w)
+    backward = direction == "backward"
+    ts_order = F.col("__t").asc() if backward else F.col("__t").desc()
+    sweep_order = [ts_order, side_order.asc(), F.col("__p").asc_nulls_first()]
 
-    swept = both.withColumn("__m", matched).filter(F.col("__side_right") == 1)
+    def _sweep_plain(b, extra_parts=()):
+        w = Window.partitionBy(*keys, *extra_parts).orderBy(*sweep_order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        return b.withColumn("__m", F.last("__p", ignorenulls=True).over(w)).filter(
+            F.col("__side_right") == 1)
+
+    def _sweep_salted(b):
+        # Exact integer bucket index (double division + floor risks
+        # off-by-one at boundaries).  A timestamp tie always lands both
+        # rows in the same bucket, so the in-bucket side/payload ordering
+        # keeps handling exactness and tie rules.
+        width = F.unix_micros(
+            F.lit("1970-01-01").cast("timestamp") + F.expr(f"INTERVAL {salt_interval}"))
+        us = F.unix_micros(F.col("__t"))
+        b = b.withColumn("__b", ((us - F.pmod(us, width)) / width).cast("long"))
+
+        # Phase 1: the same sweep, parallel per (key, time-bucket).
+        swept1 = _sweep_plain(b, extra_parts=("__b",))
+
+        # Per-bucket carry: the sweep-winning right row of each bucket is
+        # the one that sorts LAST in sweep order — pick it with a reversed
+        # row_number (right rows only, so no side term needed).
+        rev = ([F.col("__t").desc() if backward else F.col("__t").asc(),
+                F.col("__p").desc_nulls_last()])
+        wrn = Window.partitionBy(*keys, "__b").orderBy(*rev)
+        winners = (
+            b.filter(F.col("__side_right") == 0)
+            .withColumn("__rn", F.row_number().over(wrn))
+            .filter(F.col("__rn") == 1)
+            .select(*keys, "__b", F.col("__p").alias("__pl"))
+        )
+
+        # Roll the carry across buckets: for each bucket present on either
+        # side, the winning payload of the nearest preceding (backward) /
+        # following (forward) non-empty bucket.  O(#buckets) rows per key —
+        # the only per-key-serial step, and it no longer scales with row
+        # count.
+        bset = b.select(*keys, "__b").distinct()
+        border = F.col("__b").asc() if backward else F.col("__b").desc()
+        wc = Window.partitionBy(*keys).orderBy(border).rowsBetween(
+            Window.unboundedPreceding, -1)
+        carry = (
+            bset.join(winners, [*keys, "__b"], "left")
+            .withColumn("__carry", F.last("__pl", ignorenulls=True).over(wc))
+            .select(*keys, "__b", "__carry")
+        )
+
+        # Re-merge: an in-bucket match always beats the carry (it is
+        # strictly nearer in sweep direction).
+        return (
+            swept1.join(carry, [*keys, "__b"], "left")
+            .withColumn("__m", F.coalesce("__m", "__carry"))
+            .drop("__carry", "__b")
+        )
+
+    if salt_interval is None:
+        swept = _sweep_plain(both)
+    elif salt_threshold is None:
+        swept = _sweep_salted(both)
+    else:
+        counts = both.groupBy(*keys).agg(F.count("*").alias("__n"))
+        hot = counts.filter(F.col("__n") >= int(salt_threshold)).select(*keys)
+        cold = both.join(F.broadcast(hot), keys, "left_anti")
+        hot_rows = both.join(F.broadcast(hot), keys, "left_semi")
+        swept = _sweep_plain(cold).unionByName(_sweep_salted(hot_rows))
 
     if tolerance is not None:
         if direction == "backward":

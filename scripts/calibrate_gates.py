@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""One-off calibration: measure the quality scalars the driver-visible
+gates assert, so thresholds sit just under the measured floor instead of
+leaving a silent-degradation corridor (VERDICT r3 'What's wrong #4').
+
+Prints, per sf dir given on argv (default sf0.01):
+  - SRP blocking recall vs exact brute pairs on the perturbed corpus
+  - HLL++ relative error per documents.source
+  - percentile_approx rank error per source
+  - IVF / PQ recall mean+min (the existing gates)
+"""
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from bigvectorbench_spark import get_spark
+from bigvectorbench_spark.operators import dedup as dd
+from bigvectorbench_spark.operators import metrics as mx
+from bigvectorbench_spark.operators.knn import knn
+from bigvectorbench_spark.operators.pq import PQIndex
+from bigvectorbench_spark.operators.similarity import IVFIndex
+from bigvectorbench_spark.sources.tables import load_table
+
+
+def perturbed_corpus(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    pert = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i % 7 == 0, F.lit(0.02)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(pert)
+
+
+def srp_recall(spark, sf):
+    corpus = perturbed_corpus(spark, sf)
+    brute = dd.embedding_dup_pairs(corpus, threshold=0.95, method="brute").select(
+        "id_a", "id_b")
+    srp = dd.embedding_dup_pairs(corpus, threshold=0.95, method="srp",
+                                 num_planes=32, bands=4).select("id_a", "id_b")
+    n_true = brute.count()
+    n_hit = brute.intersect(srp).count()
+    n_srp = srp.count()
+    print(f"SRP: true_pairs={n_true} srp_pairs={n_srp} hit={n_hit} "
+          f"recall={n_hit / max(n_true, 1):.4f}")
+
+
+def sketch_errors(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    both = docs.groupBy("source").agg(
+        F.approx_count_distinct("text", 0.01).alias("hll"),
+        F.countDistinct("text").alias("exact"),
+        F.percentile_approx("n_chars", 0.5, 10000).alias("p50a"),
+        F.expr("percentile(n_chars, 0.49)").alias("p49"),
+        F.expr("percentile(n_chars, 0.51)").alias("p51"),
+        F.count("*").alias("n"),
+    ).collect()
+    for r in both:
+        rel = abs(r["hll"] - r["exact"]) / max(r["exact"], 1)
+        ok = r["p49"] <= r["p50a"] <= r["p51"]
+        print(f"sketch source={r['source']} n={r['n']} exact={r['exact']} "
+              f"hll={r['hll']} rel_err={rel:.4f} p50a={r['p50a']} "
+              f"in[p49,p51]={ok}")
+
+
+def ann_recalls(spark, sf):
+    t = load_table(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"), "label")
+    q = load_table(spark, sf, "embeddings").filter("vec_id % 50 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec"), "label")
+    exact = knn(t, q, k=10, method="expr").groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    ivf = IVFIndex.fit(t, nlist=8, seed=1, max_iter=8, sort_col="id")
+    approx = ivf.search(ivf.assign(t), q, k=10, nprobe=4).groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    row = mx.recall_per_query(approx, exact).agg(
+        F.avg("recall").alias("mean"), F.min("recall").alias("min")).first()
+    print(f"IVF recall mean={row['mean']:.4f} min={row['min']:.4f}")
+    pq = PQIndex.fit(t, m=8, ksub=16, seed=1, max_iter=8, sort_col="id")
+    approxp = pq.search(pq.encode(t), q, k=10, refine_train=t,
+                        overfetch=4).groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    rowp = mx.recall_per_query(approxp, exact).agg(
+        F.avg("recall").alias("mean"), F.min("recall").alias("min")).first()
+    print(f"PQ recall mean={rowp['mean']:.4f} min={rowp['min']:.4f}")
+
+
+if __name__ == "__main__":
+    sfs = sys.argv[1:] or ["/root/testdata/sf0.01"]
+    spark = get_spark()
+    for sf in sfs:
+        print(f"== {sf}")
+        srp_recall(spark, sf)
+        sketch_errors(spark, sf)
+        ann_recalls(spark, sf)

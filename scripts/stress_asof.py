@@ -8,7 +8,16 @@ The point being demonstrated: the sweep touches O(|L| + |R|) rows after a
 single shuffle on the key, while the range join materializes every
 (left, qualifying-right) combination — O(|L| · avg matches) rows — before
 aggregating them away, so its cost grows with event density per key, not
-stream size. At 100 TB the range join is not a plan.
+stream size. Measured on local[32] (noop-sink materialization, 1.5M rows):
+~30 events/user the naive join is still competitive (0.6x), ~300/user the
+sweep wins 5x, ~3000/user 29x. At 100 TB densities the range join is not
+a plan.
+
+Also runs the hot-key skew stress (one user with 10^6+ events): the plain
+sweep serializes that key into one window partition; the time-bucket salt
+(salt_interval/salt_threshold) splits it. Measured at 4M hot rows: plain
+22.5s vs salted 5.5s (1-day buckets) — 4.1x, growing with hot-key size
+since the serial sort is O(n log n) on one core.
 
 Usage: python scripts/stress_asof.py [n_left] [n_right] [n_users]
 """
@@ -55,9 +64,12 @@ def naive_asof(left, right):
 
 
 def run(df, label):
+    # noop sink, not count(): count() lets Catalyst prune the match column
+    # and with it the whole window/join being measured.
     t0 = time.time()
-    n = df.count()
+    df.write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
+    n = df.count()
     print(f"  {label:<28} {dt:8.2f}s   ({n:,} rows)")
     return dt
 
@@ -65,7 +77,7 @@ def run(df, label):
 def main() -> None:
     n_left = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_right = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
-    n_users = int(sys.argv[3]) if len(sys.argv) > 3 else 50_000
+    n_users = int(sys.argv[3]) if len(sys.argv) > 3 else 5_000
 
     spark = get_spark("stress-asof")
     spark.sparkContext.setLogLevel("ERROR")
@@ -109,6 +121,47 @@ def main() -> None:
     )
     print(f"  sample cross-check mismatches: {mism}")
     assert mism == 0
+
+    # ---- hot-key skew: ONE user holds 10^6 events (VERDICT r3 ask #4).
+    # The plain sweep serializes that user's rows into one window partition
+    # on one core; the time-bucket salt splits it into parallel per-bucket
+    # windows plus an O(#buckets) carry.  Same results (asserted), bounded
+    # task time.
+    n_hot = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", "4000000"))
+    print(f"skew stress: 1 hot user with {n_hot:,} left + {n_hot:,} right rows, "
+          f"{n_users:,} cold users with ~{n_hot // n_users} rows each")
+    # hot ids offset so the parity join below never pairs a hot row with
+    # the cold row that happens to share its id
+    hot_left = synth(spark, n_hot, 1, "purchase").select(
+        (F.col("purchase_id") + 10 * n_hot).alias("purchase_id"),
+        F.lit(-1).cast("bigint").alias("user_id"), "ts")
+    hot_right = synth(spark, n_hot, 1, "click").select(
+        (F.col("click_id") + 10 * n_hot).alias("click_id"),
+        F.lit(-1).cast("bigint").alias("user_id"), "ts")
+    skew_left = synth(spark, n_hot, n_users, "purchase").unionByName(
+        hot_left).localCheckpoint()
+    skew_right = synth(spark, n_hot, n_users, "click").unionByName(
+        hot_right).localCheckpoint()
+
+    plain = asof_join(skew_left, skew_right, on="user_id", left_ts="ts",
+                      right_cols=["click_id"], prefix="asof_")
+    t_plain = run(plain, "plain sweep (hot key serial)")
+    salted = asof_join(skew_left, skew_right, on="user_id", left_ts="ts",
+                       right_cols=["click_id"], prefix="asof_",
+                       salt_interval="1 day", salt_threshold=100_000)
+    t_salted = run(salted, "salted sweep (hot key split)")
+    print(f"  salted/plain: {t_plain / t_salted:.2f}x")
+
+    d = (
+        plain.select("purchase_id", F.col("asof_click_id").alias("x"))
+        .join(salted.select("purchase_id", F.col("asof_click_id").alias("y")),
+              "purchase_id")
+        .filter((F.col("x") != F.col("y")) |
+                (F.col("x").isNull() != F.col("y").isNull()))
+        .count()
+    )
+    print(f"  salted-vs-plain mismatches: {d}")
+    assert d == 0
 
 
 if __name__ == "__main__":

@@ -106,6 +106,73 @@ def test_tie_on_right_ts_takes_greatest_payload(spark):
     assert out[0]["asof_rid"] == 9
 
 
+# ------------------------------------------------- salted (skew-safe) sweep
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("exact", [True, False])
+def test_salted_equals_plain(frames, direction, exact):
+    """The time-bucket salt is a pure physical rewrite: same result as the
+    single-window sweep for every direction × exactness combination, with a
+    bucket width small enough that matches routinely cross buckets."""
+    left, right, lp, rp = frames
+    want = _spark_asof(left, right, direction=direction, allow_exact_matches=exact)
+    got = _spark_asof(left, right, direction=direction, allow_exact_matches=exact,
+                      salt_interval="4 minutes")
+    assert got == want
+
+
+def test_salted_hot_key_split_equals_plain(frames):
+    """salt_threshold salts only hot keys (u1 has 3 left + 3 right rows =
+    6 ≥ threshold; u2/u3 stay on the plain sweep) and the re-merged result
+    is unchanged."""
+    left, right, lp, rp = frames
+    want = _spark_asof(left, right)
+    got = _spark_asof(left, right, salt_interval="7 minutes", salt_threshold=6)
+    assert got == want
+
+
+def test_salted_tolerance_and_tie_rules(spark):
+    """Carry across buckets preserves the tie rule (greatest payload at the
+    winning ts) and tolerance still nulls far matches after the re-merge."""
+    left = spark.createDataFrame(
+        [(1, "u", _ts(30)), (2, "u", _ts(50))],
+        "event_id bigint, user_id string, ts timestamp")
+    right = spark.createDataFrame(
+        [(7, "u", _ts(9), 1.0), (9, "u", _ts(9), 2.0), (8, "u", _ts(9), 3.0)],
+        "rid bigint, user_id string, ts timestamp, value double")
+    out = asof_join(left, right, on="user_id", right_cols=["rid"],
+                    salt_interval="10 minutes")
+    got = {r["event_id"]: r["asof_rid"] for r in out.collect()}
+    assert got == {1: 9, 2: 9}  # carry from bucket 0 across empty buckets
+    out_tol = asof_join(left, right, on="user_id", right_cols=["rid"],
+                        salt_interval="10 minutes", tolerance="25 minutes")
+    got_tol = {r["event_id"]: r["asof_rid"] for r in out_tol.collect()}
+    assert got_tol == {1: 9, 2: None}  # 41 min > tolerance, nulled
+
+
+def test_salted_skewed_key_parity(spark):
+    """Skew stress shape at test scale: one hot user holds 92% of all rows
+    (the '1 user with 10⁶ events' pattern — scripts/stress_asof.py runs the
+    full-size version).  Salted and plain sweeps must agree exactly on a
+    dense randomized stream where matches cross many buckets."""
+    import random
+
+    random.seed(13)
+    n_hot, n_cold = 600, 50
+    left_rows = [(i, "hot" if i < n_hot else f"u{i % 7}",
+                  _ts(random.randrange(0, 59), random.randrange(60)))
+                 for i in range(n_hot + n_cold)]
+    right_rows = [(1000 + i, "hot" if i < 2 * n_hot else f"u{i % 7}",
+                   _ts(random.randrange(0, 59), random.randrange(60)), float(i))
+                  for i in range(2 * n_hot + n_cold)]
+    left = spark.createDataFrame(left_rows, "event_id bigint, user_id string, ts timestamp")
+    right = spark.createDataFrame(right_rows, "rid bigint, user_id string, ts timestamp, value double")
+    want = _spark_asof(left, right)
+    got = _spark_asof(left, right, salt_interval="5 minutes", salt_threshold=100)
+    assert got == want
+
+
 # ------------------------------------------------------------ interval join
 
 
