@@ -670,8 +670,10 @@ def q_doclen_percentiles(spark, sf):
 def q_corpus_stats_approx(spark, sf):
     """Sketch-based corpus profiling — HLL++ distinct counts and KLL-style
     approximate quantiles, the O(1)-memory form that replaces exact
-    distinct/percentile at 100 TB.  Sketches are engine-specific:
-    rows-only check (accuracy asserted vs exact in tests)."""
+    distinct/percentile at 100 TB.  Sketch values are engine-specific so
+    this stays rows-only; the in-window ``sketch_bounds`` gate asserts the
+    same sketches sit within published error bounds of the exact answers,
+    making a sketch defect driver-visible."""
     docs = load_table(spark, sf, "documents")
     return docs.groupBy("source").agg(
         F.approx_count_distinct("text", 0.01).alias("n_distinct_texts_approx"),
