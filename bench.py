@@ -45,6 +45,8 @@ HEADLINE = [
     "ivfpq_knn",
     "ivf_recall",
     "pq_recall",
+    "srp_recall",
+    "sketch_bounds",
     "groundtruth_pack",
     "recall_lowdim_vs_full",
     "recall_summary",

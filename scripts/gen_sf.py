@@ -55,9 +55,25 @@ def _ts(col_us: np.ndarray) -> pa.Array:
     return pa.array(col_us, type=pa.timestamp("us"))
 
 
-def write(outdir: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(outdir, f"{name}.parquet"))
-    print(f"  {name}: {table.num_rows:,} rows", file=sys.stderr)
+def write(outdir: str, name: str, table: pa.Table, shards: int = 1) -> None:
+    """Write one table; large tables shard into a ``<name>.parquet/``
+    directory of part files.  A single tiny file is an artifact no real
+    dataset at scale has — it caps Spark's scan parallelism at 1-2 tasks,
+    which starves compute-heavy scans (a 20k×64-d kNN corpus is KBs of
+    bytes but seconds of FLOPs).  Sharding restores the file-granular
+    parallelism a production table layout provides for free."""
+    path = os.path.join(outdir, f"{name}.parquet")
+    if shards <= 1:
+        pq.write_table(table, path)
+    else:
+        os.makedirs(path, exist_ok=True)
+        n = table.num_rows
+        for s in range(shards):
+            lo, hi = s * n // shards, (s + 1) * n // shards
+            pq.write_table(table.slice(lo, hi - lo),
+                           os.path.join(path, f"part-{s:05d}.parquet"))
+    print(f"  {name}: {table.num_rows:,} rows ({max(shards, 1)} file(s))",
+          file=sys.stderr)
 
 
 def generate(sf: float, outdir: str, seed: int = 42) -> None:
@@ -116,7 +132,7 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
         "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
         "o_orderdate": _ts(odate),
         "o_orderpriority": np.array(PRIORITIES)[rng.randint(0, 5, n_ord)],
-    }))
+    }), shards=1 if n_ord < 500_000 else 8)
     lok = rng.randint(0, max(n_ord, 1), n_li).astype(np.int64)
     sdate = odate[lok] + rng.randint(1, 95, n_li).astype(np.int64) * DAY_US
     write(outdir, "lineitem", pa.table({
@@ -131,7 +147,7 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
         "l_returnflag": np.array(["R", "A", "N"])[rng.randint(0, 3, n_li)],
         "l_linestatus": np.array(["O", "F"])[rng.randint(0, 2, n_li)],
         "l_shipdate": _ts(np.minimum(sdate, span + 94 * DAY_US)),
-    }))
+    }), shards=1 if n_li < 2_000_000 else 32)
 
     gaps = rng.exponential(30 * DAY_US / max(n_ev, 1), n_ev)
     ets = EPOCH_2024 + np.cumsum(gaps).astype(np.int64)
@@ -142,7 +158,7 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
         "event_type": np.array(EVENT_TYPES)[rng.randint(0, 5, n_ev)],
         "value": np.round(np.abs(rng.randn(n_ev)) * 127, 2),
         "props": [f'{{"k": {k}}}' for k in rng.randint(0, 100, n_ev)],
-    }))
+    }), shards=1 if n_ev < 500_000 else 8)
 
     lens = rng.randint(10, 101, n_doc)
     words = np.array(VOCAB)[rng.randint(0, len(VOCAB), int(lens.sum()))]
@@ -156,14 +172,14 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
         "lang": np.array(LANGS)[rng.choice(5, n_doc, p=LANG_P)],
         "source": [f"src{i % 20}" for i in range(n_doc)],
         "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
-    }))
+    }), shards=1 if n_doc < 16_000 else 32)
 
     emb = (rng.randn(n_emb, 64) * 0.13).astype(np.float32)
     write(outdir, "embeddings", pa.table({
         "vec_id": np.arange(n_emb, dtype=np.int64),
         "embedding": pa.array(list(emb), pa.list_(pa.float32())),
         "label": pa.array(rng.randint(0, 10, n_emb), pa.int32()),
-    }))
+    }), shards=1 if n_emb < 16_000 else 32)
 
     meta = {"sf": sf, "seed": seed, "generator": "scripts/gen_sf.py"}
     with open(os.path.join(outdir, "GENERATED.json"), "w") as f:

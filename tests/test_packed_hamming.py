@@ -50,3 +50,22 @@ def test_prepacked_table(spark):
         assert i == qid and dist == 0.0
     with pytest.raises(ValueError):
         knn_ops.knn_hamming_packed(packed, q, k=1, packed=True)  # d required
+
+
+def test_pack_signs_matches_pack_bits_composition(spark):
+    """pack_signs (fused threshold+pack straight from the float column) is
+    bit-identical to pack_bits applied to the thresholded booleans, at word
+    boundaries and odd tails."""
+    rng = np.random.RandomState(5)
+    for d in (1, 63, 64, 65, 128, 130):
+        X = (rng.randn(20, d) * 0.5).astype(np.float64)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(20)],
+            "id bigint, vec array<double>")
+        fused = df.select("id", dx.pack_signs(F.col("vec"), d).alias("w"))
+        twostep = df.select(
+            "id",
+            dx.pack_bits(F.transform("vec", lambda x: x > 0)).alias("w"))
+        a = {r["id"]: r["w"] for r in fused.collect()}
+        b = {r["id"]: r["w"] for r in twostep.collect()}
+        assert a == b, d
