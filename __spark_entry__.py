@@ -543,9 +543,10 @@ def q_quality_deciles(spark, sf):
 
     Scale note: exact equal-size deciles require a global ordering (one
     window partition) — fine for the aggregate report here, but to *tag*
-    100 TB of rows with deciles, compute approx quantile thresholds
-    (percentile_approx) and bucket by comparison instead; that plan is
-    embarrassingly parallel and q_corpus_stats_approx shows the sketch."""
+    100 TB of rows with deciles the plan is
+    ``metrics.approx_quantile_buckets`` (percentile_approx thresholds +
+    broadcast comparison, no global sort) — declared as
+    ``quality_tags_approx`` and pinned to this ntile form in tests."""
     from pyspark.sql import Window
 
     tokenized = _docs_wide(spark, sf).select(
@@ -679,6 +680,24 @@ def q_corpus_stats_approx(spark, sf):
         F.approx_count_distinct("text", 0.01).alias("n_distinct_texts_approx"),
         F.percentile_approx("n_chars", 0.5, 10000).alias("p50_chars_approx"),
         F.count("*").alias("n_docs"),
+    )
+
+
+def q_quality_tags_approx(spark, sf):
+    """The 100 TB decile-tagging plan (quality_deciles' scale twin): KLL
+    quantile thresholds + broadcast comparison tag every row with no
+    global sort.  Threshold values are sketch-dependent → rows-only; the
+    ntile agreement is pinned in test_groundtruth_metrics."""
+    tokenized = _docs_wide(spark, sf).select(
+        "doc_id", F.col("text"), tx.tokens(F.col("text")).alias("tk"))
+    scored = tokenized.select(
+        "doc_id",
+        F.round(tx.quality_score_from_tokens(F.col("tk"), F.col("text")), 6).alias("q"))
+    tagged = mx.approx_quantile_buckets(scored, "q", n_buckets=10, out_col="decile")
+    return tagged.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        (F.round(F.sum(F.col("q").cast("decimal(18,6)")), 6).cast("double")
+         / F.count("*")).alias("mean_q"),
     )
 
 
@@ -1066,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
+        "quality_tags_approx": q_quality_tags_approx,
     }
 
 

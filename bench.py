@@ -80,6 +80,7 @@ HEADLINE = [
     "clicks_before_purchase",
     "lang_pivot",
     "quality_deciles",
+    "quality_tags_approx",
     "peak_events",
     "doclen_percentiles",
     "corpus_stats_approx",

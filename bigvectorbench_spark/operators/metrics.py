@@ -111,3 +111,35 @@ def pareto_frontier(points: DataFrame, x: str, y: str) -> DataFrame:
         .filter(F.col("_best").isNull() | (F.col(x) > F.col("_best")))
         .drop("_best")
     )
+
+
+def approx_quantile_buckets(
+    df: DataFrame,
+    col: str,
+    *,
+    n_buckets: int = 10,
+    accuracy: int = 10_000,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Tag every row with an approximate quantile bucket (1..n_buckets) —
+    the 100 TB replacement for global ``ntile``.
+
+    ``ntile`` needs a single global ordering (one window partition, one
+    core, all rows).  This plan instead computes the n_buckets−1 quantile
+    thresholds with ``percentile_approx`` (one map-side-combined aggregate,
+    KLL-sketch sized O(accuracy)) and tags each row by comparison against
+    the broadcast threshold array — embarrassingly parallel, no global
+    sort, rank error bounded by n/accuracy per threshold.
+
+    Semantics vs ntile: rows equal to a threshold land in the LOWER bucket
+    (strict ``>`` comparison), so exact ties never straddle buckets —
+    bucket sizes are equal up to tie mass + sketch rank error, while ntile
+    splits ties arbitrarily to force exact equality of counts."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    th = df.agg(
+        F.percentile_approx(F.col(col), F.lit(probs), F.lit(accuracy)).alias("_th"))
+    tagged = df.crossJoin(F.broadcast(th)).withColumn(
+        out_col,
+        (F.lit(1) + F.size(F.filter("_th", lambda t: F.col(col) > t))).cast("bigint"),
+    )
+    return tagged.drop("_th")

@@ -126,3 +126,40 @@ def test_pareto_frontier(spark):
         (r["recall"], r["qps"]) for r in M.pareto_frontier(pts, x="recall", y="qps").collect()
     )
     assert got == [(0.5, 100.0), (0.6, 90.0), (0.9, 50.0), (0.95, 10.0)]
+
+
+def test_approx_quantile_buckets_vs_ntile(spark):
+    """The parallel threshold-tagging plan agrees with global ntile within
+    one bucket on unique values (boundary elements may legally differ by
+    one: ntile forces exact counts, thresholds keep ties together), and
+    bucket sizes stay balanced."""
+    import numpy as np
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    rng = np.random.RandomState(11)
+    vals = rng.permutation(1000).astype(float)  # unique -> no tie mass
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id bigint, q double")
+    got = {r["id"]: r["bucket"]
+           for r in M.approx_quantile_buckets(df, "q", n_buckets=10).collect()}
+    w = Window.orderBy(F.col("q"), F.col("id"))
+    want = {r["id"]: r["nt"] for r in
+            df.withColumn("nt", F.ntile(10).over(w)).collect()}
+    assert all(abs(got[i] - want[i]) <= 1 for i in got)
+    assert sum(got[i] != want[i] for i in got) <= 20  # boundary rows only
+    from collections import Counter
+    sizes = Counter(got.values())
+    assert set(sizes) == set(range(1, 11))
+    assert all(80 <= n <= 120 for n in sizes.values())
+
+
+def test_approx_quantile_buckets_ties_stay_together(spark):
+    """Rows with equal values always share a bucket (strict > comparison) —
+    the semantic ntile cannot offer."""
+    df = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(300)], "id bigint, q double")
+    out = M.approx_quantile_buckets(df, "q", n_buckets=4)
+    per_val = out.groupBy("q").agg(
+        F.countDistinct("bucket").alias("nb")).collect()
+    assert all(r["nb"] == 1 for r in per_val)
