@@ -820,9 +820,12 @@ def q_srp_recall(spark, sf):
     TRUE.  Measured recall is 1.0 at sf0.001/0.01 (twin pairs collide in
     ≥1 of 4 bands w.p. ≈0.9995; scripts/calibrate_gates.py); threshold 0.9
     so any banding/signature defect — which craters recall toward 0 —
-    fails the driver gate."""
+    fails the driver gate.  The exact side runs the broadcast-GEMM method
+    (same pair set as the expression brute — pinned in test_dedup — at a
+    fraction of the cost; pair classification is rounding-safe because no
+    pair sits within 0.4 of the threshold)."""
     corpus = _perturbed_corpus(spark, sf)
-    brute = dd.embedding_dup_pairs(corpus, threshold=0.95, method="brute").select(
+    brute = dd.embedding_dup_pairs(corpus, threshold=0.95, method="gemm").select(
         "id_a", "id_b")
     srp = dd.embedding_dup_pairs(corpus, threshold=0.95, method="srp",
                                  num_planes=32, bands=4).select(

@@ -421,6 +421,13 @@ def embedding_dup_pairs(
 
     ``method="brute"``: exact pairwise (id_a < id_b) — the correctness oracle
     form, quadratic, for modest n.
+    ``method="gemm"``: exact like brute, but each Arrow batch scores
+    against the full broadcast unit matrix in one numpy GEMM instead of a
+    per-pair expression join — same pairs, float64 algebra folds differ at
+    ~1e-15 so emitted cosines are equal after the usual 6-dp rounding
+    unless a pair sits exactly on a rounding boundary.  Bounded by the
+    broadcast (n × d doubles) and the per-batch score block (batch × n);
+    for corpora past ~10^5 rows use ``srp``.
     ``method="srp"``: sign-random-projection LSH — ``num_planes`` hyperplane
     sign bits split into ``bands`` bucket keys; only same-bucket pairs are
     scored, then exactly verified.  The scale path: shuffle is O(candidates).
@@ -441,6 +448,40 @@ def embedding_dup_pairs(
             )
             .filter(F.col("cosine") >= threshold)
         )
+    if method == "gemm":
+        rows = unit.orderBy("id").collect()
+        if len(rows) > 200_000:
+            raise ValueError(
+                f"gemm all-pairs broadcasts the corpus ({len(rows)} rows > "
+                "200k) — use method='srp' at this size")
+        ids_all = np.array([r["id"] for r in rows], dtype=np.int64)
+        U = np.array([r["u"] for r in rows], dtype=np.float64)
+        bc = base.sparkSession.sparkContext.broadcast((ids_all, U))
+        thr = float(threshold)
+
+        def _score(batches):
+            import pyarrow as pa
+
+            ids_b, Ub = bc.value
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                ids = batch.column("id").to_numpy()
+                X = (batch.column("u").flatten().to_numpy(zero_copy_only=False)
+                     .astype(np.float64, copy=False).reshape(n, -1))
+                S = X @ Ub.T
+                ii, jj = np.nonzero((S >= thr) & (ids[:, None] < ids_b[None, :]))
+                if len(ii) == 0:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids[ii]), pa.array(ids_b[jj]),
+                     pa.array(S[ii, jj])],
+                    ["id_a", "id_b", "cosine"],
+                )
+
+        return unit.mapInArrow(
+            _score, "id_a bigint, id_b bigint, cosine double")
     if method != "srp":
         raise ValueError(f"unknown method {method!r}")
 

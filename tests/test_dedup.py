@@ -113,6 +113,19 @@ def test_embedding_dups_brute(vectors):
     assert (0, 1) in got and (6, 7) in got
 
 
+def test_embedding_dups_gemm_matches_brute(vectors):
+    """The broadcast-GEMM exact method finds the identical pair set and
+    cosines within float fold noise of the expression-join brute."""
+    V, df = vectors
+    brute = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             dd.embedding_dup_pairs(df, threshold=0.98, method="brute").collect()}
+    gemm = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+            dd.embedding_dup_pairs(df, threshold=0.98, method="gemm").collect()}
+    assert set(gemm) == set(brute)
+    for k in brute:
+        assert abs(gemm[k] - brute[k]) < 1e-12
+
+
 def test_embedding_dups_srp_no_false_positives(vectors):
     V, df = vectors
     exact = _cos_pairs(V, 0.98)
