@@ -123,3 +123,19 @@ def test_asof_join_is_single_shuffle_window(spark):
               "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert j not in plan
     assert "Window" in plan and "Union" in plan
+
+
+def test_approx_quantile_buckets_has_no_global_sort(spark):
+    """The decile-tagging scale plan: thresholds via one aggregate, tags
+    via a broadcast nested-loop of a 1-row frame — no Window, no global
+    Sort, no shuffle of the tagged rows."""
+    from bigvectorbench_spark.operators.metrics import approx_quantile_buckets
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               "id bigint, q double")
+    plan = plan_of(approx_quantile_buckets(df, "q"))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only Sort allowed is inside the percentile aggregate, which the
+    # physical plan does not surface as a Sort node
+    assert "Sort " not in plan
