@@ -166,6 +166,24 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
     for ln in lens:
         texts.append(" ".join(words[pos:pos + ln]))
         pos += ln
+    # Plant duplicates at driver-like rates (the shipped sf0.1 documents
+    # contain exact-dup rows and near-dup pairs — without them the dedup
+    # family verifies candidates but never emits, which is not the
+    # workload).  2% exact copies; 3% near copies with ~2% of tokens
+    # swapped (shingle jaccard ≈ 0.9, above both the 0.5 and 0.8
+    # thresholds the declared queries use).
+    n_exact_dup = n_doc // 50
+    n_near_dup = 3 * n_doc // 100
+    victims = rng.choice(n_doc, n_exact_dup + n_near_dup, replace=False)
+    sources_ = rng.randint(0, n_doc, n_exact_dup + n_near_dup)
+    for v, s in zip(victims[:n_exact_dup], sources_[:n_exact_dup]):
+        texts[v] = texts[s]
+    for v, s in zip(victims[n_exact_dup:], sources_[n_exact_dup:]):
+        tk = texts[s].split()
+        swap = rng.rand(len(tk)) < 0.02
+        for i in np.flatnonzero(swap):
+            tk[i] = VOCAB[rng.randint(0, len(VOCAB))]
+        texts[v] = " ".join(tk)
     write(outdir, "documents", pa.table({
         "doc_id": np.arange(n_doc, dtype=np.int64),
         "text": texts,
