@@ -40,6 +40,7 @@ HEADLINE = [
     "mv_knn_fused",
     "mm_knn",
     "jl_knn",
+    "hnsw_knn",
     "ivf_knn",
     "pq_knn",
     "ivfpq_knn",

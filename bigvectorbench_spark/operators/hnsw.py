@@ -1,0 +1,325 @@
+"""HNSW graph index, re-expressed for Spark's execution model.
+
+The reference benchmarks HNSW through client libraries (milvus
+module.py:662-686, redis module.py:315-352, weaviate module.py:331-395,
+elasticsearch module.py:386-412, pgvector module.py:171-208) — a
+single-process, pointer-chasing, low-latency *serving* structure.  A
+literal port is anti-idiomatic for batch Spark (BASELINE.json), but the
+capability — graph-ANN recall/QPS trade-offs — maps cleanly onto the
+architecture every distributed ANN system actually ships: **shard-local
+graphs + global merge** (one HNSW per data shard; queries fan out to all
+shards; per-shard top-k unions into the global top-k).
+
+- **Build** is embarrassingly parallel: each partition constructs an HNSW
+  over its own rows (pure-numpy insert loop, no external libs) and emits
+  one serialized artifact row ``(shard_id, n, payload binary)`` — the M2
+  "index build" product, storable as parquet and reloadable.
+- **Search** broadcasts the query block, deserializes each shard's graph
+  once per task, beam-searches every query (ef), and emits per-shard
+  top-k; a single ``topk_window`` merge yields the global result.
+  Shuffle: O(shards · q · k) candidate rows — queries never join the
+  corpus.
+- **Exactness escape hatch**: with ``ef >= shard size`` the beam visits
+  every reachable node, and construction guarantees connectivity from the
+  entry point, so search is EXACT per shard and the merged result equals
+  brute-force kNN — the property the tests pin (an approximate index you
+  can drive to exactness is testable without recall hand-waving).
+
+Algorithm per shard is the published HNSW (Malkov & Yashunin 2016,
+arXiv:1603.09320): geometric level assignment (mL = 1/ln(M)), greedy
+descent through upper layers with ef=1, beam search with efConstruction
+at layers ≤ node level, M nearest as neighbors, degree capped at M_max
+(2M at layer 0) by distance-order pruning.
+"""
+
+from __future__ import annotations
+
+import heapq
+import io
+import pickle
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from bigvectorbench_spark.operators.knn import topk_window
+
+
+# ------------------------------------------------------------- shard engine
+
+
+class _ShardHNSW:
+    """In-memory HNSW over one shard's vectors (numpy, no deps)."""
+
+    def __init__(self, m: int = 8, ef_construction: int = 64, seed: int = 1):
+        self.m = m
+        self.m0 = 2 * m
+        self.efc = ef_construction
+        self.ml = 1.0 / np.log(m)
+        self.rng = np.random.RandomState(seed)
+        self.X = None          # (n, d) float64
+        self.ids = None        # (n,) int64
+        self.levels: list[int] = []
+        self.links: list[list[list[int]]] = []  # node -> level -> neighbors
+        self.entry = -1
+        self.max_level = -1
+
+    # -- distances ---------------------------------------------------------
+
+    def _d(self, q, idxs):
+        diff = self.X[idxs] - q
+        return np.einsum("ij,ij->i", diff, diff)
+
+    # -- search ------------------------------------------------------------
+
+    def _greedy(self, q, start, level):
+        cur = start
+        cur_d = float(self._d(q, [cur])[0])
+        improved = True
+        while improved:
+            improved = False
+            nbrs = self.links[cur][level]
+            if nbrs:
+                ds = self._d(q, nbrs)
+                j = int(np.argmin(ds))
+                if ds[j] < cur_d:
+                    cur, cur_d = nbrs[j], float(ds[j])
+                    improved = True
+        return cur, cur_d
+
+    def _beam(self, q, starts, level, ef):
+        """Best-first beam search; returns [(dist, node)] sorted ascending."""
+        starts_l = list(starts)
+        visited = set(starts_l)
+        ds = self._d(q, starts_l)
+        cand = [(float(d), n) for d, n in zip(ds, starts_l)]   # min-heap
+        heapq.heapify(cand)
+        best = [(-float(d), n) for d, n in zip(ds, starts_l)]  # max-heap of ef
+        heapq.heapify(best)
+        while len(best) > ef:
+            heapq.heappop(best)
+        while cand:
+            d, n = heapq.heappop(cand)
+            if d > -best[0][0] and len(best) >= ef:
+                break
+            nbrs = [x for x in self.links[n][level] if x not in visited]
+            if not nbrs:
+                continue
+            visited.update(nbrs)
+            nds = self._d(q, nbrs)
+            for nd, nn in zip(nds, nbrs):
+                nd = float(nd)
+                if len(best) < ef or nd < -best[0][0]:
+                    heapq.heappush(cand, (nd, nn))
+                    heapq.heappush(best, (-nd, nn))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+        return sorted((-b, n) for b, n in best)
+
+    def search(self, q, k: int, ef: int):
+        if self.entry < 0:
+            return []
+        cur = self.entry
+        for level in range(self.max_level, 0, -1):
+            cur, _ = self._greedy(q, cur, level)
+        out = self._beam(q, {cur}, 0, max(ef, k))
+        return out[:k]
+
+    # -- build -------------------------------------------------------------
+
+    def _select(self, q, cands, m):
+        """m nearest by distance (simple neighbor selection)."""
+        ds = self._d(q, cands)
+        order = np.argsort(ds, kind="stable")[:m]
+        return [cands[i] for i in order]
+
+    def fit(self, ids: np.ndarray, X: np.ndarray):
+        n = len(ids)
+        self.ids = ids.astype(np.int64)
+        self.X = X.astype(np.float64)
+        lvls = (-np.log(self.rng.uniform(1e-12, 1.0, n)) * self.ml).astype(int)
+        self.levels = lvls.tolist()
+        self.links = [[[] for _ in range(lv + 1)] for lv in lvls]
+        for i in range(n):
+            self._insert(i)
+        self._repair_connectivity()
+        return self
+
+    def _repair_connectivity(self):
+        """Degree pruning can drop every in-link of a node, making it
+        unreachable (the known HNSW orphaning hazard).  Re-attach each
+        orphan to its nearest reachable node at layer 0 — the host's
+        degree may exceed the cap by the attachments, which only widens
+        its beam fan-out.  Guarantees: every node reachable from the
+        entry, so beam search with ef >= n is EXACT (the test pin)."""
+        n = len(self.ids)
+        if n == 0 or self.entry < 0:
+            return
+        seen = np.zeros(n, dtype=bool)
+        stack = [self.entry]
+        seen[self.entry] = True
+        while stack:
+            u = stack.pop()
+            for v in self.links[u][0]:
+                if not seen[v]:
+                    seen[v] = True
+                    stack.append(v)
+        missing = np.flatnonzero(~seen)
+        if len(missing) == 0:
+            return
+        reach = np.flatnonzero(seen)
+        for u in missing:
+            ds = self._d(self.X[u], reach)
+            host = int(reach[int(np.argmin(ds))])
+            self.links[host][0].append(int(u))
+        # orphans' own out-links may chain to other orphans; one marking
+        # pass from the attached set covers them
+        stack = [int(u) for u in missing]
+        seen[missing] = True
+        while stack:
+            u = stack.pop()
+            for v in self.links[u][0]:
+                if not seen[v]:
+                    seen[v] = True
+                    stack.append(v)
+        assert bool(seen.all()), "connectivity repair incomplete"
+
+    def _insert(self, i):
+        lv = self.levels[i]
+        if self.entry < 0:
+            self.entry, self.max_level = i, lv
+            return
+        q = self.X[i]
+        cur = self.entry
+        for level in range(self.max_level, lv, -1):
+            cur, _ = self._greedy(q, cur, level)
+        for level in range(min(lv, self.max_level), -1, -1):
+            found = self._beam(q, {cur}, level, self.efc)
+            cands = [n for _, n in found]
+            mmax = self.m0 if level == 0 else self.m
+            nbrs = self._select(q, cands, self.m)
+            self.links[i][level] = list(nbrs)
+            for nb in nbrs:
+                lk = self.links[nb][level]
+                lk.append(i)
+                if len(lk) > mmax:
+                    self.links[nb][level] = self._select(self.X[nb], lk, mmax)
+            cur = cands[0]
+        if lv > self.max_level:
+            self.entry, self.max_level = i, lv
+
+    # -- (de)serialization -------------------------------------------------
+
+    def dumps(self) -> bytes:
+        buf = io.BytesIO()
+        pickle.dump(
+            {"m": self.m, "efc": self.efc, "ids": self.ids,
+             "X": self.X.astype(np.float32), "levels": self.levels,
+             "links": self.links, "entry": self.entry,
+             "max_level": self.max_level},
+            buf, protocol=4)
+        return buf.getvalue()
+
+    @classmethod
+    def loads(cls, payload: bytes) -> "_ShardHNSW":
+        d = pickle.loads(payload)
+        g = cls(m=d["m"], ef_construction=d["efc"])
+        g.ids, g.X = d["ids"], d["X"].astype(np.float64)
+        g.levels, g.links = d["levels"], d["links"]
+        g.entry, g.max_level = d["entry"], d["max_level"]
+        return g
+
+
+# ------------------------------------------------------------ Spark surface
+
+
+def build_hnsw_shards(
+    train: DataFrame,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    m: int = 8,
+    ef_construction: int = 64,
+    num_shards: int | None = None,
+    seed: int = 1,
+) -> DataFrame:
+    """One HNSW graph per shard → artifact DataFrame
+    ``(shard_id int, n bigint, payload binary)``.
+
+    Shards by ``pmod(hash(id))`` so rebuilds are deterministic.  Each
+    build task is independent — on a cluster, shard count tracks
+    executor count and build time is corpus/shards, the same contract as
+    every sharded ANN serving system.  Persist with
+    ``df.write.parquet(...)`` — this IS the M2 index artifact."""
+    sess = train.sparkSession
+    if num_shards is None:
+        num_shards = max(2, sess.sparkContext.defaultParallelism // 4)
+
+    src = train.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(num_shards)).alias("shard_id"),
+    ).repartition(num_shards, "shard_id")
+
+    def _build(pdf_iter):
+        import pandas as pd
+
+        # Concatenate the partition's Arrow batches first: a shard larger
+        # than the Arrow batch size must still produce ONE graph.  Memory
+        # is bounded by the shard's rows — the same envelope the graph
+        # build itself needs.
+        chunks = list(pdf_iter)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        for sid, grp in pdf.groupby("shard_id"):
+            ids = grp["id"].to_numpy(dtype=np.int64)
+            X = np.stack(grp["vec"].to_numpy())
+            g = _ShardHNSW(m=m, ef_construction=ef_construction,
+                           seed=seed + int(sid)).fit(ids, X)
+            yield pd.DataFrame({"shard_id": [int(sid)], "n": [len(ids)],
+                                "payload": [g.dumps()]})
+
+    return src.mapInPandas(_build, "shard_id int, n bigint, payload binary")
+
+
+def hnsw_search(
+    shards: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    ef: int = 64,
+    qid_col: str = "qid",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Global top-k over all shards: broadcast the query block, beam-search
+    every query in every shard task, merge with one window top-k.
+
+    Output: (qid, id, dist, rank) — dist is the L2 distance (not squared),
+    matching ``knn(metric='euclidean')``."""
+    q_rows = queries.select(
+        F.col(qid_col).cast("bigint"), F.col(vec_col).cast("array<double>")
+    ).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = (np.stack([r[1] for r in q_rows])
+         if q_rows else np.zeros((0, 1)))
+    bc = shards.sparkSession.sparkContext.broadcast((qids, Q))
+
+    def _search(pdf_iter):
+        import pandas as pd
+
+        qids_, Q_ = bc.value
+        for pdf in pdf_iter:
+            for payload in pdf["payload"]:
+                g = _ShardHNSW.loads(payload)
+                out_q, out_i, out_d = [], [], []
+                for qi in range(len(qids_)):
+                    for d2, node in g.search(Q_[qi], k, ef):
+                        out_q.append(qids_[qi])
+                        out_i.append(g.ids[node])
+                        out_d.append(np.sqrt(d2))
+                if out_q:
+                    yield pd.DataFrame(
+                        {"qid": out_q, "id": out_i, "dist": out_d})
+
+    cand = shards.mapInPandas(_search, "qid bigint, id bigint, dist double")
+    return topk_window(cand, k).select("qid", "id", "dist", "rank")

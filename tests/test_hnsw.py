@@ -1,0 +1,87 @@
+"""Sharded HNSW: build artifacts, beam search, exactness at full ef.
+
+The key pin: with ef >= shard size the beam visits every reachable node,
+so the sharded search must EQUAL brute-force kNN — an approximate index
+you can drive to exactness needs no recall hand-waving to test.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigvectorbench_spark.operators.hnsw import build_hnsw_shards, hnsw_search
+from bigvectorbench_spark.operators.knn import knn
+from tests.conftest import make_blobs
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    X = make_blobs(840, 16, centers=12, seed=9)
+    train = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(800)],
+        "id bigint, vec array<float>").cache()
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in X[800 + i]]) for i in range(25)],
+        "qid bigint, vec array<float>").cache()
+    shards = build_hnsw_shards(train, m=8, ef_construction=64,
+                               num_shards=4, seed=3).cache()
+    return train, queries, shards
+
+
+def test_artifact_shape(data):
+    train, _, shards = data
+    rows = shards.collect()
+    assert len(rows) == 4                      # one graph per shard
+    assert sum(r["n"] for r in rows) == train.count()
+    assert all(len(r["payload"]) > 0 for r in rows)
+
+
+def test_full_ef_equals_exact_knn(data):
+    train, queries, shards = data
+    got = hnsw_search(shards, queries, k=10, ef=800)
+    want = knn(train, queries, k=10, method="expr")
+    g = [(r["qid"], r["id"], r["rank"]) for r in got.orderBy("qid", "rank").collect()]
+    w = [(r["qid"], r["id"], r["rank"]) for r in want.orderBy("qid", "rank").collect()]
+    assert g == w
+    # distances agree with the exact metric too
+    gd = {(r["qid"], r["id"]): r["dist"] for r in got.collect()}
+    wd = {(r["qid"], r["id"]): r["dist"] for r in want.collect()}
+    assert all(abs(gd[k] - wd[k]) < 1e-6 for k in wd)
+
+
+def test_recall_monotone_in_ef(data):
+    train, queries, shards = data
+    exact = {(r["qid"], r["id"])
+             for r in knn(train, queries, k=10, method="expr").collect()}
+
+    def recall(ef):
+        got = {(r["qid"], r["id"])
+               for r in hnsw_search(shards, queries, k=10, ef=ef).collect()}
+        return len(got & exact) / len(exact)
+
+    r8, r64 = recall(8), recall(64)
+    assert r64 >= r8 - 1e-9
+    assert r64 >= 0.9
+
+
+def test_artifact_parquet_round_trip(data, tmp_path, spark):
+    train, queries, shards = data
+    path = str(tmp_path / "hnsw_index")
+    shards.write.mode("overwrite").parquet(path)
+    reloaded = spark.read.parquet(path)
+    a = [(r["qid"], r["id"]) for r in
+         hnsw_search(shards, queries, k=5, ef=800).orderBy("qid", "rank").collect()]
+    b = [(r["qid"], r["id"]) for r in
+         hnsw_search(reloaded, queries, k=5, ef=800).orderBy("qid", "rank").collect()]
+    assert a == b
+
+
+def test_shard_determinism(spark, data):
+    """Same seed -> byte-identical artifacts (driver rebuild == executor
+    rebuild, the property the ANN oracles depend on elsewhere)."""
+    train, _, shards = data
+    again = build_hnsw_shards(train, m=8, ef_construction=64,
+                              num_shards=4, seed=3)
+    a = {r["shard_id"]: bytes(r["payload"]) for r in shards.collect()}
+    b = {r["shard_id"]: bytes(r["payload"]) for r in again.collect()}
+    assert a == b
