@@ -47,6 +47,7 @@ HEADLINE = [
     "ivf_recall",
     "pq_recall",
     "srp_recall",
+    "hnsw_recall",
     "sketch_bounds",
     "groundtruth_pack",
     "recall_lowdim_vs_full",
@@ -115,17 +116,23 @@ def main() -> None:
     # (bm25_topk +83% with zero code delta) at best-of-2 on a busy machine
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
         try:
+            # Record every run, not just the min: a loaded machine then
+            # shows as uniform inflation across all N runs, while a plan
+            # regression shifts the minimum itself (self-diagnosing flaps).
+            times: list[float] = []
             for _ in range(max(1, runs)):  # best-of-N (runner.py:222-226)
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-            print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+                times.append(time.perf_counter() - t0)
+            all_runs[name] = [round(t, 3) for t in times]
+            timings[name] = round(min(times), 3)
+            print(f"  {name}: {timings[name]}s (runs: {all_runs[name]})",
+                  file=sys.stderr, flush=True)
         except Exception as e:  # one broken query must not kill the run
             msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
             errors[name] = msg
@@ -137,6 +144,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": all_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

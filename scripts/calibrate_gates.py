@@ -92,6 +92,24 @@ def ann_recalls(spark, sf):
     print(f"PQ recall mean={rowp['mean']:.4f} min={rowp['min']:.4f}")
 
 
+def hnsw_recalls(spark, sf):
+    from bigvectorbench_spark.operators.hnsw import build_hnsw_shards, hnsw_search
+
+    t = load_table(spark, sf, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"), "label")
+    q = load_table(spark, sf, "embeddings").filter("vec_id % 50 = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec"), "label")
+    exact = knn(t, q, k=10, method="expr").groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    shards = build_hnsw_shards(t, m=8, ef_construction=64, num_shards=4, seed=3)
+    for ef in (16, 24, 32, 48):
+        approx = hnsw_search(shards, q, k=10, ef=ef).groupBy("qid").agg(
+            F.collect_list("id").alias("neighbors"))
+        row = mx.recall_per_query(approx, exact).agg(
+            F.avg("recall").alias("mean"), F.min("recall").alias("min")).first()
+        print(f"HNSW recall ef={ef} mean={row['mean']:.4f} min={row['min']:.4f}")
+
+
 if __name__ == "__main__":
     sfs = sys.argv[1:] or ["/root/testdata/sf0.01"]
     spark = get_spark()
@@ -100,3 +118,4 @@ if __name__ == "__main__":
         srp_recall(spark, sf)
         sketch_errors(spark, sf)
         ann_recalls(spark, sf)
+        hnsw_recalls(spark, sf)
