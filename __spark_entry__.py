@@ -978,7 +978,9 @@ def q_media_pipeline(spark, sf):
     outputs are the oracle-able stages — payload plumbing (byte length,
     md5 over the binary column) and the metadata-only planners
     (aspect-preserving resize plan, every-nth frame sampling work-list).
-    The decode/feature kernels (stubbed codecs) stay test-verified."""
+    The decode/feature kernels (real pure-Python PNG codec + import-gated
+    PIL, fake fallback for opaque bytes) are pixel-level test-verified in
+    test_multimodal."""
     from bigvectorbench_spark.operators import multimodal as mmx
 
     docs = load_table(spark, sf, "documents")

@@ -13,19 +13,23 @@ This module provides that pipeline shape, Spark-first:
   is queryable/prunable without touching payloads.
 - every payload-touching operator is an Arrow-batched ``mapInPandas`` so
   bytes move once per batch, not once per row;
-- **the codec itself is STUBBED**: this container has no image/audio
-  libraries, so decode falls back to a deterministic byte-derived fake
-  (clearly marked, seeded by content hash — stable across runs/executors).
-  The Spark-side contract — schemas, batch iteration, partitioning,
-  metadata propagation — is real and tested; swapping the fake for
-  PIL/ffmpeg is a pure function replacement inside the UDF.
+- **real decode, three tiers** (``_decode_payload``): PNG payloads decode
+  with the built-in pure-Python codec below (zlib inflate + scanline
+  unfilter — no external library needed, always available); other formats
+  decode through PIL when it is importable (import-gated, mirroring
+  sources/vectors.py's HuggingFace gating); payloads neither engine can
+  read fall back to the deterministic byte-derived fake (crc32-seeded,
+  stable across executors) so the pipeline shape stays testable on opaque
+  fixtures.  ``codec="real"`` turns the fallback into a hard error for
+  corpora where silent fakes would be a correctness bug.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -38,31 +42,160 @@ MEDIA_SCHEMA = (
     "n_frames:int, duration_s:float>"
 )
 
-try:  # real decoder, if ever available in the environment
+try:  # richer-format decoder (JPEG, WebP, ...), if available
     import PIL.Image  # noqa: F401
+    from io import BytesIO as _BytesIO
 
     HAS_PIL = True
 except Exception:  # pragma: no cover - container has no PIL
     HAS_PIL = False
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+# ------------------------------------------------------------- PNG codec
+# Minimal, from-the-spec PNG support (RFC 2083): 8-bit depth, color types
+# 0/2/4/6, non-interlaced, all five scanline filters.  This is the subset
+# every standard encoder (including PIL's default) emits for photos.
+
+def png_encode(gray: np.ndarray) -> bytes:
+    """Encode an (H, W) uint8 grayscale array as a valid PNG (filter 0)."""
+    if gray.dtype != np.uint8 or gray.ndim != 2:
+        raise ValueError("png_encode expects an (H, W) uint8 array")
+    h, w = gray.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(h))
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def _unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse PNG scanline filtering → (h, w*ch) uint8 samples."""
+    stride = w * ch
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw[pos:pos + stride], np.uint8).astype(np.int32)
+        pos += stride
+        if ft == 0:  # None
+            rec = line
+        elif ft == 2:  # Up (vectorized — the common photo filter)
+            rec = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth need a left scan
+            rec = line.copy()
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if ft == 1:
+                    rec[x] = (line[x] + a) & 0xFF
+                elif ft == 3:
+                    rec[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (line[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode a PNG payload → (H, W) float32 grayscale in [0, 1].
+
+    Color images reduce by ITU-R BT.601 luminance; alpha is dropped.
+    Raises ValueError on the unsupported corners (16-bit, palette,
+    interlaced) — callers treat that as 'not decodable here' and try PIL."""
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or interlace != 0:
+        raise ValueError(f"unsupported PNG variant (depth={depth}, "
+                         f"color={ctype}, interlace={interlace})")
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (w * channels + 1):
+        raise ValueError("PNG data length mismatch")
+    samples = _unfilter(raw, h, w, channels).reshape(h, w, channels)
+    if ctype == 0:
+        gray = samples[:, :, 0].astype(np.float32)
+    elif ctype == 4:  # gray + alpha
+        gray = samples[:, :, 0].astype(np.float32)
+    else:  # RGB / RGBA → BT.601 luma
+        rgb = samples[:, :, :3].astype(np.float32)
+        gray = rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
+    return gray / 255.0
+
+
+def _decode_payload(content: bytes) -> Optional[np.ndarray]:
+    """Real decode → (H, W) float32 grayscale in [0, 1], or None if no
+    available engine can read the payload.  PNG uses the pure-Python codec
+    (always available, deterministic); everything else goes through PIL
+    when importable."""
+    if content[:8] == PNG_MAGIC:
+        try:
+            return png_decode(content)
+        except ValueError:
+            pass  # odd PNG variant — fall through to PIL if present
+    if HAS_PIL:
+        try:
+            img = PIL.Image.open(_BytesIO(content)).convert("L")
+            return np.asarray(img, dtype=np.float32) / 255.0
+        except Exception:
+            return None
+    return None
+
 
 def _fake_decode(content: bytes, out_elems: int) -> np.ndarray:
-    """STUB codec: deterministic float32 values derived from the payload
-    bytes (crc32-seeded), standing in for decoded pixels/samples.  Stable
-    across processes — the whole pipeline is reproducible even though no
-    real codec runs."""
+    """Fallback codec of last resort: deterministic float32 values derived
+    from the payload bytes (crc32-seeded), standing in for decoded
+    pixels/samples when no real engine can read the format.  Stable across
+    processes — the pipeline is reproducible either way."""
     seed = zlib.crc32(content) & 0xFFFFFFFF
     rng = np.random.RandomState(seed)
     return rng.rand(out_elems).astype(np.float32)
 
 
-def decode_image(df: DataFrame, *, max_pixels: int = 64 * 64) -> DataFrame:
+def decode_image(df: DataFrame, *, max_pixels: int = 64 * 64,
+                 codec: str = "auto") -> DataFrame:
     """Decode image payloads → (media_id, height, width, pixels ARRAY<FLOAT>).
 
-    Output size is bounded by meta (never by payload size), so executor
-    memory per batch is predictable: height*width capped at ``max_pixels``.
-    Real decode would use PIL here (``HAS_PIL``); the stub keeps the exact
-    same batch shape."""
+    ``codec``: ``"auto"`` (default) decodes real pixels where an engine can
+    read the payload (pure-Python PNG codec, then PIL if importable) and
+    falls back to the deterministic fake for opaque bytes; ``"real"``
+    raises on undecodable payloads (corrupt-data must be visible, not
+    faked); ``"fake"`` forces the stub (fixture mode).
+
+    Output size is bounded by ``max_pixels`` regardless of payload size —
+    decoded frames downsample by power-of-two striding, the fake path caps
+    meta dims the same way — so executor memory per batch is predictable."""
+    if codec not in ("auto", "real", "fake"):
+        raise ValueError(f"codec must be auto|real|fake, got {codec!r}")
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -70,12 +203,26 @@ def decode_image(df: DataFrame, *, max_pixels: int = 64 * 64) -> DataFrame:
                 continue
             out_ids, out_h, out_w, out_px = [], [], [], []
             for _, row in pdf.iterrows():
-                meta = row["meta"]
-                h = min(int(meta["height"] or 8), 256)
-                w = min(int(meta["width"] or 8), 256)
-                while h * w > max_pixels:
-                    h, w = max(h // 2, 1), max(w // 2, 1)
-                px = _fake_decode(bytes(row["content"]), h * w)
+                content = bytes(row["content"])
+                arr = None if codec == "fake" else _decode_payload(content)
+                if arr is not None:
+                    while arr.shape[0] * arr.shape[1] > max_pixels:
+                        arr = arr[::2, ::2]
+                    h, w = arr.shape
+                    px = arr.astype(np.float32).reshape(-1)
+                else:
+                    if codec == "real":
+                        raise ValueError(
+                            f"media_id={row['media_id']}: payload not decodable "
+                            "by any available engine (PNG codec"
+                            + (", PIL" if HAS_PIL else "; PIL not installed")
+                            + ") and codec='real' forbids the fake fallback")
+                    meta = row["meta"]
+                    h = min(int(meta["height"] or 8), 256)
+                    w = min(int(meta["width"] or 8), 256)
+                    while h * w > max_pixels:
+                        h, w = max(h // 2, 1), max(w // 2, 1)
+                    px = _fake_decode(content, h * w)
                 out_ids.append(row["media_id"]); out_h.append(h); out_w.append(w)
                 out_px.append(px.tolist())
             yield pd.DataFrame({"media_id": out_ids, "height": out_h,
@@ -88,18 +235,33 @@ def decode_image(df: DataFrame, *, max_pixels: int = 64 * 64) -> DataFrame:
     )
 
 
-def extract_features(df: DataFrame, *, dim: int = 64) -> DataFrame:
+def extract_features(df: DataFrame, *, dim: int = 64, codec: str = "auto") -> DataFrame:
     """Feature extraction → (media_id, embedding ARRAY<FLOAT>): the batch
     embedding-generation stage (BASELINE.json: 'MLlib for batch embedding
-    generation').  The model forward pass is the stub; at scale this UDF is
-    where an ONNX/torch batch-infer call goes, one model per executor,
-    Arrow batches in."""
+    generation').  Decodable payloads embed real pixel content (resampled
+    grayscale signature — deterministic, engine-independent); opaque ones
+    use the fake under ``codec="auto"``.  At scale this UDF is where an
+    ONNX/torch batch-infer call goes, one model per executor, Arrow
+    batches in — the surrounding plan (select-prune, batch iteration,
+    schema) is exactly what that deployment uses."""
 
     def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            embs = [_fake_decode(bytes(c), dim).tolist() for c in pdf["content"]]
+            embs = []
+            for c in pdf["content"]:
+                content = bytes(c)
+                arr = None if codec == "fake" else _decode_payload(content)
+                if arr is not None:
+                    g = arr.reshape(-1)
+                    idx = np.linspace(0.0, g.size - 1, dim)
+                    emb = np.interp(idx, np.arange(g.size), g).astype(np.float32)
+                elif codec == "real":
+                    raise ValueError("payload not decodable and codec='real'")
+                else:
+                    emb = _fake_decode(content, dim)
+                embs.append(emb.tolist())
             yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": embs})
 
     return df.select("media_id", "content").mapInPandas(
@@ -132,14 +294,22 @@ def sample_frames(df: DataFrame, *, every_n: int = 10) -> DataFrame:
 
 
 def synthetic_media(spark: SparkSession, n: int = 100, *, seed: int = 7) -> DataFrame:
-    """Deterministic fake media table for tests/fixtures: payload bytes are
-    sha256-derived from (seed, media_id); metadata cycles through the three
-    kinds."""
+    """Deterministic media table for tests/fixtures.  Image payloads are
+    REAL PNGs (seeded random grayscale at the meta dimensions, encoded by
+    ``png_encode``) so the real decode path runs end-to-end in any
+    environment; audio/video payloads stay opaque sha256-derived bytes and
+    exercise the fake fallback."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        content = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 4
+        if kind == "image":
+            w = 64 + (i % 4) * 32
+            h = 48 + (i % 3) * 16
+            rng = np.random.RandomState(seed * 100003 + i)
+            content = png_encode(rng.randint(0, 256, (h, w)).astype(np.uint8))
+        else:
+            content = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 4
         meta = {
             "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
             "width": 64 + (i % 4) * 32 if kind != "audio" else None,
