@@ -752,6 +752,54 @@ def q_quality_tags_approx(spark, sf):
     )
 
 
+def _q_iud(spark, sf, op: str, n_ops: int = 200):
+    """M3/M4/M5 per-op latency as a first-class timed workload (reference
+    runner.py:245-335 runs the same sequential sweep as a benchmark case,
+    results.py:121-158 records per-op latencies).  Sequential by the
+    reference's own protocol: each op is one client call against the
+    log-structured table (mutation.py), so the sweep is driver-side by
+    design — the timed DataFrame then resolves the post-sweep snapshot
+    (log merge + tombstone drop), which is the distributed cost of making
+    the ops visible.  Timings are machine-dependent → rows-only."""
+    from bigvectorbench_spark.operators.mutation import VectorTable
+
+    emb = _train(spark, sf)
+    table = VectorTable(spark, emb)
+    rows = [r.asDict() for r in emb.limit(n_ops).collect()]
+    lats = []
+    for i, r in enumerate(rows):
+        if op == "insert":
+            lats.append(table.insert({"vec": r["vec"], "label": r["label"]}))
+        elif op == "update":
+            lats.append(table.update(r["id"], {"vec": r["vec"],
+                                               "label": r["label"]}))
+        else:
+            lats.append(table.delete(r["id"]))
+    lats.sort()
+    mean_ms = 1000.0 * sum(lats) / len(lats)
+    p95_ms = 1000.0 * lats[int(0.95 * (len(lats) - 1))]
+    stats = spark.createDataFrame(
+        [(op, len(lats), float(mean_ms), float(p95_ms))],
+        "op string, n_ops bigint, mean_ms double, p95_ms double")
+    after = table.snapshot().agg(F.count("*").alias("rows_after"))
+    return stats.crossJoin(after)
+
+
+def q_insert_latency(spark, sf):
+    """M3 sequential insert sweep + snapshot visibility cost (BENCH)."""
+    return _q_iud(spark, sf, "insert")
+
+
+def q_update_latency(spark, sf):
+    """M4 sequential upsert-by-id sweep + snapshot visibility cost."""
+    return _q_iud(spark, sf, "update")
+
+
+def q_delete_latency(spark, sf):
+    """M5 sequential delete-by-id sweep + snapshot visibility cost."""
+    return _q_iud(spark, sf, "delete")
+
+
 def q_latency_percentiles(spark, sf):
     """A4: exact p50/p90/p95/p99 (×1000) over events.value as latencies."""
     ev = load_table(spark, sf, "events")
@@ -1155,6 +1203,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
+        # IUD latency sweeps (timed workloads, reference runner.py:245-335):
+        # machine-dependent timings → rows-only by nature, benched in BENCH
+        "insert_latency": q_insert_latency,
+        "update_latency": q_update_latency,
+        "delete_latency": q_delete_latency,
     }
 
 

@@ -93,6 +93,11 @@ HEADLINE = [
     "pareto_frontier",
     "best_search_time",
     "train_test_split",
+    # IUD latency sweeps (M3/M4/M5 as first-class timed workloads,
+    # reference runner.py:245-335)
+    "insert_latency",
+    "update_latency",
+    "delete_latency",
 ]
 
 

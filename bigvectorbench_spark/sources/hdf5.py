@@ -21,10 +21,15 @@ Spark-first design — metadata on the driver, data plane distributed:
   ``spark.range(n_splits)`` → ``mapInArrow``.  A 100 GB train set loads
   with every core scanning its own slice; nothing funnels through the
   driver.
-- CHUNKED/compressed datasets (non-default in ann-benchmarks exports) fall
-  back to an import-gated h5py driver-side stream, mirroring
-  ``read_huggingface``'s gating (vectors.py:230): clear
-  ``NotImplementedError`` when h5py is absent, real conversion when it is.
+- CHUNKED/compressed datasets read pure-Python too: the chunk index is a
+  v1 B-tree walked on the driver (KBs of metadata), and each Spark task
+  reads + inflates its own chunk byte ranges (deflate/shuffle/fletcher32
+  inverted with zlib/numpy — the filters every gzip'd h5py export uses).
+  Full-row-width chunks (h5py's auto-chunking for tall 2-D arrays) yield
+  complete rows with zero shuffle; row-splitting grids assemble with one
+  row-id-keyed shuffle.  Only exotic filters (szip, lzf) fall back to an
+  import-gated h5py stream, mirroring ``read_huggingface``'s gating
+  (vectors.py:230).
 
 ``write_hdf5`` is the matching minimal writer (same spec subset) used to
 build test fixtures — this container has no h5py, and a reader with no
@@ -37,6 +42,7 @@ from __future__ import annotations
 
 import os
 import struct
+import zlib
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -59,6 +65,11 @@ class DatasetMeta:
     layout: str  # "contiguous" | "chunked" | "compact"
     compact_data: bytes | None = None
     attrs: dict = field(default_factory=dict)
+    # chunked layout only: element-space chunk dims, v1 B-tree root, and the
+    # filter pipeline as (filter_id, client_values) applied write-order
+    chunk_dims: tuple[int, ...] | None = None
+    btree_addr: int | None = None
+    filters: list[tuple[int, tuple[int, ...]]] = field(default_factory=list)
 
 
 @dataclass
@@ -85,9 +96,15 @@ class _MiniHDF5Reader:
     """
 
     def __init__(self, path: str):
+        import mmap
+
         self.path = path
-        with open(path, "rb") as f:
-            self.buf = f.read()
+        self._f = open(path, "rb")
+        try:  # mmap: metadata parse touches KBs of pages, not the whole file
+            self.buf = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError):  # empty file etc. — fall back to bytes
+            self._f.seek(0)
+            self.buf = self._f.read()
         if self.buf[:8] != _SIGNATURE:
             raise ValueError(f"{path}: not an HDF5 file (bad signature)")
         ver = self.buf[8]
@@ -157,7 +174,7 @@ class _MiniHDF5Reader:
         heap_data_addr = _u(self.buf, heap_addr + 24, 8)
 
         def name_at(off):
-            end = self.buf.index(b"\0", heap_data_addr + off)
+            end = self.buf.find(b"\0", heap_data_addr + off)
             return self.buf[heap_data_addr + off:end].decode()
 
         out = []
@@ -264,17 +281,41 @@ class _MiniHDF5Reader:
             p += 16 + ((obj_size + 7) & ~7)
         raise ValueError("global heap object not found")
 
+    def _filter_pipeline(self, body):
+        """Filter-pipeline message (0x000B, v1) → [(filter_id, client_vals)]
+        in write order (readers apply the inverse in reverse order)."""
+        version, nfilters = body[0], body[1]
+        if version != 1:
+            raise NotImplementedError(f"filter pipeline version {version}")
+        p = 8
+        out = []
+        for _ in range(nfilters):
+            fid = _u(body, p, 2)
+            name_len = _u(body, p + 2, 2)
+            nclient = _u(body, p + 6, 2)
+            p += 8 + ((name_len + 7) & ~7 if name_len else 0)
+            vals = tuple(_u(body, p + 4 * i, 4) for i in range(nclient))
+            p += 4 * nclient
+            if nclient % 2:  # odd client count pads to 8-byte multiple
+                p += 4
+            out.append((fid, vals))
+        return out
+
     def _dataset(self, name, oh_addr):
         attrs, _ = self._object_header(oh_addr)
         shape = dtype = None
         layout = None
         data_addr = data_size = 0
         compact = None
+        chunk_dims = btree_addr = None
+        filters: list = []
         for mtype, body in self._last_msgs:
             if mtype == 0x0001:
                 shape = self._dataspace(body)
             elif mtype == 0x0003:
                 dtype = self._datatype(body)
+            elif mtype == 0x000B:
+                filters = self._filter_pipeline(body)
             elif mtype == 0x0008:
                 version = body[0]
                 if version == 3:
@@ -286,8 +327,12 @@ class _MiniHDF5Reader:
                         layout = "compact"
                         sz = _u(body, 2, 2)
                         compact = bytes(body[4:4 + sz])
-                    else:
+                    else:  # chunked: ndims+1 (trailing dim = element size)
                         layout = "chunked"
+                        nd = body[2]
+                        btree_addr = _u(body, 3, 8)
+                        chunk_dims = tuple(
+                            _u(body, 11 + 4 * i, 4) for i in range(nd - 1))
                 elif version in (1, 2):
                     ndims, cls = body[1], body[2]
                     if cls == 1:
@@ -295,14 +340,51 @@ class _MiniHDF5Reader:
                         data_addr = _u(body, 8, 8)
                         data_size = int(np.prod(
                             [_u(body, 16 + 4 * i, 4) for i in range(ndims)]))
+                    elif cls == 2:  # chunked: address then ndims sizes
+                        layout = "chunked"
+                        btree_addr = _u(body, 8, 8)
+                        chunk_dims = tuple(
+                            _u(body, 16 + 4 * i, 4) for i in range(ndims - 1))
                     else:
-                        layout = "chunked" if cls == 2 else "compact"
+                        layout = "compact"
                 else:
                     raise NotImplementedError(f"layout version {version}")
         if shape is None or dtype is None or isinstance(dtype, tuple):
             return None  # not an array dataset (e.g. a subgroup or strings)
         return DatasetMeta(name, shape, dtype, data_addr, data_size,
-                           layout or "contiguous", compact, attrs)
+                           layout or "contiguous", compact, attrs,
+                           chunk_dims, btree_addr, filters)
+
+    # -- chunk index (v1 B-tree, node type 1) ------------------------------
+
+    def chunk_table(self, ds: "DatasetMeta") -> list[tuple[int, int, tuple[int, ...]]]:
+        """Walk the raw-data chunk B-tree → [(file_addr, stored_nbytes,
+        element_offsets)] — driver-side metadata, KB-scale."""
+        if ds.btree_addr is None or ds.btree_addr == UNDEF:
+            return []
+        ndims = len(ds.shape)
+        key_size = 8 + 8 * (ndims + 1)  # size(4) + mask(4) + offsets
+        out: list[tuple[int, int, tuple[int, ...]]] = []
+
+        def walk(addr):
+            buf = self.buf
+            assert buf[addr:addr + 4] == b"TREE", "bad chunk B-tree signature"
+            node_type, level = buf[addr + 4], buf[addr + 5]
+            assert node_type == 1, f"expected raw-data B-tree, got type {node_type}"
+            used = _u(buf, addr + 6, 2)
+            p = addr + 24  # header + left/right sibling addresses
+            for _ in range(used):
+                nbytes = _u(buf, p, 4)
+                offs = tuple(_u(buf, p + 8 + 8 * i, 8) for i in range(ndims))
+                child = _u(buf, p + key_size, 8)
+                p += key_size + 8
+                if level > 0:
+                    walk(child)
+                else:
+                    out.append((child, nbytes, offs))
+
+        walk(ds.btree_addr)
+        return out
 
 
 def hdf5_meta(path: str) -> FileMeta:
@@ -335,12 +417,17 @@ def read_hdf5(
     chunked/compressed data falls back to driver-side h5py, import-gated.
     """
     path = os.path.abspath(path)
-    meta = hdf5_meta(path)
-    if dataset not in meta.datasets:
-        raise KeyError(f"{dataset!r} not in {sorted(meta.datasets)}")
-    ds = meta.datasets[dataset]
+    reader = _MiniHDF5Reader(path)
+    if dataset not in reader.datasets:
+        raise KeyError(f"{dataset!r} not in {sorted(reader.datasets)}")
+    ds = reader.datasets[dataset]
     if ds.layout == "chunked":
-        return _read_chunked_h5py(spark, path, dataset, id_col, vec_col)
+        try:
+            chunks = reader.chunk_table(ds)
+            return _read_chunked(spark, path, ds, chunks, id_col, vec_col)
+        except NotImplementedError:
+            # an exotic filter (szip, lzf, ...) — only then fall back to h5py
+            return _read_chunked_h5py(spark, path, dataset, id_col, vec_col)
 
     n = ds.shape[0] if ds.shape else 1
     width = int(np.prod(ds.shape[1:])) if len(ds.shape) > 1 else 1
@@ -387,6 +474,105 @@ def read_hdf5(
 
     splits = spark.range(n_splits).selectExpr("cast(id as int) as split")
     return splits.repartition(n_splits, "split").mapInArrow(_read, schema)
+
+
+_SUPPORTED_FILTERS = {1, 2, 3}  # deflate, shuffle, fletcher32
+
+
+def _defilter(raw: bytes, filters) -> bytes:
+    """Invert the filter pipeline (write order → applied in reverse)."""
+    import zlib as _zlib
+
+    for fid, vals in reversed(filters):
+        if fid == 1:  # deflate
+            raw = _zlib.decompress(raw)
+        elif fid == 2:  # shuffle: all byte-0s, then all byte-1s, ...
+            elem = vals[0] if vals else 1
+            a = np.frombuffer(raw, np.uint8)
+            raw = a.reshape(elem, a.size // elem).T.tobytes()
+        elif fid == 3:  # fletcher32: 4-byte checksum trails the data
+            raw = raw[:-4]
+        else:  # pragma: no cover - guarded driver-side
+            raise NotImplementedError(f"HDF5 filter id {fid}")
+    return raw
+
+
+def _read_chunked(spark, path, ds: DatasetMeta, chunks, id_col, vec_col):
+    """Chunked (optionally deflate/shuffle-compressed) dataset → DataFrame,
+    pure Python, distributed: the chunk table is driver-side metadata (KBs);
+    each Spark task reads, inflates, and unfilters its own chunk byte
+    ranges.  When chunks span the full row width (every h5py auto-chunking
+    of tall 2-D arrays, and all 1-D data) a chunk yields complete rows with
+    no shuffle at all; row-splitting chunk grids assemble rows with ONE
+    shuffle keyed by row id."""
+    for fid, _ in ds.filters:
+        if fid not in _SUPPORTED_FILTERS:
+            raise NotImplementedError(f"HDF5 filter id {fid} needs h5py")
+    shape, cdims = ds.shape, ds.chunk_dims or ds.shape
+    n = shape[0] if shape else 1
+    two_d = len(shape) > 1
+    width = int(np.prod(shape[1:])) if two_d else 1
+    sql_t = _spark_type(ds.dtype)
+    schema = (f"{id_col} bigint, {vec_col} array<{sql_t}>" if two_d
+              else f"{id_col} bigint, {vec_col} {sql_t}")
+    if not chunks or n == 0:  # allocated-but-unwritten → fill value (0)
+        return spark.range(n).selectExpr(
+            f"id as {id_col}",
+            (f"array_repeat(cast(0 as {sql_t}), {width}) as {vec_col}"
+             if two_d else f"cast(0 as {sql_t}) as {vec_col}"))
+
+    full_width = (not two_d) or tuple(cdims[1:]) == tuple(shape[1:])
+    dtype_str, filters = ds.dtype.str, list(ds.filters)
+    cdims = tuple(int(c) for c in cdims)
+    shape_t = tuple(int(s) for s in shape)
+    n_splits = min(len(chunks), int(os.environ.get("SPARK_GRAFT_CPUS", "32")) * 2)
+
+    def _decode(iterator):
+        import pyarrow as pa
+
+        with open(path, "rb") as f:
+            for batch in iterator:
+                tbl = batch.to_pydict()
+                for addr, nbytes, offs in zip(tbl["addr"], tbl["nbytes"], tbl["offs"]):
+                    f.seek(addr)
+                    raw = _defilter(f.read(nbytes), filters)
+                    arr = np.frombuffer(raw, np.dtype(dtype_str)).reshape(cdims)
+                    valid = tuple(min(c, s - o)
+                                  for c, s, o in zip(cdims, shape_t, offs))
+                    arr = arr[tuple(slice(0, v) for v in valid)]
+                    ids = pa.array(np.arange(offs[0], offs[0] + valid[0],
+                                             dtype=np.int64))
+                    if not two_d:
+                        yield pa.RecordBatch.from_arrays(
+                            [ids, pa.array(arr)], [id_col, vec_col])
+                        continue
+                    rows = arr.reshape(valid[0], -1)
+                    flat = pa.array(np.ascontiguousarray(rows).reshape(-1))
+                    offsets = pa.array(np.arange(
+                        0, (valid[0] + 1) * rows.shape[1], rows.shape[1],
+                        dtype=np.int32))
+                    cols = [ids, pa.ListArray.from_arrays(offsets, flat)]
+                    names = [id_col, vec_col]
+                    if not full_width:
+                        cols.append(pa.array(
+                            np.full(valid[0], offs[1], dtype=np.int32)))
+                        names.append("_c0")
+                    yield pa.RecordBatch.from_arrays(cols, names)
+
+    chunk_df = spark.createDataFrame(
+        [(int(a), int(nb), list(map(int, o))) for a, nb, o in chunks],
+        "addr bigint, nbytes bigint, offs array<bigint>",
+    ).repartition(n_splits)
+    if full_width:
+        return chunk_df.mapInArrow(_decode, schema)
+    # row-splitting grid: assemble each row's column slices, one shuffle
+    from pyspark.sql import functions as F
+
+    pieces = chunk_df.mapInArrow(_decode, schema + ", _c0 int")
+    return pieces.groupBy(id_col).agg(
+        F.flatten(F.transform(
+            F.array_sort(F.collect_list(F.struct("_c0", vec_col))),
+            lambda s: s[vec_col])).alias(vec_col))
 
 
 def _read_chunked_h5py(spark, path, dataset, id_col, vec_col,
@@ -512,14 +698,98 @@ def _object_header(messages: list[bytes]) -> bytes:
     return struct.pack("<BxHIIxxxx", 1, len(messages), 1, len(blob)) + blob
 
 
+def _filter_msg_body(filters: list[tuple[int, tuple[int, ...]]]) -> bytes:
+    body = struct.pack("<BB6x", 1, len(filters))
+    for fid, vals in filters:
+        body += struct.pack("<HHHH", fid, 0, 0, len(vals))
+        body += b"".join(struct.pack("<I", v) for v in vals)
+        if len(vals) % 2:
+            body += b"\0\0\0\0"
+    return body
+
+
+def _chunked_layout_body(cdims, itemsize: int, btree_addr: int) -> bytes:
+    return (struct.pack("<BBB", 3, 2, len(cdims) + 1)
+            + struct.pack("<Q", btree_addr)
+            + b"".join(struct.pack("<I", int(c)) for c in (*cdims, itemsize)))
+
+
+def _btree_node(level: int, items, left: int, right: int,
+                end_key_offs) -> bytes:
+    """One v1 raw-data B-tree node; ``items`` = [(offs, nbytes, child)]."""
+    b = (b"TREE" + struct.pack("<BBH", 1, level, len(items))
+         + struct.pack("<QQ", left, right))
+    for offs, nb, child in items:
+        b += struct.pack("<II", nb, 0)
+        b += b"".join(struct.pack("<Q", int(o)) for o in offs)
+        b += struct.pack("<Q", 0)  # element-size dimension offset
+        b += struct.pack("<Q", child)
+    b += struct.pack("<II", 0, 0)
+    b += b"".join(struct.pack("<Q", int(o)) for o in end_key_offs)
+    b += struct.pack("<Q", 0)
+    return b
+
+
+def _encode_chunks(arr: np.ndarray, cdims, filters):
+    """Split ``arr`` into full-size chunks (edge chunks zero-padded, as the
+    format requires — filters run over whole chunks) and apply the filter
+    pipeline in write order.  Returns [(offs, blob)] row-major."""
+    import itertools
+
+    coords = itertools.product(
+        *[range(0, max(s, 1), c) for s, c in zip(arr.shape, cdims)])
+    out = []
+    for offs in coords:
+        sl = tuple(slice(o, min(o + c, s))
+                   for o, c, s in zip(offs, cdims, arr.shape))
+        sub = arr[sl]
+        if sub.shape != tuple(cdims):
+            pad = np.zeros(tuple(cdims), arr.dtype)
+            pad[tuple(slice(0, x) for x in sub.shape)] = sub
+            sub = pad
+        raw = np.ascontiguousarray(sub).tobytes()
+        for fid, vals in filters:
+            if fid == 2:  # shuffle
+                elem = vals[0]
+                raw = (np.frombuffer(raw, np.uint8)
+                       .reshape(-1, elem).T.tobytes())
+            elif fid == 1:  # deflate
+                raw = zlib.compress(raw, vals[0] if vals else 6)
+            else:
+                raise NotImplementedError(f"writer filter id {fid}")
+        out.append((offs, raw))
+    return out
+
+
 def write_hdf5(path: str, datasets: dict[str, np.ndarray],
-               attrs: dict | None = None) -> None:
+               attrs: dict | None = None, *,
+               chunks: dict[str, tuple[int, ...]] | None = None,
+               compression: str | dict | None = None,
+               compression_level: int = 6) -> None:
     """Minimal old-style HDF5 writer (same spec subset the reader parses):
-    v0 superblock, root symbol-table group, one contiguous dataset per
-    array, root attributes.  Used for test fixtures and for exporting
-    ground-truth packs in the reference's own container format."""
+    v0 superblock, root symbol-table group, contiguous datasets by default,
+    root attributes.  ``chunks={name: chunk_dims}`` switches a dataset to
+    CHUNKED layout (v1 chunk B-tree, multi-level past 16 chunks/node);
+    ``compression`` ("gzip" or "gzip+shuffle", or a per-name dict) adds the
+    deflate / shuffle+deflate filter pipeline.  Used for test fixtures and
+    for exporting ground-truth packs in the reference's own container
+    format — and to prove the chunked reader against files it did not
+    itself shape."""
     attrs = attrs or {}
+    chunks = chunks or {}
     names = sorted(datasets)
+
+    def _filters_for(nm: str, arr: np.ndarray):
+        comp = (compression.get(nm) if isinstance(compression, dict)
+                else compression)
+        fl: list[tuple[int, tuple[int, ...]]] = []
+        if comp in ("gzip+shuffle", "shuffle+gzip"):
+            fl.append((2, (arr.dtype.itemsize,)))
+        if comp in ("gzip", "gzip+shuffle", "shuffle+gzip"):
+            fl.append((1, (compression_level,)))
+        elif comp not in (None, "gzip+shuffle", "shuffle+gzip"):
+            raise NotImplementedError(f"compression {comp!r}")
+        return fl
 
     # local heap data: empty string at 0, then each name, 8-padded
     heap_data = bytearray(b"\0" * 8)
@@ -553,9 +823,51 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray],
 
     ds_oh_addr, ds_data_addr = {}, {}
     ds_oh_blob = {}
+    ds_chunk_plan: dict[str, dict] = {}
     for nm in names:
         arr = np.ascontiguousarray(datasets[nm])
         ds_oh_addr[nm] = pos
+        if nm in chunks:
+            cdims = tuple(chunks[nm])
+            if len(cdims) != arr.ndim:
+                raise ValueError(f"{nm}: chunk rank {len(cdims)} != {arr.ndim}")
+            fl = _filters_for(nm, arr)
+            blobs = _encode_chunks(arr, cdims, fl)
+
+            def _oh(btree_addr, arr=arr, cdims=cdims, fl=fl):
+                msgs = [_msg(0x0001, _ds_msg(arr.shape)),
+                        _msg(0x0003, _dt_msg(arr.dtype))]
+                if fl:
+                    msgs.append(_msg(0x000B, _filter_msg_body(fl)))
+                msgs.append(_msg(0x0008, _chunked_layout_body(
+                    cdims, arr.dtype.itemsize, btree_addr)))
+                return _object_header(msgs)
+
+            oh = _oh(UNDEF)  # same length regardless of address
+            pos += len(oh)
+            chunk_addrs = []
+            for _, blob in blobs:
+                chunk_addrs.append(pos)
+                pos += len(blob)
+            key_size = 8 + 8 * (arr.ndim + 1)
+            leaf_cap = 16
+            groups = [list(range(i, min(i + leaf_cap, len(blobs))))
+                      for i in range(0, len(blobs), leaf_cap)]
+            leaf_addrs = []
+            for g in groups:
+                leaf_addrs.append(pos)
+                pos += 24 + len(g) * (key_size + 8) + key_size
+            if len(groups) > 1:
+                root_addr = pos
+                pos += 24 + len(groups) * (key_size + 8) + key_size
+            else:
+                root_addr = leaf_addrs[0]
+            ds_chunk_plan[nm] = dict(arr=arr, cdims=cdims, fl=fl, blobs=blobs,
+                                     oh_fn=_oh, chunk_addrs=chunk_addrs,
+                                     groups=groups, leaf_addrs=leaf_addrs,
+                                     root_addr=root_addr)
+            ds_oh_blob[nm] = oh
+            continue
         oh = _object_header([
             _msg(0x0001, _ds_msg(arr.shape)),
             _msg(0x0003, _dt_msg(arr.dtype)),
@@ -597,6 +909,30 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray],
     out[snod_addr:snod_addr + len(snod)] = snod
 
     for nm in names:
+        if nm in ds_chunk_plan:
+            plan = ds_chunk_plan[nm]
+            oh = plan["oh_fn"](plan["root_addr"])
+            out[ds_oh_addr[nm]:ds_oh_addr[nm] + len(oh)] = oh
+            blobs, chunk_addrs = plan["blobs"], plan["chunk_addrs"]
+            for (offs, blob), addr in zip(blobs, chunk_addrs):
+                out[addr:addr + len(blob)] = blob
+            arr, cdims = plan["arr"], plan["cdims"]
+            end_key = (((arr.shape[0] + cdims[0] - 1) // cdims[0]) * cdims[0],
+                       ) + (0,) * (arr.ndim - 1)
+            groups, leaf_addrs = plan["groups"], plan["leaf_addrs"]
+            for gi, g in enumerate(groups):
+                items = [(blobs[i][0], len(blobs[i][1]), chunk_addrs[i])
+                         for i in g]
+                left = leaf_addrs[gi - 1] if gi > 0 else UNDEF
+                right = leaf_addrs[gi + 1] if gi + 1 < len(groups) else UNDEF
+                node = _btree_node(0, items, left, right, end_key)
+                out[leaf_addrs[gi]:leaf_addrs[gi] + len(node)] = node
+            if len(groups) > 1:
+                items = [(blobs[g[0]][0], 0, leaf_addrs[gi])
+                         for gi, g in enumerate(groups)]
+                node = _btree_node(1, items, UNDEF, UNDEF, end_key)
+                out[plan["root_addr"]:plan["root_addr"] + len(node)] = node
+            continue
         arr = np.ascontiguousarray(datasets[nm])
         oh = bytearray(ds_oh_blob[nm])
         # patch the layout message's addr+size: its 18-byte body (v3:

@@ -20,7 +20,20 @@ The scaling artifact is generated with THIS generator at two scale
 factors (0.1 and 1) so the BENCH ratio is generator-independent; the
 driver's own sf0.1 numbers are reported alongside in SCALING.md.
 
-Usage: python scripts/gen_sf.py SF OUTDIR [seed]
+The ``vocab`` argument picks the documents corpus shape:
+
+- ``driver`` (default): the 31-word vocabulary and 10-100-word uniform
+  lengths measured from the shipped driver tables — generator-parity with
+  /root/testdata for apples-to-apples query results.
+- ``zipf``: a realistic corpus — 50k-word Zipf-Mandelbrot vocabulary
+  (s=1.07, q=2.7, the published English fit) and log-normal doc lengths
+  (median ~80 words, clamped 10-1000).  This is the fixture that separates
+  plan defects from vocabulary artifacts in the n-gram dedup family: on 31
+  words, shingle-bucket collision density grows quadratically with corpus
+  size; on a Zipf vocabulary the prefix-filter candidate density per doc
+  stays roughly constant (VERDICT r4 ask #1).
+
+Usage: python scripts/gen_sf.py SF OUTDIR [seed] [driver|zipf]
 """
 
 from __future__ import annotations
@@ -55,6 +68,38 @@ def _ts(col_us: np.ndarray) -> pa.Array:
     return pa.array(col_us, type=pa.timestamp("us"))
 
 
+_SYLLABLES = ("ba be bi bo bu ca ce ci co cu da de di do du fa fe fi fo fu "
+              "ga ge gi go gu ka ke ki ko ku la le li lo lu ma me mi mo mu "
+              "na ne ni no nu pa pe pi po pu ra re ri ro ru sa se si so su "
+              "ta te ti to tu va ve vi vo vu za ze zi zo zu").split()
+
+
+def zipf_vocab(n_words: int, rng: np.random.RandomState):
+    """(words, probabilities): ``n_words`` pronounceable pseudo-words with
+    Zipf-Mandelbrot rank frequencies p(r) ∝ 1/(r+q)^s, s=1.07, q=2.7 —
+    the classic fit for English text."""
+    syl = np.array(_SYLLABLES)
+    words, seen = [], set()
+    # 2-4 syllables: 75^2=5.6k, 75^3=422k combos — plenty for 50k distinct
+    n_syl = rng.randint(2, 5, size=int(n_words * 1.3))
+    picks = rng.randint(0, len(syl), size=(len(n_syl), 4))
+    for k, row in zip(n_syl, picks):
+        w = "".join(syl[row[:k]])
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+        if len(words) == n_words:
+            break
+    while len(words) < n_words:  # pathological-collision backstop
+        w = "".join(syl[rng.randint(0, len(syl), 3)]) + str(len(words))
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    ranks = np.arange(1, n_words + 1, dtype=np.float64)
+    p = 1.0 / np.power(ranks + 2.7, 1.07)
+    return np.array(words), p / p.sum()
+
+
 def write(outdir: str, name: str, table: pa.Table, shards: int = 1) -> None:
     """Write one table; large tables shard into a ``<name>.parquet/``
     directory of part files.  A single tiny file is an artifact no real
@@ -76,7 +121,10 @@ def write(outdir: str, name: str, table: pa.Table, shards: int = 1) -> None:
           file=sys.stderr)
 
 
-def generate(sf: float, outdir: str, seed: int = 42) -> None:
+def generate(sf: float, outdir: str, seed: int = 42,
+             vocab: str = "driver") -> None:
+    if vocab not in ("driver", "zipf"):
+        raise ValueError(f"vocab must be driver|zipf, got {vocab!r}")
     rng = np.random.RandomState(seed)
     os.makedirs(outdir, exist_ok=True)
 
@@ -160,8 +208,20 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
         "props": [f'{{"k": {k}}}' for k in rng.randint(0, 100, n_ev)],
     }), shards=1 if n_ev < 500_000 else 8)
 
-    lens = rng.randint(10, 101, n_doc)
-    words = np.array(VOCAB)[rng.randint(0, len(VOCAB), int(lens.sum()))]
+    if vocab == "zipf":
+        vwords, vp = zipf_vocab(50_000, rng)
+        # log-normal lengths: median ~80 words, natural long tail
+        lens = np.clip(np.exp(rng.normal(np.log(80), 0.8, n_doc)),
+                       10, 1000).astype(np.int64)
+        words = vwords[rng.choice(len(vwords), int(lens.sum()), p=vp)]
+        def _rand_word():
+            return vwords[rng.choice(len(vwords), p=vp)]
+    else:
+        vwords = np.array(VOCAB)
+        lens = rng.randint(10, 101, n_doc)
+        words = vwords[rng.randint(0, len(vwords), int(lens.sum()))]
+        def _rand_word():
+            return VOCAB[rng.randint(0, len(VOCAB))]
     texts, pos = [], 0
     for ln in lens:
         texts.append(" ".join(words[pos:pos + ln]))
@@ -182,7 +242,7 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
         tk = texts[s].split()
         swap = rng.rand(len(tk)) < 0.02
         for i in np.flatnonzero(swap):
-            tk[i] = VOCAB[rng.randint(0, len(VOCAB))]
+            tk[i] = _rand_word()
         texts[v] = " ".join(tk)
     write(outdir, "documents", pa.table({
         "doc_id": np.arange(n_doc, dtype=np.int64),
@@ -199,7 +259,8 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
         "label": pa.array(rng.randint(0, 10, n_emb), pa.int32()),
     }), shards=1 if n_emb < 16_000 else 32)
 
-    meta = {"sf": sf, "seed": seed, "generator": "scripts/gen_sf.py"}
+    meta = {"sf": sf, "seed": seed, "vocab": vocab,
+            "generator": "scripts/gen_sf.py"}
     with open(os.path.join(outdir, "GENERATED.json"), "w") as f:
         json.dump(meta, f)
 
@@ -208,4 +269,5 @@ if __name__ == "__main__":
     sf = float(sys.argv[1])
     outdir = sys.argv[2]
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
-    generate(sf, outdir, seed)
+    vocab = sys.argv[4] if len(sys.argv) > 4 else "driver"
+    generate(sf, outdir, seed, vocab)
