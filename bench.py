@@ -117,13 +117,19 @@ def main() -> None:
         lambda it: it, schema="id long").count()
 
     qs = entry.queries()
+    # Optional comma-separated subset (family-focused runs, e.g. the Zipf
+    # corpus measurement only re-times document-family queries — every
+    # other table is byte-identical between vocab modes).
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = ([q for q in HEADLINE if q in set(subset.split(","))]
+                if subset else HEADLINE)
     # best-of-3 by default: r2→r3 showed single queries flapping ±30-80%
     # (bm25_topk +83% with zero code delta) at best-of-2 on a busy machine
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = qs[name]
         try:
             # Record every run, not just the min: a loaded machine then
