@@ -1074,6 +1074,62 @@ def q_dedup_components(spark, sf):
     return dd.dup_components(pairs)
 
 
+def q_corpus_curation(spark, sf):
+    """End-to-end training-corpus curation — the composed form of the
+    pipeline the individual dedup/quality queries cover stage-by-stage:
+
+      near-dup pairs (exact 3-gram Jaccard ≥ 0.5; exact copies are
+      jaccard = 1.0, so exact dedup is subsumed) → connected components →
+      canonical keep-list (min-id per duplicate group) → quality gate
+      (score ≥ 0.8) → per (source, lang) disposition + token accounting.
+
+    One row per (source, lang): docs in, docs dropped as duplicates, docs
+    dropped by the quality gate, docs kept, tokens kept, mean kept quality
+    (DECIMAL-accumulated for engine-stable 6-dp rounding).  Dup status
+    takes precedence: a non-canonical duplicate counts as 'dup' whatever
+    its quality; the canonical member still faces the quality gate.
+    Scale shape: candidate generation is the PPJoin prefix-filter plan,
+    components shuffle (id, label) pairs only, and document payloads move
+    once — into the final source×lang aggregation."""
+    docs = _docs_wide(spark, sf)
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    drops = (dd.dup_components(pairs)
+             .filter(F.col("id") != F.col("component_id"))
+             .select(F.col("id").alias("doc_id"), F.lit(True).alias("is_dup")))
+    scored = (
+        docs.join(drops, "doc_id", "left")
+        .withColumn("tk", tx.tokens(F.col("text")))
+        .withColumn("quality", F.round(
+            tx.quality_score_from_tokens(F.col("tk"), F.col("text")), 6))
+        .withColumn("status",
+                    F.when(F.col("is_dup"), F.lit("dup"))
+                    .when(F.col("quality") < 0.8, F.lit("low_quality"))
+                    .otherwise(F.lit("kept")))
+    )
+    kept = F.col("status") == "kept"
+    qdec = F.col("quality").cast("decimal(18,6)")
+    return (
+        scored.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("status") == "dup", 1).otherwise(0))
+             .cast("bigint").alias("n_dropped_dup"),
+            F.sum(F.when(F.col("status") == "low_quality", 1).otherwise(0))
+             .cast("bigint").alias("n_dropped_quality"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.size("tk")).otherwise(0))
+             .cast("bigint").alias("tokens_kept"),
+            # DECIMAL-exact sum → one double division → 6-dp round: the
+            # only order-dependent float op is removed, so both engines
+            # divide the identical exact numerator by the same count.
+            F.when(F.sum(F.when(kept, 1).otherwise(0)) > 0,
+                   F.round(F.sum(F.when(kept, qdec)).cast("double")
+                           / F.sum(F.when(kept, 1).otherwise(0)), 6))
+             .cast("double").alias("mean_kept_quality"),
+        )
+    )
+
+
 def q_bm25_topk(spark, sf):
     """Inverted-index BM25 top-10: postings semi-joined to the broadcast
     query-term set before scoring, DECIMAL-accumulated per-term scores for
@@ -1125,7 +1181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # jl_knn, best_search_time, train_test_split, customers_semi_returns,
     # customers_anti_urgent, lang_pivot, peak_events, top_revenue_orders),
     # and the brand-new hnsw_recall gate (r4 ask #2 — the approximate-mode
-    # twin of hnsw_knn) enters in-window.  Rotated out to make the 12 slots
+    # twin of hnsw_knn) enters in-window, as does the new round-5
+    # corpus_curation end-to-end pipeline (doclen_percentiles — r4 green —
+    # gives up its slot, rotate back round 6).  Rotated out to make the slots
     # (all r4-green, mechanics duplicated by in-window kin; rotate back
     # round 6): knn_euclid (gemm twin stays), knn_hamming_packed (unpacked
     # twin back in, same bit plan), knn_jaccard, mv_knn (fused twin back
@@ -1180,14 +1238,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "media_pipeline": q_media_pipeline,
         "dedup_components": q_dedup_components,
+        "corpus_curation": q_corpus_curation,
         "bm25_topk": q_bm25_topk,
         "top_terms_per_source": q_top_terms_per_source,
         "token_stats": q_token_stats,
         "lang_pivot": q_lang_pivot,
         "peak_events": q_peak_events,
-        "doclen_percentiles": q_doclen_percentiles,
         # --- below the 50-slot correctness window this round (rotate back
         # in round 6) -------------------------------------------------------
+        "doclen_percentiles": q_doclen_percentiles,
         "knn_euclid": q_knn_euclid,
         "knn_hamming_packed": q_knn_hamming_packed,
         "knn_jaccard": q_knn_jaccard,
@@ -1898,6 +1957,56 @@ reach AS (SELECT a, b FROM e
           UNION
           SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b != r.a)
 SELECT a AS id, least(a, min(b)) AS component_id FROM reach GROUP BY a
+""",
+        # End-to-end curation: all-pairs jaccard >= 0.5 (exact copies are
+        # jaccard = 1.0) -> recursive-CTE components -> min-id keep-list ->
+        # quality gate at 0.8 -> source x lang disposition accounting.
+        "corpus_curation": f"""
+WITH RECURSIVE tk AS (SELECT doc_id, source, lang, text, {_TOKENS} AS tk FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM tk WHERE len(tk) >= 3),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (SELECT a, b FROM e
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b != r.a),
+comp AS (SELECT a AS id, least(a, min(b)) AS component_id FROM reach GROUP BY a),
+drops AS (SELECT id FROM comp WHERE id != component_id),
+feat AS (SELECT doc_id, len(tk) AS ntok,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(tk, w -> length(w)))::DOUBLE / len(tk) END AS awl,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE len(list_filter(tk, w -> list_contains(
+                       ['the','and','of','to','is','a','in','that'], w)))::DOUBLE / len(tk) END AS swr,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END AS pr,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text) END AS dr
+      FROM tk),
+q AS (SELECT doc_id, ntok,
+             round(0.3 * least(ntok::DOUBLE / 64.0, 1.0)
+                 + 0.2 * (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.3 END)
+                 + 0.2 * least(swr * 4.0, 1.0)
+                 + 0.3 * greatest(1.0 - (pr + dr) * 2.0, 0.0), 6) AS quality
+      FROM feat),
+st AS (SELECT t.source, t.lang, q.ntok, q.quality,
+              CASE WHEN t.doc_id IN (SELECT id FROM drops) THEN 'dup'
+                   WHEN q.quality < 0.8 THEN 'low_quality'
+                   ELSE 'kept' END AS status
+       FROM tk t JOIN q ON t.doc_id = q.doc_id)
+SELECT source, lang, count(*) AS n_docs,
+       sum(CASE WHEN status = 'dup' THEN 1 ELSE 0 END)::BIGINT AS n_dropped_dup,
+       sum(CASE WHEN status = 'low_quality' THEN 1 ELSE 0 END)::BIGINT AS n_dropped_quality,
+       sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       coalesce(sum(CASE WHEN status = 'kept' THEN ntok END), 0)::BIGINT AS tokens_kept,
+       CASE WHEN sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) > 0
+            THEN CAST(round(CAST(sum(CASE WHEN status = 'kept'
+                                     THEN quality::DECIMAL(18,6) END) AS DOUBLE)
+                          / sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END), 6) AS DOUBLE)
+       END AS mean_kept_quality
+FROM st GROUP BY source, lang
 """,
         "bm25_topk": f"""
 WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),

@@ -59,6 +59,7 @@ HEADLINE = [
     "embedding_cosine_dups_srp",
     "dedup_exact",
     "dedup_components",
+    "corpus_curation",
     "bm25_topk",
     "top_terms_per_source",
     "token_stats",

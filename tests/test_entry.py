@@ -33,6 +33,30 @@ def test_knn_euclid_matches_duckdb_at_sf0001(spark, sf_dir):
     assert [(a, b, pytest.approx(c), d) for a, b, c, d in want] == got
 
 
+def test_corpus_curation_matches_duckdb_at_sf0001(spark, sf_dir):
+    """The end-to-end curation pipeline (near-dup components → canonical
+    keep-list → quality gate → source×lang accounting) value-matches its
+    recursive-CTE oracle, and its dispositions partition the corpus."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    rows = entry.q_corpus_curation(spark, sf_dir).orderBy("source", "lang").collect()
+    want = con.execute(
+        entry.oracle_sql()["corpus_curation"] + " ORDER BY source, lang"
+    ).fetchall()
+    got = [tuple(r) for r in rows]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:5] == w[:5]
+        assert g[5] == w[5]
+        assert g[6] == pytest.approx(w[6]) if w[6] is not None else g[6] is None
+    # dispositions partition every (source, lang) group
+    for r in rows:
+        assert r["n_docs"] == r["n_dropped_dup"] + r["n_dropped_quality"] + r["n_kept"]
+    n_docs_total = sum(r["n_docs"] for r in rows)
+    assert n_docs_total == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
 def test_all_queries_run_at_smallest_sf(spark, sf_dir):
     """Every declared query must at least execute and return a DataFrame
     with a stable schema at sf0.001 (driver smoke equivalence)."""
