@@ -99,3 +99,26 @@ def test_unknown_algorithm_raises(spark, small_ds):
     tr, te = small_ds
     with pytest.raises(ValueError):
         hz.run_definition(spark, hz.Definition("hnsw", "fx", 10), tr, te)
+
+
+def test_zipf_vocab_is_distinct_and_zipf_shaped():
+    """gen_sf.py's Zipf corpus mode: exactly n distinct words, normalized
+    Zipf-Mandelbrot probabilities, and the head/tail mass ratio a s≈1.07
+    law implies (the fixture the n-gram scaling measurement rests on)."""
+    import numpy as np
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from gen_sf import zipf_vocab
+
+    rng = np.random.RandomState(7)
+    words, p = zipf_vocab(10_000, rng)
+    assert len(words) == 10_000 == len(set(words))
+    assert abs(p.sum() - 1.0) < 1e-12
+    assert (np.diff(p) <= 0).all()            # monotone rank-frequency
+    # top-100 words carry far more mass than ranks 1000-1100 (Zipf head)
+    assert p[:100].sum() > 10 * p[1000:1100].sum()
+    # but no single word dominates (q=2.7 flattens the very head)
+    assert p[0] < 0.05
+    # determinism under the same seed
+    w2, p2 = zipf_vocab(10_000, np.random.RandomState(7))
+    assert (w2 == words).all() and np.allclose(p2, p)

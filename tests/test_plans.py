@@ -139,3 +139,23 @@ def test_approx_quantile_buckets_has_no_global_sort(spark):
     # the only Sort allowed is inside the percentile aggregate, which the
     # physical plan does not surface as a Sort node
     assert "Sort " not in plan
+
+
+def test_dedup_pair_generation_is_equijoin_not_cartesian(spark):
+    """Every near-dup candidate generator must plan as a bucket/shingle
+    equi-join — the O(candidates) scale claim.  A CartesianProduct or
+    nested-loop join here is the O(n²) plan the operators exist to avoid."""
+    from bigvectorbench_spark.operators.dedup import (
+        minhash_lsh_pairs, ngram_jaccard_pairs, simhash_pairs)
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common tokens shared by all documents here {i%3}")
+         for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    for pairs in (ngram_jaccard_pairs(docs, threshold=0.5),
+                  minhash_lsh_pairs(docs),
+                  simhash_pairs(docs)):
+        plan = plan_of(pairs)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
