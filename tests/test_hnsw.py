@@ -85,3 +85,29 @@ def test_shard_determinism(spark, data):
     a = {r["shard_id"]: bytes(r["payload"]) for r in shards.collect()}
     b = {r["shard_id"]: bytes(r["payload"]) for r in again.collect()}
     assert a == b
+
+
+def test_derived_shard_count_keeps_exactness_above_oracle_scale(spark):
+    """The r5 regression pin: with a FIXED shard count, a 10× corpus puts
+    ef < shard size and sharded search silently stops being exact.  The
+    entry queries derive num_shards = ceil(n/500); reproduce that here on
+    a corpus where 4 fixed shards would hold ~700 rows each (> ef=512)
+    and assert the derived sharding still equals brute force."""
+    X = make_blobs(2860, 16, centers=12, seed=11)
+    train = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(2800)],
+        "id bigint, vec array<float>").cache()
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in X[2800 + i]]) for i in range(15)],
+        "qid bigint, vec array<float>").cache()
+    num_shards = max(4, -(-train.count() // 500))       # = 6 here
+    assert num_shards == 6
+    shards = build_hnsw_shards(train, m=8, ef_construction=64,
+                               num_shards=num_shards, seed=3)
+    # worst shard must stay under the beam width the entry query uses
+    assert shards.agg(F.max("n")).collect()[0][0] <= 512
+    got = hnsw_search(shards, queries, k=10, ef=512)
+    want = knn(train, queries, k=10, method="expr")
+    g = [(r["qid"], r["id"], r["rank"]) for r in got.orderBy("qid", "rank").collect()]
+    w = [(r["qid"], r["id"], r["rank"]) for r in want.orderBy("qid", "rank").collect()]
+    assert g == w
