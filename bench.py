@@ -145,6 +145,10 @@ def main() -> None:
             timings[name] = round(min(times), 3)
             print(f"  {name}: {timings[name]}s (runs: {all_runs[name]})",
                   file=sys.stderr, flush=True)
+            # Queries that cache intermediates (shingle sets, index
+            # artifacts) must not haunt later queries' storage memory —
+            # each headline entry is timed as an independent job.
+            spark.catalog.clearCache()
         except Exception as e:  # one broken query must not kill the run
             msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
             errors[name] = msg
