@@ -135,17 +135,23 @@ def q_hnsw_knn(spark, sf):
     knn_euclid_gemm).
 
     Shard count derives from the corpus so SHARD SIZE stays bounded
-    (~500 rows ≤ ef) — the property the exactness claim rests on, and the
-    real scale contract (shards track executors; build is corpus/shards
-    per task).  A fixed shard count was the r5 scaling bench's one
-    superlinear outlier: at sf1 it put 5000 rows/shard, silently breaking
+    (~500 rows ≤ ef) — the property the exactness claim rests on.  A
+    fixed shard count was the r5 scaling bench's one superlinear
+    outlier: at sf1 it put 5000 rows/shard, silently breaking
     ef ≥ shard size and growing each task's Python insert loop 10×
     (21× wall per decade).  At the oracle SF this derivation reproduces
-    the original 4-shard configuration exactly."""
+    the original 4-shard configuration exactly.  The row count comes
+    from the parquet FOOTER (table_rows — the statistic a cluster
+    catalog serves), not a ``count()`` action, so declaring the query
+    costs no corpus scan (VERDICT r5 ask #7).  This bounded-shard
+    config is the ORACLE-EXACTNESS declaration; the serving-scale
+    configuration (few large shards, ef ≪ shard size) is
+    ``q_hnsw_scale_search`` below."""
     from bigvectorbench_spark.operators.hnsw import build_hnsw_shards, hnsw_search
+    from bigvectorbench_spark.sources.tables import table_rows
 
     t = _train(spark, sf)
-    num_shards = max(4, -(-t.count() // 500))
+    num_shards = max(4, -(-table_rows(sf, "embeddings") // 500))
     shards = build_hnsw_shards(t, m=8, ef_construction=64,
                                num_shards=num_shards, seed=3)
     res = hnsw_search(shards, _queries_mod(spark, sf), k=10, ef=2048)
@@ -166,19 +172,26 @@ def q_hnsw_recall(spark, sf):
     ``mean_recall_r2`` additionally pins the rounded VALUE (deterministic:
     seeded build, deterministic beam), the srp_recall tightening applied
     here from the start.  The pin only holds where it was calibrated —
-    the clamped-corpus SFs (≤500 embeddings, i.e. sf0.001/sf0.01) — so
-    off them both sides emit NULL (at sf0.1 the same code measures 0.88:
-    larger shards at fixed ef=16 legitimately lower recall; the ok
-    booleans still gate against the defect floor there)."""
+    the clamped ≤500-row embeddings corpora (the shipped sf0.001/sf0.01
+    fixtures; the 0.99 constant is seed-dependent, calibrated on the
+    seed-42 driver tables) — so off them both sides emit NULL (at sf0.1
+    the same code measures 0.88: larger shards at fixed ef=16
+    legitimately lower recall; the ok booleans still gate against the
+    defect floor there).  The pin predicate is row-count ≤ 500 from the
+    parquet footer — the IDENTICAL predicate the DuckDB oracle evaluates
+    (``count(embeddings) <= 500``), so a renamed sf dir can't make the
+    two sides disagree (ADVICE r5)."""
     from bigvectorbench_spark.operators.hnsw import build_hnsw_shards, hnsw_search
+    from bigvectorbench_spark.sources.tables import table_rows
 
     mean_thr, min_thr = _gate(sf, tight=(0.95, 0.8), floor=(0.7, 0.5))
     t, q = _train(spark, sf), _queries_mod(spark, sf)
+    n_rows = table_rows(sf, "embeddings")
     # Bounded ~125-row shards: the calibrated oracle-SF configuration was
     # 4 shards over 500 rows, and recall at fixed ef depends on shard
     # size — deriving the count keeps every SF in the calibrated regime
     # (and build wall time flat per decade, see q_hnsw_knn).
-    num_shards = max(4, -(-t.count() // 125))
+    num_shards = max(4, -(-n_rows // 125))
     shards = build_hnsw_shards(t, m=8, ef_construction=64,
                                num_shards=num_shards, seed=3)
     approx = hnsw_search(shards, q, k=10, ef=16).groupBy("qid").agg(
@@ -186,7 +199,99 @@ def q_hnsw_recall(spark, sf):
     exact = knn(t, q, k=10, method="expr").groupBy("qid").agg(
         F.collect_list("id").alias("neighbors"))
     per_q = mx.recall_per_query(approx, exact)
-    pinned = _ORACLE_SF in str(sf) or "sf0.001" in str(sf)
+    pinned = n_rows <= 500
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg("recall") >= mean_thr).alias("mean_recall_ok"),
+        (F.min("recall") >= min_thr).alias("min_recall_ok"),
+        F.when(F.lit(pinned), F.round(F.avg("recall"), 2))
+         .cast("double").alias("mean_recall_r2"),
+    )
+
+
+# Serving-scale HNSW configuration (VERDICT r5 ask #2): shard count tracks
+# EXECUTORS (fixed 8 — local[32]/4, the contract every sharded ANN serving
+# system uses: milvus segments ∝ query nodes), NOT corpus size, so each
+# shard holds thousands-to-millions of rows and beam width ef ≪ shard size
+# does genuinely sublinear per-shard work.  The bounded-shard q_hnsw_knn
+# config above stays as the oracle-EXACTNESS declaration; this one is the
+# recall/QPS trade-off point the reference's Pareto output plots.
+_HNSW_SCALE_CFG = dict(m=8, ef_construction=64, num_shards=8, seed=3)
+_HNSW_SCALE_EF = 24
+
+
+def _hnsw_scale_index(spark, sf):
+    """Load-or-build the persisted scale-mode index artifact for ``sf``.
+
+    Returns (shards DataFrame, corpus row count).  The cache key is the
+    sf dir basename + footer row count, so a regenerated corpus can never
+    serve a stale graph; no count() action runs (r5 ask #7)."""
+    from bigvectorbench_spark.operators.hnsw import load_or_build_hnsw
+    from bigvectorbench_spark.sources.tables import table_rows
+
+    n = table_rows(sf, "embeddings")
+    key = f"{_os.path.basename(str(sf).rstrip('/'))}_{n}"
+    shards = load_or_build_hnsw(_train(spark, sf), cache_key=key,
+                                **_HNSW_SCALE_CFG)
+    return shards, n
+
+
+def _queries_block(spark, sf, n_rows, target=100):
+    """A fixed-size (~``target``) query block whatever the corpus size —
+    the serving workload shape: query volume is set by traffic, not by
+    corpus growth, so search-cost scaling isolates the per-query cost vs
+    corpus size (the claim an ANN index exists to make)."""
+    stride = max(1, n_rows // target)
+    return load_table(spark, sf, "embeddings").filter(
+        f"vec_id % {stride} = 0").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec"))
+
+
+def q_hnsw_scale_search(spark, sf):
+    """§2.7 HNSW at the SERVING-SCALE configuration: 8 executor-aligned
+    shards, beam ef=24 ≪ shard size, search served from the persisted
+    index artifact (load_or_build_hnsw — built once, the M2 build/search
+    cost split; reference milvus/module.py:662-686).  Fixed ~100-query
+    block (traffic-shaped, not corpus-shaped).  Approximate by design →
+    rows-only correctness here; the recall at this exact configuration is
+    driver-gated by ``hnsw_scale_recall`` and the per-decade search work
+    is measured in SCALING.md (dist_evals/query grows ~log n while brute
+    force grows ~n)."""
+    from bigvectorbench_spark.operators.hnsw import hnsw_search
+
+    shards, n = _hnsw_scale_index(spark, sf)
+    q = _queries_block(spark, sf, n)
+    res = hnsw_search(shards, q, k=10, ef=_HNSW_SCALE_EF)
+    return res.select("qid", "id", F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_hnsw_scale_recall(spark, sf):
+    """Driver-visible recall gate for the serving-scale HNSW config —
+    same contract as ``q_hnsw_recall`` but at the 8-fixed-shard / ef=24
+    configuration ``q_hnsw_scale_search`` serves (VERDICT r5 ask #2:
+    "hnsw_recall recalibrated at the large-shard config").  Calibrated at
+    the oracle sf (scripts/calibrate_gates.py): on the clamped 500-row
+    corpus the 8-shard union (8 × top-10 from 62-row shards at beam 24)
+    recovers the exact top-10 completely — mean = min = 1.0, so the pin
+    is 1.0 and any build/beam defect that costs even one neighbor per
+    query trips the 0.95/0.8 thresholds.  The approximate regime engages
+    above the clamp (sf0.1: mean 0.975, min 0.8; 250-row shards), where
+    the pin is NULL and the defect floor (0.7/0.5) gates — at sf1
+    (2500-row shards) the same code measures the genuine large-shard
+    recall reported in SCALING.md.  Pin predicate = footer row count
+    ≤ 500, identical to the oracle's count(embeddings) <= 500."""
+    from bigvectorbench_spark.operators.hnsw import hnsw_search
+
+    mean_thr, min_thr = _gate(sf, tight=(0.95, 0.8), floor=(0.7, 0.5))
+    shards, n_rows = _hnsw_scale_index(spark, sf)
+    t = _train(spark, sf)
+    q = _queries_block(spark, sf, n_rows)
+    approx = hnsw_search(shards, q, k=10, ef=_HNSW_SCALE_EF).groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    exact = knn(t, q, k=10, method="expr").groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    per_q = mx.recall_per_query(approx, exact)
+    pinned = n_rows <= 500
     return per_q.agg(
         F.count("*").alias("n_queries"),
         (F.avg("recall") >= mean_thr).alias("mean_recall_ok"),
@@ -1095,6 +1200,54 @@ def q_media_pipeline(spark, sf):
     )
 
 
+def q_audio_features(spark, sf):
+    """Audio tier of the multimodal pipeline, VALUE-oracled end-to-end
+    through the real pure-Python WAV codec (VERDICT r5 "What's missing
+    #1"): synthesize integer-sawtooth PCM clips keyed by doc_id →
+    ``wav_encode`` → real RIFF/WAVE bytes → ``audio_features(codec=
+    "real")`` (hard-error mode: the fake fallback is FORBIDDEN here, so a
+    codec regression fails loudly) → energy features.  The waveform is
+    pure integer arithmetic (multimodal.sawtooth_pcm), so DuckDB
+    recomputes the exact samples closed-form and the rms/zcr/peak values
+    match bit-for-bit — the encode→decode→feature path has a genuine
+    value oracle, not a roundtrip self-check.  dominant_freq_hz (the one
+    float-order-dependent feature) is pinned in test_multimodal instead."""
+    import pandas as pd
+    from bigvectorbench_spark.operators import multimodal as mmx
+
+    docs = load_table(spark, sf, "documents").filter("doc_id % 5 = 0").select("doc_id")
+
+    def _synth(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, contents, metas = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 1600 + (d % 4) * 400
+                contents.append(mmx.wav_encode(
+                    mmx.sawtooth_pcm(50 + (d % 40) * 10, 8000, n,
+                                     8192 + (d % 8) * 1024), 8000))
+                metas.append({"mime": "audio/wav", "width": None,
+                              "height": None, "sample_rate": 8000,
+                              "n_frames": None, "duration_s": n / 8000.0})
+                ids.append(d)
+            yield pd.DataFrame({"media_id": ids,
+                                "kind": ["audio"] * len(ids),
+                                "content": contents, "meta": metas})
+
+    media = docs.mapInPandas(_synth, schema=mmx.MEDIA_SCHEMA)
+    feats = mmx.audio_features(media, codec="real")
+    return feats.select(
+        "media_id",
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.round("rms", 6).alias("rms"),
+        F.col("zero_crossings").cast("bigint").alias("zero_crossings"),
+        F.round("peak", 6).alias("peak"),
+    )
+
+
 def q_dedup_components(spark, sf):
     """Transitive closure of the near-dup pair list: connected components
     via iterative min-label propagation (one shuffle join per round).
@@ -1130,11 +1283,18 @@ def q_corpus_curation(spark, sf):
     scored = (
         docs.join(drops, "doc_id", "left")
         .withColumn("tk", tx.tokens(F.col("text")))
-        .withColumn("quality", F.round(
-            tx.quality_score_from_tokens(F.col("tk"), F.col("text")), 6))
+        # The keep/drop gate compares the UNROUNDED score to 0.8: a
+        # round(double, 6) before a threshold reintroduces the half-ulp
+        # cross-engine divergence class user_gap_stats hit (a score within
+        # half an ulp of a 6-dp boundary could round differently in Spark's
+        # BigDecimal HALF_UP vs DuckDB and flip a doc's integer counts —
+        # ADVICE r5).  Rounding applies only to the emitted mean.
+        .withColumn("quality_raw",
+                    tx.quality_score_from_tokens(F.col("tk"), F.col("text")))
+        .withColumn("quality", F.round(F.col("quality_raw"), 6))
         .withColumn("status",
                     F.when(F.col("is_dup"), F.lit("dup"))
-                    .when(F.col("quality") < 0.8, F.lit("low_quality"))
+                    .when(F.col("quality_raw") < 0.8, F.lit("low_quality"))
                     .otherwise(F.lit("kept")))
     )
     kept = F.col("status") == "kept"
@@ -1203,62 +1363,64 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate checks queries in dict
-    # order (observed cap: 50 per round).  62 queries are declared, so 12
+    # order (observed cap: 50 per round).  72 queries are declared, so 22
     # sit outside the window each round; the window ROTATES so no query's
     # last green row ages more than two rounds (VERDICT r3 ask #8).
     #
-    # Round-5 window (VERDICT r4 ask #4): the 11 r3-green queries rotated
-    # out in round 4 rotate back in (knn_angular, knn_hamming, mv_knn_fused,
-    # jl_knn, best_search_time, train_test_split, customers_semi_returns,
-    # customers_anti_urgent, lang_pivot, peak_events, top_revenue_orders),
-    # and the brand-new hnsw_recall gate (r4 ask #2 — the approximate-mode
-    # twin of hnsw_knn) enters in-window, as does the new round-5
-    # corpus_curation end-to-end pipeline (doclen_percentiles — r4 green —
-    # gives up its slot, rotate back round 6).  Rotated out to make the slots
-    # (all r4-green, mechanics duplicated by in-window kin; rotate back
-    # round 6): knn_euclid (gemm twin stays), knn_hamming_packed (unpacked
-    # twin back in, same bit plan), knn_jaccard, mv_knn (fused twin back
-    # in), postfilter_knn, recall_summary, quality_scores, lang_id
-    # (lang_pivot back in), doc_fingerprints, corpus_stats
-    # (doclen_percentiles stays), topk_per_group, events_hourly.
+    # Round-6 window (VERDICT r5 ask #3): the 13 r4-green queries rotated
+    # out in round 5 rotate back in (doclen_percentiles, knn_euclid,
+    # knn_hamming_packed, knn_jaccard, postfilter_knn, mv_knn,
+    # recall_summary, quality_scores, lang_id, doc_fingerprints,
+    # corpus_stats, topk_per_group, events_hourly), and two NEW oracled
+    # queries enter: hnsw_scale_recall (r5 ask #2 — the serving-scale
+    # large-shard gate) and audio_features (r5 ask #6 — the WAV-codec
+    # value oracle).  Rotated out to make the 15 slots (all r5-green,
+    # mechanics duplicated by in-window kin; rotate back round 7):
+    # knn_angular, knn_hamming (packed twin back in, same values),
+    # mv_knn_fused (plain twin back in), jl_knn, mm_knn, ivfpq_knn
+    # (ivf_knn + pq_knn stay), filter_knn_range (eq twin stays),
+    # interval_clicks (asof stays), best_search_time, train_test_split,
+    # customers_semi_returns, customers_anti_urgent, lang_pivot (lang_id
+    # back in), peak_events, top_revenue_orders.  Queries CHANGED this
+    # round (hnsw_knn, hnsw_recall — footer-derived shard counts;
+    # corpus_curation — unrounded quality threshold) stay in-window to
+    # prove green on the new code.  hnsw_scale_search is approximate by
+    # design → rows-only below the window, recall-gated by the in-window
+    # hnsw_scale_recall at the identical config.
     # corpus_stats_approx / embedding_cosine_dups_srp / quality_tags_approx
     # stay rows-only by nature — driver-visible through the in-window
     # sketch_bounds / srp_recall gates and the pytest ntile-agreement pin.
     return {
         "knn_euclid_gemm": q_knn_euclid_gemm,
-        "knn_angular": q_knn_angular,
-        "knn_hamming": q_knn_hamming,
+        "knn_euclid": q_knn_euclid,
+        "knn_hamming_packed": q_knn_hamming_packed,
+        "knn_jaccard": q_knn_jaccard,
         "hnsw_knn": q_hnsw_knn,
         "hnsw_recall": q_hnsw_recall,
+        "hnsw_scale_recall": q_hnsw_scale_recall,
         "filter_knn_eq": q_filter_knn_eq,
-        "filter_knn_range": q_filter_knn_range,
-        "mv_knn_fused": q_mv_knn_fused,
-        "jl_knn": q_jl_knn,
-        "mm_knn": q_mm_knn,
+        "postfilter_knn": q_postfilter_knn,
+        "mv_knn": q_mv_knn,
         "groundtruth_pack": q_groundtruth_pack,
         "ivf_knn": q_ivf_knn,
         "pq_knn": q_pq_knn,
-        "ivfpq_knn": q_ivfpq_knn,
         "ivf_recall": q_ivf_recall,
         "pq_recall": q_pq_recall,
         "srp_recall": q_srp_recall,
         "sketch_bounds": q_sketch_bounds,
         "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
-        "best_search_time": q_best_search_time,
-        "train_test_split": q_train_test_split,
+        "recall_summary": q_recall_summary,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
-        "customers_semi_returns": q_customers_semi_returns,
-        "customers_anti_urgent": q_customers_anti_urgent,
-        "top_revenue_orders": q_top_revenue_orders,
         "corpus_rollup": q_corpus_rollup,
         "user_gap_stats": q_user_gap_stats,
         "revenue_running": q_revenue_running,
         "quality_deciles": q_quality_deciles,
+        "topk_per_group": q_topk_per_group,
         "sessionize": q_sessionize,
         "asof_clicks": q_asof_clicks,
-        "interval_clicks": q_interval_clicks,
         "clicks_before_purchase": q_clicks_before_purchase,
+        "events_hourly": q_events_hourly,
         "latency_percentiles": q_latency_percentiles,
         "qps_by_type": q_qps_by_type,
         "pareto_frontier": q_pareto_frontier,
@@ -1268,28 +1430,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "media_pipeline": q_media_pipeline,
+        "audio_features": q_audio_features,
         "dedup_components": q_dedup_components,
         "corpus_curation": q_corpus_curation,
         "bm25_topk": q_bm25_topk,
         "top_terms_per_source": q_top_terms_per_source,
         "token_stats": q_token_stats,
-        "lang_pivot": q_lang_pivot,
-        "peak_events": q_peak_events,
-        # --- below the 50-slot correctness window this round (rotate back
-        # in round 6) -------------------------------------------------------
-        "doclen_percentiles": q_doclen_percentiles,
-        "knn_euclid": q_knn_euclid,
-        "knn_hamming_packed": q_knn_hamming_packed,
-        "knn_jaccard": q_knn_jaccard,
-        "postfilter_knn": q_postfilter_knn,
-        "mv_knn": q_mv_knn,
-        "recall_summary": q_recall_summary,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
         "corpus_stats": q_corpus_stats,
-        "topk_per_group": q_topk_per_group,
-        "events_hourly": q_events_hourly,
+        "doclen_percentiles": q_doclen_percentiles,
+        # --- below the 50-slot correctness window this round (rotate back
+        # in round 7) -------------------------------------------------------
+        "knn_angular": q_knn_angular,
+        "knn_hamming": q_knn_hamming,
+        "mv_knn_fused": q_mv_knn_fused,
+        "jl_knn": q_jl_knn,
+        "mm_knn": q_mm_knn,
+        "ivfpq_knn": q_ivfpq_knn,
+        "filter_knn_range": q_filter_knn_range,
+        "interval_clicks": q_interval_clicks,
+        "best_search_time": q_best_search_time,
+        "train_test_split": q_train_test_split,
+        "customers_semi_returns": q_customers_semi_returns,
+        "customers_anti_urgent": q_customers_anti_urgent,
+        "lang_pivot": q_lang_pivot,
+        "peak_events": q_peak_events,
+        "top_revenue_orders": q_top_revenue_orders,
+        "hnsw_scale_search": q_hnsw_scale_search,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
@@ -1509,6 +1678,19 @@ SELECT count(*) AS n_queries, TRUE AS mean_recall_ok, TRUE AS min_recall_ok,
 FROM embeddings WHERE vec_id % 50 = 0
 """
 
+# hnsw_scale_recall: same contract at the serving-scale (8 fixed shards,
+# ef=24) configuration.  The fixed ~100-query block's stride is
+# greatest(1, n // 100) on both sides; the pinned mean on the clamped
+# ≤500-row corpora is exactly 1.0 (the 8-shard top-10 union recovers the
+# exact top-10 — scripts/calibrate_gates.py).
+_HNSW_SCALE_RECALL_SQL = """
+SELECT count(*) AS n_queries, TRUE AS mean_recall_ok, TRUE AS min_recall_ok,
+       CASE WHEN (SELECT count(*) FROM embeddings) <= 500
+            THEN CAST(1.0 AS DOUBLE) END AS mean_recall_r2
+FROM embeddings
+WHERE vec_id % greatest(1, (SELECT count(*) FROM embeddings) // 100) = 0
+"""
+
 # sketch_bounds: the oracle recomputes the exact corpus shape (sources,
 # docs) and asserts the Spark-side HLL++/percentile_approx error-bound
 # booleans.
@@ -1533,6 +1715,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_recall": _RECALL_GATE_SQL,
         "srp_recall": _SRP_RECALL_SQL,
         "hnsw_recall": _HNSW_RECALL_SQL,
+        "hnsw_scale_recall": _HNSW_SCALE_RECALL_SQL,
         "sketch_bounds": _SKETCH_BOUNDS_SQL,
         "knn_euclid": _knn_oracle(where_q="vec_id % 50 = 0", dist=l2),
         "knn_euclid_gemm": _knn_oracle(where_q="vec_id % 50 = 0", dist=l2,
@@ -1935,6 +2118,30 @@ SELECT media_id, kind,
             ELSE 0 END AS n_sampled
 FROM s
 """,
+        # Audio: recompute the integer sawtooth samples closed-form (the
+        # exact int16 values wav_encode wrote and wav_decode recovered —
+        # pure integer arithmetic, engine-identical), then the same exact
+        # dyadic-rational feature arithmetic as audio_features: squares
+        # ≤30 bits accumulated in double are exact, sqrt is IEEE
+        # correctly-rounded, so rms/zcr/peak match bit-for-bit.
+        "audio_features": """
+WITH ids AS (SELECT doc_id, 50 + (doc_id % 40) * 10 AS f,
+                    1600 + (doc_id % 4) * 400 AS n,
+                    8192 + (doc_id % 8) * 1024 AS a
+             FROM documents WHERE doc_id % 5 = 0),
+s AS (SELECT doc_id, n,
+             list_transform(range(0, n),
+                            t -> ((t * f) % 8000) * (2 * a) // 8000 - a) AS smp
+      FROM ids)
+SELECT doc_id AS media_id, n::BIGINT AS n_samples, 8000::BIGINT AS sample_rate,
+       round(sqrt(list_sum(list_transform(smp,
+             v -> (v / 32768.0) * (v / 32768.0))) / n), 6) AS rms,
+       list_sum(list_transform(range(2, n + 1),
+             i -> CASE WHEN smp[i-1] * smp[i] < 0 THEN 1 ELSE 0 END))::BIGINT
+           AS zero_crossings,
+       round(list_max(list_transform(smp, v -> abs(v))) / 32768.0, 6) AS peak
+FROM s
+""",
         # MinHash: portable shingle hashes → 64-perm signatures (identical
         # universal-hash params embedded below) → 16 bands × 4 rows → bucket
         # collisions → exact-Jaccard verification.  Spark hashes the band
@@ -2021,14 +2228,21 @@ feat AS (SELECT doc_id, len(tk) AS ntok,
                   ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text) END AS dr
       FROM tk),
 q AS (SELECT doc_id, ntok,
+             0.3 * least(ntok::DOUBLE / 64.0, 1.0)
+                 + 0.2 * (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.3 END)
+                 + 0.2 * least(swr * 4.0, 1.0)
+                 + 0.3 * greatest(1.0 - (pr + dr) * 2.0, 0.0) AS quality_raw,
              round(0.3 * least(ntok::DOUBLE / 64.0, 1.0)
                  + 0.2 * (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.3 END)
                  + 0.2 * least(swr * 4.0, 1.0)
                  + 0.3 * greatest(1.0 - (pr + dr) * 2.0, 0.0), 6) AS quality
       FROM feat),
+-- the keep/drop threshold reads the UNROUNDED score (half-ulp 6-dp
+-- boundary rounding must not flip integer counts — ADVICE r5); the
+-- rounded value feeds only the emitted mean
 st AS (SELECT t.source, t.lang, q.ntok, q.quality,
               CASE WHEN t.doc_id IN (SELECT id FROM drops) THEN 'dup'
-                   WHEN q.quality < 0.8 THEN 'low_quality'
+                   WHEN q.quality_raw < 0.8 THEN 'low_quality'
                    ELSE 'kept' END AS status
        FROM tk t JOIN q ON t.doc_id = q.doc_id)
 SELECT source, lang, count(*) AS n_docs,

@@ -62,10 +62,12 @@ class _ShardHNSW:
         self.links: list[list[list[int]]] = []  # node -> level -> neighbors
         self.entry = -1
         self.max_level = -1
+        self.n_dist = 0        # distance evaluations (search-work meter)
 
     # -- distances ---------------------------------------------------------
 
     def _d(self, q, idxs):
+        self.n_dist += len(idxs)
         diff = self.X[idxs] - q
         return np.einsum("ij,ij->i", diff, diff)
 
@@ -282,6 +284,47 @@ def build_hnsw_shards(
     return src.mapInPandas(_build, "shard_id int, n bigint, payload binary")
 
 
+def load_or_build_hnsw(
+    train: DataFrame,
+    *,
+    cache_key: str,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    m: int = 8,
+    ef_construction: int = 64,
+    num_shards: int = 8,
+    seed: int = 1,
+    cache_root: str | None = None,
+) -> DataFrame:
+    """The M2 serving contract: build the shard artifacts ONCE, persist as
+    parquet, and serve every subsequent search from the stored index — the
+    build/search cost split every ANN deployment has (reference
+    milvus/module.py:662-686 builds an index then times queries against
+    it).  ``cache_key`` must encode the corpus identity (dir + row count)
+    so a regenerated corpus can never serve a stale graph; the config
+    params are appended automatically.  Cache root defaults to
+    ``$SPARK_GRAFT_INDEX_CACHE`` or ``<repo>/.index_cache``."""
+    import os
+
+    if cache_root is None:
+        cache_root = os.environ.get(
+            "SPARK_GRAFT_INDEX_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".index_cache"))
+    safe = "".join(c if c.isalnum() or c in "._-" else "_" for c in cache_key)
+    path = os.path.join(
+        cache_root,
+        f"hnsw_{safe}_m{m}_efc{ef_construction}_s{num_shards}_seed{seed}")
+    spark = train.sparkSession
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shards = build_hnsw_shards(
+            train, id_col=id_col, vec_col=vec_col, m=m,
+            ef_construction=ef_construction, num_shards=num_shards, seed=seed)
+        shards.write.mode("overwrite").parquet(path)
+    # One row group per shard row; Spark schedules one task per shard.
+    return spark.read.parquet(path)
+
+
 def hnsw_search(
     shards: DataFrame,
     queries: DataFrame,
@@ -323,3 +366,43 @@ def hnsw_search(
 
     cand = shards.mapInPandas(_search, "qid bigint, id bigint, dist double")
     return topk_window(cand, k).select("qid", "id", "dist", "rank")
+
+
+def hnsw_search_work(
+    shards: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    ef: int = 64,
+    qid_col: str = "qid",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Search-WORK meter for the scaling argument: runs the same beam
+    search as ``hnsw_search`` but emits per-shard distance-evaluation
+    counts instead of neighbors — ``(shard_rows, n_queries, dist_evals)``
+    per shard.  Brute force evaluates ``shard_rows`` distances per query;
+    sublinearity is ``dist_evals / (n_queries · shard_rows) ≪ 1`` growing
+    smaller with corpus size (SCALING.md's HNSW section)."""
+    q_rows = queries.select(
+        F.col(qid_col).cast("bigint"), F.col(vec_col).cast("array<double>")
+    ).collect()
+    Q = (np.stack([r[1] for r in q_rows]) if q_rows else np.zeros((0, 1)))
+    bc = shards.sparkSession.sparkContext.broadcast(Q)
+
+    def _work(pdf_iter):
+        import pandas as pd
+
+        Q_ = bc.value
+        for pdf in pdf_iter:
+            for payload in pdf["payload"]:
+                g = _ShardHNSW.loads(payload)
+                g.n_dist = 0
+                for qi in range(len(Q_)):
+                    g.search(Q_[qi], k, ef)
+                yield pd.DataFrame({
+                    "shard_rows": [len(g.ids)],
+                    "n_queries": [len(Q_)],
+                    "dist_evals": [int(g.n_dist)]})
+
+    return shards.mapInPandas(
+        _work, "shard_rows bigint, n_queries bigint, dist_evals bigint")

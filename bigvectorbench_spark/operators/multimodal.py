@@ -152,6 +152,80 @@ def png_decode(data: bytes) -> np.ndarray:
     return gray / 255.0
 
 
+# ------------------------------------------------------------- WAV codec
+# Minimal, from-the-spec RIFF/WAVE support (the WAVE format of the
+# Multimedia Programming Interface spec; same stdlib-only pattern as the
+# PNG codec above): integer PCM, 8/16-bit, mono or stereo, proper chunk
+# walking (LIST/fact/cue chunks skipped, odd-size chunks word-aligned).
+
+WAV_MAGIC = b"RIFF"
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode int16 mono PCM samples as a canonical 44-byte-header WAV."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("wav_encode expects a 1-D int16 array")
+    data = samples.tobytes()  # little-endian on every supported platform
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return WAV_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a WAV payload → (float32 samples in [-1, 1], sample_rate).
+
+    Integer PCM only (format tag 1): 16-bit scales by 1/32768 (exact in
+    float32 — every int16/32768 is a ≤15-bit dyadic rational), 8-bit is
+    unsigned-biased per the spec.  Stereo averages to mono.  Raises
+    ValueError on compressed/float formats — callers treat that as 'not
+    decodable here', mirroring png_decode's unsupported corners."""
+    if data[:4] != WAV_MAGIC or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            pcm = body
+            if fmt is not None:
+                break  # spec orders fmt before data
+    if fmt is None or pcm is None:
+        raise ValueError("truncated WAV (missing fmt or data chunk)")
+    audio_format, n_channels, sample_rate, _rate, _align, bits = fmt
+    if audio_format != 1 or n_channels not in (1, 2):
+        raise ValueError(f"unsupported WAV (format={audio_format}, "
+                         f"channels={n_channels})")
+    if bits == 16:
+        s = np.frombuffer(pcm[:len(pcm) // 2 * 2], dtype="<i2")
+        out = s.astype(np.float32) / 32768.0
+    elif bits == 8:
+        s = np.frombuffer(pcm, dtype=np.uint8)
+        out = (s.astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    if n_channels == 2:
+        out = out[:len(out) // 2 * 2].reshape(-1, 2).mean(axis=1)
+    return out, sample_rate
+
+
+def _decode_audio_payload(content: bytes) -> Optional[tuple[np.ndarray, int]]:
+    """Real audio decode → (float32 samples, sample_rate), or None when no
+    available engine reads the payload (WAV via the pure-Python codec; no
+    compressed-audio analog of PIL exists in this container)."""
+    if content[:4] == WAV_MAGIC:
+        try:
+            return wav_decode(content)
+        except ValueError:
+            return None
+    return None
+
+
 def _decode_payload(content: bytes) -> Optional[np.ndarray]:
     """Real decode → (H, W) float32 grayscale in [0, 1], or None if no
     available engine can read the payload.  PNG uses the pure-Python codec
@@ -269,6 +343,119 @@ def extract_features(df: DataFrame, *, dim: int = 64, codec: str = "auto") -> Da
     )
 
 
+def decode_audio(df: DataFrame, *, max_samples: int = 65536,
+                 codec: str = "auto") -> DataFrame:
+    """Decode audio payloads → (media_id, sample_rate, n_samples,
+    samples ARRAY<FLOAT>) — the audio twin of ``decode_image``.
+
+    ``codec`` tiers mirror the image path exactly: ``"auto"`` decodes real
+    samples where the pure-Python WAV codec reads the payload and falls
+    back to the deterministic fake for opaque bytes; ``"real"`` raises on
+    undecodable payloads; ``"fake"`` forces the stub.  Output is bounded
+    by ``max_samples`` via power-of-two striding (decimation), keeping
+    per-batch executor memory predictable whatever the clip length."""
+    if codec not in ("auto", "real", "fake"):
+        raise ValueError(f"codec must be auto|real|fake, got {codec!r}")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_ids, out_sr, out_n, out_s = [], [], [], []
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"])
+                dec = None if codec == "fake" else _decode_audio_payload(content)
+                if dec is not None:
+                    s, sr = dec
+                    while s.size > max_samples:
+                        s = s[::2]
+                        sr = max(sr // 2, 1)
+                else:
+                    if codec == "real":
+                        raise ValueError(
+                            f"media_id={row['media_id']}: payload not decodable "
+                            "by the WAV codec and codec='real' forbids the "
+                            "fake fallback")
+                    meta = row["meta"]
+                    sr = int(meta["sample_rate"] or 8000)
+                    n = min(int((meta["duration_s"] or 1.0) * sr), max_samples)
+                    s = _fake_decode(content, max(n, 1)) * 2.0 - 1.0
+                out_ids.append(row["media_id"]); out_sr.append(sr)
+                out_n.append(s.size); out_s.append(s.astype(np.float32).tolist())
+            yield pd.DataFrame({"media_id": out_ids, "sample_rate": out_sr,
+                                "n_samples": out_n, "samples": out_s})
+
+    return (
+        df.filter(F.col("kind") == "audio")
+        .select("media_id", "content", "meta")
+        .mapInPandas(_decode, schema="media_id bigint, sample_rate int, "
+                                     "n_samples bigint, samples array<float>")
+    )
+
+
+def audio_features(df: DataFrame, *, codec: str = "auto") -> DataFrame:
+    """Spectral/energy features from decoded audio → (media_id,
+    sample_rate, n_samples, rms, zero_crossings, peak, dominant_freq_hz).
+
+    Feature arithmetic is engine-exact by construction for 16-bit PCM:
+    each sample is a dyadic rational (v/32768), squares stay ≤30 bits, and
+    float64 accumulation over ≤2²³ such terms is exact — so rms/peak/zcr
+    agree bit-for-bit with any engine recomputing them from the same
+    integers (the audio_features oracle relies on this).  dominant_freq_hz
+    is the argmax bin of an rFFT magnitude spectrum (numpy), the one
+    genuinely float-order-dependent feature — pinned in tests, not
+    oracled."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {k: [] for k in ("media_id", "sample_rate", "n_samples",
+                                    "rms", "zero_crossings", "peak",
+                                    "dominant_freq_hz")}
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"])
+                dec = None if codec == "fake" else _decode_audio_payload(content)
+                if dec is not None:
+                    s, sr = dec
+                elif codec == "real":
+                    raise ValueError(
+                        f"media_id={row['media_id']}: payload not decodable "
+                        "and codec='real' forbids the fake fallback")
+                else:
+                    meta = row["meta"]
+                    sr = int(meta["sample_rate"] or 8000)
+                    n = max(min(int((meta["duration_s"] or 1.0) * sr), 65536), 1)
+                    s = _fake_decode(content, n) * 2.0 - 1.0
+                s64 = s.astype(np.float64)
+                n = s64.size
+                rms = float(np.sqrt(np.sum(s64 * s64) / n)) if n else 0.0
+                zc = int(np.count_nonzero(s64[:-1] * s64[1:] < 0)) if n > 1 else 0
+                peak = float(np.max(np.abs(s64))) if n else 0.0
+                if n > 1:
+                    spec = np.abs(np.fft.rfft(s64))
+                    dom = float(np.argmax(spec[1:]) + 1) * sr / n  # skip DC
+                else:
+                    dom = 0.0
+                rows["media_id"].append(row["media_id"])
+                rows["sample_rate"].append(sr)
+                rows["n_samples"].append(n)
+                rows["rms"].append(rms)
+                rows["zero_crossings"].append(zc)
+                rows["peak"].append(peak)
+                rows["dominant_freq_hz"].append(dom)
+            yield pd.DataFrame(rows)
+
+    return (
+        df.filter(F.col("kind") == "audio")
+        .select("media_id", "content", "meta")
+        .mapInPandas(_feat, schema="media_id bigint, sample_rate int, "
+                                   "n_samples bigint, rms double, "
+                                   "zero_crossings bigint, peak double, "
+                                   "dominant_freq_hz double")
+    )
+
+
 def resize_meta(df: DataFrame, *, max_side: int = 256) -> DataFrame:
     """Resize planning: pure-metadata operator computing target dimensions
     (aspect-preserving, longest side ≤ max_side) WITHOUT touching payloads —
@@ -293,12 +480,24 @@ def sample_frames(df: DataFrame, *, every_n: int = 10) -> DataFrame:
     )
 
 
+def sawtooth_pcm(freq: int, sample_rate: int, n: int, amp: int) -> np.ndarray:
+    """Integer sawtooth waveform — int16 samples from pure integer
+    arithmetic (``((t·f) mod sr)·2A // sr − A``), so any engine can
+    recompute the exact samples closed-form (the audio_features oracle
+    does, in SQL).  Fundamental frequency ``freq`` Hz at ``sample_rate``."""
+    t = np.arange(n, dtype=np.int64)
+    return ((t * freq) % sample_rate * (2 * amp) // sample_rate - amp).astype(
+        np.int16)
+
+
 def synthetic_media(spark: SparkSession, n: int = 100, *, seed: int = 7) -> DataFrame:
     """Deterministic media table for tests/fixtures.  Image payloads are
     REAL PNGs (seeded random grayscale at the meta dimensions, encoded by
-    ``png_encode``) so the real decode path runs end-to-end in any
-    environment; audio/video payloads stay opaque sha256-derived bytes and
-    exercise the fake fallback."""
+    ``png_encode``) and audio payloads are REAL WAVs (integer sawtooth
+    PCM, encoded by ``wav_encode``), so both real decode tiers run
+    end-to-end in any environment; video payloads stay opaque
+    sha256-derived bytes and exercise the fake fallback (no ffmpeg analog
+    exists here)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
@@ -308,15 +507,21 @@ def synthetic_media(spark: SparkSession, n: int = 100, *, seed: int = 7) -> Data
             h = 48 + (i % 3) * 16
             rng = np.random.RandomState(seed * 100003 + i)
             content = png_encode(rng.randint(0, 256, (h, w)).astype(np.uint8))
+        elif kind == "audio":
+            content = wav_encode(
+                sawtooth_pcm(50 + (i % 40) * 10, 8000,
+                             1600 + (i % 4) * 400, 8192 + (i % 8) * 1024),
+                8000)
         else:
             content = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 4
         meta = {
             "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
             "width": 64 + (i % 4) * 32 if kind != "audio" else None,
             "height": 48 + (i % 3) * 16 if kind != "audio" else None,
-            "sample_rate": 16000 if kind == "audio" else None,
+            "sample_rate": 8000 if kind == "audio" else None,
             "n_frames": 30 * (1 + i % 5) if kind == "video" else None,
-            "duration_s": float(i % 10) if kind != "image" else None,
+            "duration_s": ((1600 + (i % 4) * 400) / 8000.0 if kind == "audio"
+                           else float(i % 10) if kind == "video" else None),
         }
         rows.append((i, kind, bytearray(content), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -44,6 +44,119 @@ def normalize(rows, cols):
     return out
 
 
+# The corpus_curation oracle above sf0.01: DuckDB's recursive-CTE
+# connected-components is O(n²) in frontier rows and cannot finish at 5k
+# docs (<30 min); the driver never needs it above sf0.01, but this sweep
+# runs a decade up (VERDICT r5 ask #5).  Replace ONLY the pair/component
+# stages with an independent Python implementation — prefix-filtered
+# candidate generation (complete by the PPJoin prefix theorem), exact-set
+# Jaccard verification, and UNION-FIND components (a different algorithm
+# from Spark's iterative min-label propagation) — then hand the keep/drop
+# list back to DuckDB for the untouched quality-gate + accounting SQL.
+
+_CURATION_TAIL_SQL = """
+WITH tk AS (SELECT doc_id, source, lang, text,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> x != '') AS tk
+            FROM documents),
+feat AS (SELECT doc_id, len(tk) AS ntok,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(tk, w -> length(w)))::DOUBLE / len(tk) END AS awl,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE len(list_filter(tk, w -> list_contains(
+                       ['the','and','of','to','is','a','in','that'], w)))::DOUBLE / len(tk) END AS swr,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END AS pr,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text) END AS dr
+      FROM tk),
+q AS (SELECT doc_id, ntok,
+             0.3 * least(ntok::DOUBLE / 64.0, 1.0)
+                 + 0.2 * (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.3 END)
+                 + 0.2 * least(swr * 4.0, 1.0)
+                 + 0.3 * greatest(1.0 - (pr + dr) * 2.0, 0.0) AS quality_raw,
+             round(0.3 * least(ntok::DOUBLE / 64.0, 1.0)
+                 + 0.2 * (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.3 END)
+                 + 0.2 * least(swr * 4.0, 1.0)
+                 + 0.3 * greatest(1.0 - (pr + dr) * 2.0, 0.0), 6) AS quality
+      FROM feat),
+st AS (SELECT t.source, t.lang, q.ntok, q.quality,
+              CASE WHEN t.doc_id IN (SELECT id FROM curation_drops) THEN 'dup'
+                   WHEN q.quality_raw < 0.8 THEN 'low_quality'
+                   ELSE 'kept' END AS status
+       FROM tk t JOIN q ON t.doc_id = q.doc_id)
+SELECT source, lang, count(*) AS n_docs,
+       sum(CASE WHEN status = 'dup' THEN 1 ELSE 0 END)::BIGINT AS n_dropped_dup,
+       sum(CASE WHEN status = 'low_quality' THEN 1 ELSE 0 END)::BIGINT AS n_dropped_quality,
+       sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       coalesce(sum(CASE WHEN status = 'kept' THEN ntok END), 0)::BIGINT AS tokens_kept,
+       CASE WHEN sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) > 0
+            THEN CAST(round(CAST(sum(CASE WHEN status = 'kept'
+                                     THEN quality::DECIMAL(18,6) END) AS DOUBLE)
+                          / sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END), 6) AS DOUBLE)
+       END AS mean_kept_quality
+FROM st GROUP BY source, lang
+"""
+
+
+def _curation_drops_python(con, threshold=0.5):
+    """Non-canonical duplicate doc ids via Python union-find (see the
+    comment above).  Returns a sorted list of dropped ids."""
+    import re
+    from collections import defaultdict
+
+    docs = con.execute("SELECT doc_id, lower(trim(text)) FROM documents").fetchall()
+    sh: dict[int, frozenset] = {}
+    for did, text in docs:
+        tk = [w for w in re.split(r"\s+", text) if w]
+        if len(tk) < 3:
+            continue
+        sh[did] = frozenset(" ".join(tk[i:i + 3]) for i in range(len(tk) - 2))
+    freq: dict[str, int] = defaultdict(int)
+    for s in sh.values():
+        for g in s:
+            freq[g] += 1
+    inv: dict[str, list[int]] = defaultdict(list)
+    cands: set[tuple[int, int]] = set()
+    for did in sorted(sh):
+        ordered = sorted(sh[did], key=lambda g: (freq[g], g))
+        plen = len(ordered) - math.ceil(threshold * len(ordered)) + 1
+        for g in ordered[:plen]:
+            for other in inv[g]:
+                cands.add((other, did))
+            inv[g].append(did)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in cands:
+        sa, sb = sh[a], sh[b]
+        inter = len(sa & sb)
+        if inter / (len(sa) + len(sb) - inter) >= threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # attach larger root under smaller → root stays the min id,
+                # matching the min-label components Spark emits
+                parent[max(ra, rb)] = min(ra, rb)
+    return sorted(d for d in sh if find(d) != d)
+
+
+def curation_oracle(con):
+    """(columns, rows) for corpus_curation via the hybrid Python oracle."""
+    import pandas as pd
+
+    drops = _curation_drops_python(con)
+    con.register("curation_drops", pd.DataFrame({"id": drops or [-1]}))
+    res = con.execute(_CURATION_TAIL_SQL)
+    return [d[0] for d in res.description], res.fetchall()
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -63,9 +176,16 @@ def main() -> int:
         if name not in oracles:
             print(f"  {name:28s} rows-only: {len(sp_rows)} rows ✓(no oracle)")
             continue
-        res = con.execute(oracles[name])
-        o_cols = [d[0] for d in res.description]
-        o_rows = res.fetchall()
+        n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+        if name == "corpus_curation" and n_docs > 1000:
+            # the recursive-CTE components oracle is O(n²) in DuckDB and
+            # cannot finish a decade above the driver's gate — swap in the
+            # hybrid Python union-find oracle (same output contract)
+            o_cols, o_rows = curation_oracle(con)
+        else:
+            res = con.execute(oracles[name])
+            o_cols = [d[0] for d in res.description]
+            o_rows = res.fetchall()
         if sorted(o_cols) != cols:
             print(f"✗ {name:28s} SCHEMA mismatch: spark={cols} duckdb={sorted(o_cols)}")
             failures += 1

@@ -47,9 +47,15 @@ def test_corpus_curation_matches_duckdb_at_sf0001(spark, sf_dir):
     got = [tuple(r) for r in rows]
     assert len(got) == len(want)
     for g, w in zip(got, want):
-        assert g[:5] == w[:5]
-        assert g[5] == w[5]
-        assert g[6] == pytest.approx(w[6]) if w[6] is not None else g[6] is None
+        # 0..6 are exact: source, lang, and the five integer counts
+        # (n_docs, n_dropped_dup, n_dropped_quality, n_kept, tokens_kept).
+        assert g[:7] == w[:7]
+        # 7 is mean_kept_quality — the DECIMAL-stable 6-dp mean; NULL when
+        # a group keeps nothing (ADVICE r5: this column was untested here).
+        if w[7] is None:
+            assert g[7] is None
+        else:
+            assert g[7] == pytest.approx(w[7], abs=1e-9)
     # dispositions partition every (source, lang) group
     for r in rows:
         assert r["n_docs"] == r["n_dropped_dup"] + r["n_dropped_quality"] + r["n_kept"]
