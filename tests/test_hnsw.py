@@ -111,3 +111,44 @@ def test_derived_shard_count_keeps_exactness_above_oracle_scale(spark):
     g = [(r["qid"], r["id"], r["rank"]) for r in got.orderBy("qid", "rank").collect()]
     w = [(r["qid"], r["id"], r["rank"]) for r in want.orderBy("qid", "rank").collect()]
     assert g == w
+
+
+def test_load_or_build_caches_and_serves_identical_results(data, tmp_path, spark):
+    """The serving contract: first call builds + persists, second call
+    reads the stored artifact; both serve bit-identical search results
+    (payloads are the same float32-serialized graphs either way)."""
+    import os
+
+    from bigvectorbench_spark.operators.hnsw import load_or_build_hnsw
+
+    train, queries, _ = data
+    kw = dict(cache_key="t800", m=8, ef_construction=64, num_shards=4,
+              seed=3, cache_root=str(tmp_path))
+    first = load_or_build_hnsw(train, **kw)
+    stored = [p for p in os.listdir(tmp_path) if p.startswith("hnsw_t800")]
+    assert len(stored) == 1
+    mtime = os.path.getmtime(tmp_path / stored[0] / "_SUCCESS")
+    second = load_or_build_hnsw(train, **kw)  # must NOT rebuild
+    assert os.path.getmtime(tmp_path / stored[0] / "_SUCCESS") == mtime
+    r1 = sorted(map(tuple, hnsw_search(first, queries, k=5, ef=24)
+                    .select("qid", "id", "rank").collect()))
+    r2 = sorted(map(tuple, hnsw_search(second, queries, k=5, ef=24)
+                    .select("qid", "id", "rank").collect()))
+    assert r1 == r2 and len(r1) == 125
+
+
+def test_search_work_sublinear_in_shard_size(data):
+    """The scale-mode argument, measured: at fixed ef the beam evaluates
+    far fewer distances than the shard holds — per-query work is bounded
+    by the graph walk, not the corpus (brute force = shard_rows per
+    query)."""
+    from bigvectorbench_spark.operators.hnsw import hnsw_search_work
+
+    train, queries, shards = data
+    rows = hnsw_search_work(shards, queries, k=5, ef=8).collect()
+    assert {r["n_queries"] for r in rows} == {25}
+    total_evals = sum(r["dist_evals"] for r in rows)
+    brute_evals = sum(r["shard_rows"] * r["n_queries"] for r in rows)
+    # 800 rows / 4 shards at ef=8: the beam touches well under half of
+    # each shard (measured ~0.2); brute force touches all of it
+    assert total_evals < 0.5 * brute_evals

@@ -167,3 +167,111 @@ def test_sample_frames(media):
     assert set(by_id) == set(meta)
     for mid, frames in by_id.items():
         assert frames == list(range(0, meta[mid], 30))
+
+
+# ------------------------------------------------------------- WAV codec
+
+
+def test_wav_roundtrip_exact():
+    rng = np.random.RandomState(5)
+    samples = rng.randint(-32768, 32768, 4321).astype(np.int16)
+    out, sr = mm.wav_decode(mm.wav_encode(samples, 16000))
+    assert sr == 16000
+    # every int16/32768 is exact in float32 — the roundtrip is lossless
+    np.testing.assert_array_equal((out * 32768.0).astype(np.int16), samples)
+
+
+def test_wav_header_matches_spec():
+    """The encoder writes the canonical 44-byte PCM header byte-for-byte
+    (RIFF size math, fmt fields, data size) — pinned against the spec, not
+    against wav_decode, so symmetric codec bugs can't hide."""
+    import struct
+
+    samples = np.arange(4, dtype=np.int16)
+    data = mm.wav_encode(samples, 8000)
+    assert data[:4] == b"RIFF"
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+    assert data[8:12] == b"WAVE"
+    assert data[12:16] == b"fmt " and struct.unpack("<I", data[16:20])[0] == 16
+    fmt, ch, sr, byte_rate, align, bits = struct.unpack("<HHIIHH", data[20:36])
+    assert (fmt, ch, sr, byte_rate, align, bits) == (1, 1, 8000, 16000, 2, 16)
+    assert data[36:40] == b"data" and struct.unpack("<I", data[40:44])[0] == 8
+    assert data[44:] == samples.tobytes()
+
+
+def test_wav_decode_handwritten_stereo_8bit():
+    """Decode paths the encoder never produces: 8-bit PCM, stereo (channel
+    mean), an odd-size chunk needing word alignment, and a LIST chunk that
+    must be skipped — built by hand from the spec."""
+    import struct
+
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + (b"\0" if len(body) & 1 else b"")
+
+    # stereo 8-bit: L = 255 (max), R = 0 (min) -> mean = ((127/128)+(-1))/2
+    fmt = struct.pack("<HHIIHH", 1, 2, 4000, 8000, 2, 8)
+    pcm = bytes([255, 0, 128, 128, 0, 255])  # 3 frames
+    body = (b"WAVE" + chunk(b"LIST", b"INFOx")  # odd-size skippable chunk
+            + chunk(b"fmt ", fmt) + chunk(b"data", pcm))
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    out, sr = mm.wav_decode(wav)
+    assert sr == 4000 and out.shape == (3,)
+    np.testing.assert_allclose(
+        out, [((255 - 128) / 128.0 + (0 - 128) / 128.0) / 2, 0.0,
+              ((0 - 128) / 128.0 + (255 - 128) / 128.0) / 2], atol=1e-7)
+
+
+def test_wav_decode_rejects_non_pcm():
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        mm.wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_audio_features_sawtooth_pinned(media):
+    """Sample-level pin through the full Spark path: decode the real WAV
+    payloads and check rms/zcr/peak/dominant-frequency against closed-form
+    values for the known sawtooth (media row i=1: f=60 Hz, n=2000,
+    a=9216)."""
+    feats = {r["media_id"]: r for r in
+             mm.audio_features(media, codec="real").collect()}
+    assert len(feats) == 20  # n=60 fixture, every 3rd row is audio
+    r = feats[1]
+    f, n, a = 60, 2000, 9216
+    s = mm.sawtooth_pcm(f, 8000, n, a).astype(np.float64) / 32768.0
+    assert r["n_samples"] == n and r["sample_rate"] == 8000
+    assert r["rms"] == pytest.approx(float(np.sqrt(np.mean(s * s))), abs=1e-12)
+    assert r["zero_crossings"] == int(np.count_nonzero(s[:-1] * s[1:] < 0))
+    assert r["peak"] == pytest.approx(float(np.max(np.abs(s))), abs=1e-12)
+    # sawtooth fundamental: the rFFT argmax bin sits at f Hz (bin width
+    # sr/n = 4 Hz here, 60 is a bin center)
+    assert r["dominant_freq_hz"] == pytest.approx(60.0, abs=4.0)
+
+
+def test_audio_codec_modes(media, spark):
+    """auto decodes WAVs really and fakes opaque bytes; real raises on
+    undecodable payloads; fake forces the stub everywhere."""
+    opaque = spark.createDataFrame(
+        [(999, "audio", bytearray(b"not-a-wav" * 10),
+          {"mime": "audio/ogg", "width": None, "height": None,
+           "sample_rate": 8000, "n_frames": None, "duration_s": 0.1})],
+        mm.MEDIA_SCHEMA)
+    auto = mm.decode_audio(media.unionByName(opaque), codec="auto").collect()
+    assert len(auto) == 21
+    with pytest.raises(Exception, match="codec='real'"):
+        mm.decode_audio(opaque, codec="real").collect()
+    real_ok = mm.decode_audio(media, codec="real")
+    fake = mm.decode_audio(media, codec="fake")
+    r1 = {r["media_id"]: r["samples"][:8] for r in real_ok.collect()}
+    r2 = {r["media_id"]: r["samples"][:8] for r in fake.collect()}
+    assert r1.keys() == r2.keys() and any(r1[k] != r2[k] for k in r1)
+
+
+def test_decode_audio_striding_bound(media):
+    out = mm.decode_audio(media, max_samples=512).collect()
+    assert all(r["n_samples"] <= 512 for r in out)
+    # decimation halves the effective rate alongside the sample count
+    assert all(r["sample_rate"] < 8000 for r in out)
