@@ -1254,6 +1254,54 @@ def q_audio_features(spark, sf):
     )
 
 
+def q_video_features(spark, sf):
+    """Video tier of the multimodal pipeline, VALUE-oracled end-to-end
+    through the real pure-Python uncompressed-AVI codec (the RIFF/DIB
+    twin of ``q_audio_features``): synthesize integer-gradient frames
+    keyed by doc_id → ``avi_encode`` → real AVI bytes →
+    ``video_features(codec="real")`` (fake fallback FORBIDDEN) →
+    clip features.  Frames are pure integer arithmetic
+    (multimodal.gradient_frames: pixel = (3x+5y+7f) mod 256), so DuckDB
+    recomputes the exact stored bytes closed-form and mean_luma8/motion
+    match bit-for-bit — the encode→decode→feature path has a genuine
+    value oracle covering DIB row order, padding, and BGR layout (any
+    byte misplaced shifts the sums)."""
+    import pandas as pd
+    from bigvectorbench_spark.operators import multimodal as mmx
+
+    docs = load_table(spark, sf, "documents").filter("doc_id % 10 = 0").select("doc_id")
+
+    def _synth(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, contents, metas = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n, h, w = 4 + d % 4, 8 + (d % 3) * 4, 12 + (d % 4) * 4
+                contents.append(mmx.avi_encode(mmx.gradient_frames(n, h, w),
+                                               fps=10))
+                metas.append({"mime": "video/x-msvideo", "width": w,
+                              "height": h, "sample_rate": None,
+                              "n_frames": n, "duration_s": n / 10.0})
+                ids.append(d)
+            yield pd.DataFrame({"media_id": ids,
+                                "kind": ["video"] * len(ids),
+                                "content": contents, "meta": metas})
+
+    media = docs.mapInPandas(_synth, schema=mmx.MEDIA_SCHEMA)
+    feats = mmx.video_features(media, codec="real")
+    return feats.select(
+        "media_id",
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("width").cast("bigint").alias("width"),
+        F.round("fps", 6).alias("fps"),
+        F.round("mean_luma8", 6).alias("mean_luma8"),
+        F.round("motion", 6).alias("motion"),
+    )
+
+
 def q_dedup_components(spark, sf):
     """Transitive closure of the near-dup pair list: connected components
     via iterative min-label propagation (one shuffle join per round).
@@ -1465,6 +1513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_events": q_peak_events,
         "top_revenue_orders": q_top_revenue_orders,
         "hnsw_scale_search": q_hnsw_scale_search,
+        # new round 6, value-oracled (sweeps + pytest); enters the window
+        # in round 7 with the returning rotation set
+        "video_features": q_video_features,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
@@ -2147,6 +2198,27 @@ SELECT doc_id AS media_id, n::BIGINT AS n_samples, 8000::BIGINT AS sample_rate,
            AS zero_crossings,
        round(list_max(list_transform(smp, v -> abs(v))) / 32768.0, 6) AS peak
 FROM s
+""",
+        # Video: recompute the integer gradient frames closed-form (the
+        # exact bytes avi_encode wrote into the DIB rows and avi_decode
+        # recovered), then the same exact integer-sum feature arithmetic
+        # as video_features.  Byte sums are invariant to the BGR
+        # triplication (3 identical channels), so summing the formula
+        # values matches summing the stored bytes.
+        "video_features": """
+WITH ids AS (SELECT doc_id, 4 + doc_id % 4 AS n, 8 + (doc_id % 3) * 4 AS h,
+                    12 + (doc_id % 4) * 4 AS w
+             FROM documents WHERE doc_id % 10 = 0)
+SELECT doc_id AS media_id, n::BIGINT AS n_frames, h::BIGINT AS height,
+       w::BIGINT AS width, CAST(10.0 AS DOUBLE) AS fps,
+       round(list_sum(list_transform(range(0, n * h * w), i ->
+             ((i % w) * 3 + ((i // w) % h) * 5 + (i // (w * h)) * 7) % 256))
+             / (n * h * w) / 255.0, 6) AS mean_luma8,
+       round(list_sum(list_transform(range(0, (n - 1) * h * w), i ->
+             abs((((i % w) * 3 + ((i // w) % h) * 5 + (i // (w * h) + 1) * 7) % 256)
+               - (((i % w) * 3 + ((i // w) % h) * 5 + (i // (w * h)) * 7) % 256))))
+             / ((n - 1) * h * w) / 255.0, 6) AS motion
+FROM ids
 """,
         # MinHash: portable shingle hashes → 64-perm signatures (identical
         # universal-hash params embedded below) → 16 bands × 4 rows → bucket

@@ -71,6 +71,7 @@ HEADLINE = [
     "corpus_stats",
     "media_pipeline",
     "audio_features",
+    "video_features",
     # relational / metrics / streaming-shape
     "pricing_summary",
     "revenue_by_nation",

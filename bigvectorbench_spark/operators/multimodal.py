@@ -226,6 +226,124 @@ def _decode_audio_payload(content: bytes) -> Optional[tuple[np.ndarray, int]]:
     return None
 
 
+# ------------------------------------------------------------- AVI codec
+# Minimal, from-the-spec uncompressed AVI support (the RIFF 'AVI ' form of
+# the Microsoft AVI file-format spec; third stdlib-only codec after PNG
+# and WAV): BI_RGB 24-bit DIB frames ('00db' chunks), bottom-up rows, BGR
+# byte order, rows padded to 4 bytes.  This is the one video container a
+# pure-Python decoder can read exactly — compressed streams ('00dc' with
+# biCompression != 0) raise, and fall to the deterministic fake.
+
+AVI_MAGIC = b"RIFF"
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    return tag + struct.pack("<I", len(body)) + body + (b"\0" if len(body) & 1 else b"")
+
+
+def _riff_list(subtype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", subtype + body)
+
+
+def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Encode (n, H, W) uint8 grayscale frames as an uncompressed AVI
+    (each frame a 24-bit BI_RGB DIB with R=G=B)."""
+    if frames.dtype != np.uint8 or frames.ndim != 3:
+        raise ValueError("avi_encode expects an (n, H, W) uint8 array")
+    n, h, w = frames.shape
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 32-bit boundaries
+    frame_size = row_bytes * h
+
+    avih = struct.pack("<IIIIIIIIIIIIII",
+                       1_000_000 // fps, frame_size * fps, 0, 0x10, n, 0,
+                       1, frame_size, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII",
+            0, 0, 0, 0, 1, fps, 0, n, frame_size, 0xFFFFFFFF, 0, 0))
+    # BITMAPINFOHEADER: biSize..biClrImportant; biCompression 0 = BI_RGB
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size,
+                       0, 0, 0, 0)
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih)
+                      + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                                   + _riff_chunk(b"strf", strf)))
+    movi_frames = []
+    pad = np.zeros((h, row_bytes - w * 3), np.uint8)
+    for f in range(n):
+        bgr = np.repeat(frames[f][::-1, :, None], 3, axis=2)  # bottom-up
+        movi_frames.append(_riff_chunk(
+            b"00db", np.concatenate([bgr.reshape(h, w * 3), pad], axis=1)
+            .tobytes()))
+    movi = _riff_list(b"movi", b"".join(movi_frames))
+    body = b"AVI " + hdrl + movi
+    return AVI_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def avi_decode(data: bytes) -> tuple[np.ndarray, float]:
+    """Decode an uncompressed AVI → ((n, H, W) float32 grayscale in
+    [0, 1], fps).  BT.601 luma over the BGR samples; raises ValueError on
+    compressed streams or non-24-bit DIBs (callers treat that as 'not
+    decodable here', like the PNG/WAV codecs)."""
+    if data[:4] != AVI_MAGIC or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = None
+    usec_per_frame = 0
+    raw_frames: list[bytes] = []
+
+    def walk(pos, end):
+        nonlocal w, h, usec_per_frame
+        while pos + 8 <= end:
+            tag = data[pos:pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + size)  # skip list subtype
+            elif tag == b"avih":
+                vals = struct.unpack(
+                    "<IIIIIIIIIIIIII", data[body_start:body_start + 56])
+                usec_per_frame, w, h = vals[0], vals[8], vals[9]
+            elif tag == b"strf" and size >= 20:
+                _sz, _bw, _bh, _pl, bits, comp = struct.unpack(
+                    "<IiiHHI", data[body_start:body_start + 20])
+                if comp != 0 or bits != 24:
+                    raise ValueError(
+                        f"unsupported AVI stream (compression={comp}, "
+                        f"bits={bits}) — only BI_RGB 24-bit DIB")
+            elif tag in (b"00db", b"00dc"):
+                raw_frames.append(data[body_start:body_start + size])
+            pos = body_start + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(data))
+    if w is None or not raw_frames:
+        raise ValueError("truncated AVI (missing avih or frames)")
+    row_bytes = (w * 3 + 3) & ~3
+    out = np.empty((len(raw_frames), h, w, 3), np.uint8)
+    for i, raw in enumerate(raw_frames):
+        if len(raw) < row_bytes * h:
+            raise ValueError("AVI frame data length mismatch")
+        rows = np.frombuffer(raw[:row_bytes * h], np.uint8).reshape(h, row_bytes)
+        out[i] = rows[:, :w * 3].reshape(h, w, 3)[::-1, :, :]  # bottom-up
+    fps = 1_000_000.0 / usec_per_frame if usec_per_frame else 0.0
+    return out, fps
+
+
+def avi_decode_luma(data: bytes) -> tuple[np.ndarray, float]:
+    """avi_decode + BT.601 luma → ((n, H, W) float32 in [0, 1], fps)."""
+    bgr, fps = avi_decode(data)
+    f = bgr.astype(np.float32)
+    return (f[..., 2] * 0.299 + f[..., 1] * 0.587 + f[..., 0] * 0.114) / 255.0, fps
+
+
+def _decode_video_payload(content: bytes) -> Optional[tuple[np.ndarray, float]]:
+    """Real video decode → ((n, H, W, 3) uint8 BGR frames, fps), or None
+    when no available engine reads the payload (uncompressed AVI only —
+    no ffmpeg analog exists in this container)."""
+    if content[:4] == AVI_MAGIC and content[8:12] == b"AVI ":
+        try:
+            return avi_decode(content)
+        except ValueError:
+            return None
+    return None
+
+
 def _decode_payload(content: bytes) -> Optional[np.ndarray]:
     """Real decode → (H, W) float32 grayscale in [0, 1], or None if no
     available engine can read the payload.  PNG uses the pure-Python codec
@@ -456,6 +574,119 @@ def audio_features(df: DataFrame, *, codec: str = "auto") -> DataFrame:
     )
 
 
+def decode_frames(df: DataFrame, *, every_n: int = 10, max_pixels: int = 64 * 64,
+                  codec: str = "auto") -> DataFrame:
+    """Execute the ``sample_frames`` plan against real payloads: decode
+    every ``every_n``-th frame → (media_id, frame_idx, height, width,
+    pixels ARRAY<FLOAT> luma) — the video twin of ``decode_image``, same
+    codec tiers (AVI codec real / fake for opaque / ``"real"`` raises),
+    same power-of-two pixel bound."""
+    if codec not in ("auto", "real", "fake"):
+        raise ValueError(f"codec must be auto|real|fake, got {codec!r}")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {k: [] for k in ("media_id", "frame_idx", "height",
+                                    "width", "pixels")}
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"])
+                dec = None if codec == "fake" else _decode_video_payload(content)
+                if dec is not None:
+                    bgr, _fps = dec
+                    f32 = bgr.astype(np.float32)
+                    luma = (f32[..., 2] * 0.299 + f32[..., 1] * 0.587
+                            + f32[..., 0] * 0.114) / 255.0
+                    idxs = range(0, luma.shape[0], every_n)
+                elif codec == "real":
+                    raise ValueError(
+                        f"media_id={row['media_id']}: payload not decodable "
+                        "by the AVI codec and codec='real' forbids the fake "
+                        "fallback")
+                else:
+                    meta = row["meta"]
+                    n = max(int(meta["n_frames"] or 1), 1)
+                    hh = min(int(meta["height"] or 8), 64)
+                    ww = min(int(meta["width"] or 8), 64)
+                    idxs = range(0, n, every_n)
+                    fake = _fake_decode(content, len(idxs) * hh * ww).reshape(
+                        len(idxs), hh, ww)
+                    luma = dict(zip(idxs, fake))  # fake frames keyed by idx
+                for fi in idxs:
+                    arr = luma[fi]
+                    while arr.shape[0] * arr.shape[1] > max_pixels:
+                        arr = arr[::2, ::2]
+                    rows["media_id"].append(row["media_id"])
+                    rows["frame_idx"].append(fi)
+                    rows["height"].append(arr.shape[0])
+                    rows["width"].append(arr.shape[1])
+                    rows["pixels"].append(arr.reshape(-1).tolist())
+            yield pd.DataFrame(rows)
+
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("media_id", "content", "meta")
+        .mapInPandas(_decode, schema="media_id bigint, frame_idx int, "
+                                     "height int, width int, pixels array<float>")
+    )
+
+
+def video_features(df: DataFrame, *, codec: str = "auto") -> DataFrame:
+    """Clip-level features from decoded video → (media_id, n_frames,
+    height, width, fps, mean_luma8, motion).
+
+    ``mean_luma8`` and ``motion`` (mean absolute inter-frame byte delta)
+    are computed on the RAW DIB bytes with int64 accumulation, then one
+    double division — exact, order-independent arithmetic any engine
+    reproduces bit-for-bit from the same integers (the video_features
+    oracle recomputes the synthetic frames closed-form in SQL)."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {k: [] for k in ("media_id", "n_frames", "height",
+                                    "width", "fps", "mean_luma8", "motion")}
+            for _, row in pdf.iterrows():
+                content = bytes(row["content"])
+                dec = None if codec == "fake" else _decode_video_payload(content)
+                if dec is not None:
+                    bgr, fps = dec
+                    n, h, w, _ = bgr.shape
+                    b64 = bgr.astype(np.int64)
+                    mean8 = float(b64.sum()) / (n * h * w * 3) / 255.0
+                    motion = (float(np.abs(b64[1:] - b64[:-1]).sum())
+                              / ((n - 1) * h * w * 3) / 255.0 if n > 1 else 0.0)
+                elif codec == "real":
+                    raise ValueError(
+                        f"media_id={row['media_id']}: payload not decodable "
+                        "and codec='real' forbids the fake fallback")
+                else:
+                    meta = row["meta"]
+                    n = max(int(meta["n_frames"] or 1), 1)
+                    h = min(int(meta["height"] or 8), 64)
+                    w = min(int(meta["width"] or 8), 64)
+                    fps = float(n) / meta["duration_s"] if meta["duration_s"] else 0.0
+                    fake = _fake_decode(content, 2)
+                    mean8, motion = float(fake[0]), float(fake[1])
+                rows["media_id"].append(row["media_id"])
+                rows["n_frames"].append(n)
+                rows["height"].append(h); rows["width"].append(w)
+                rows["fps"].append(float(fps))
+                rows["mean_luma8"].append(mean8)
+                rows["motion"].append(motion)
+            yield pd.DataFrame(rows)
+
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("media_id", "content", "meta")
+        .mapInPandas(_feat, schema="media_id bigint, n_frames int, "
+                                   "height int, width int, fps double, "
+                                   "mean_luma8 double, motion double")
+    )
+
+
 def resize_meta(df: DataFrame, *, max_side: int = 256) -> DataFrame:
     """Resize planning: pure-metadata operator computing target dimensions
     (aspect-preserving, longest side ≤ max_side) WITHOUT touching payloads —
@@ -490,18 +721,29 @@ def sawtooth_pcm(freq: int, sample_rate: int, n: int, amp: int) -> np.ndarray:
         np.int16)
 
 
+def gradient_frames(n: int, h: int, w: int) -> np.ndarray:
+    """Deterministic video frames from pure integer arithmetic —
+    ``pixel(f, y, x) = (3x + 5y + 7f) mod 256`` — so any engine can
+    recompute the exact stored bytes closed-form (the video_features
+    oracle does, in SQL)."""
+    f, y, x = np.meshgrid(np.arange(n), np.arange(h), np.arange(w),
+                          indexing="ij")
+    return ((x * 3 + y * 5 + f * 7) % 256).astype(np.uint8)
+
+
 def synthetic_media(spark: SparkSession, n: int = 100, *, seed: int = 7) -> DataFrame:
-    """Deterministic media table for tests/fixtures.  Image payloads are
-    REAL PNGs (seeded random grayscale at the meta dimensions, encoded by
-    ``png_encode``) and audio payloads are REAL WAVs (integer sawtooth
-    PCM, encoded by ``wav_encode``), so both real decode tiers run
-    end-to-end in any environment; video payloads stay opaque
-    sha256-derived bytes and exercise the fake fallback (no ffmpeg analog
-    exists here)."""
+    """Deterministic media table for tests/fixtures.  ALL THREE payload
+    tiers are real: images are PNGs (seeded random grayscale, encoded by
+    ``png_encode``), audio clips are WAVs (integer sawtooth PCM,
+    ``wav_encode``), and videos are uncompressed AVIs (integer gradient
+    frames, ``avi_encode``) — every decode tier runs end-to-end in any
+    environment.  Opaque-byte fallbacks are exercised by dedicated test
+    fixtures instead."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
+        vid_frames = 6 + (i % 3) * 2
         if kind == "image":
             w = 64 + (i % 4) * 32
             h = 48 + (i % 3) * 16
@@ -513,15 +755,18 @@ def synthetic_media(spark: SparkSession, n: int = 100, *, seed: int = 7) -> Data
                              1600 + (i % 4) * 400, 8192 + (i % 8) * 1024),
                 8000)
         else:
-            content = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 4
+            content = avi_encode(gradient_frames(vid_frames, 12, 16), fps=10)
         meta = {
-            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-            "width": 64 + (i % 4) * 32 if kind != "audio" else None,
-            "height": 48 + (i % 3) * 16 if kind != "audio" else None,
+            "mime": {"image": "image/png", "audio": "audio/wav",
+                     "video": "video/x-msvideo"}[kind],
+            "width": (16 if kind == "video"
+                      else 64 + (i % 4) * 32 if kind == "image" else None),
+            "height": (12 if kind == "video"
+                       else 48 + (i % 3) * 16 if kind == "image" else None),
             "sample_rate": 8000 if kind == "audio" else None,
-            "n_frames": 30 * (1 + i % 5) if kind == "video" else None,
+            "n_frames": vid_frames if kind == "video" else None,
             "duration_s": ((1600 + (i % 4) * 400) / 8000.0 if kind == "audio"
-                           else float(i % 10) if kind == "video" else None),
+                           else vid_frames / 10.0 if kind == "video" else None),
         }
         rows.append((i, kind, bytearray(content), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

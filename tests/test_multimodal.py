@@ -275,3 +275,105 @@ def test_decode_audio_striding_bound(media):
     assert all(r["n_samples"] <= 512 for r in out)
     # decimation halves the effective rate alongside the sample count
     assert all(r["sample_rate"] < 8000 for r in out)
+
+
+# ------------------------------------------------------------- AVI codec
+
+
+def test_avi_roundtrip_exact():
+    fr = mm.gradient_frames(7, 12, 16)
+    bgr, fps = mm.avi_decode(mm.avi_encode(fr, fps=10))
+    assert fps == 10.0 and bgr.shape == (7, 12, 16, 3)
+    for c in range(3):  # encoder writes R=G=B
+        np.testing.assert_array_equal(bgr[..., c], fr)
+
+
+def test_avi_odd_width_row_padding():
+    """w=7 → 21-byte rows pad to 24; the decoder must strip the pad and
+    recover exact pixels (the classic DIB stride bug)."""
+    fr = mm.gradient_frames(3, 5, 7)
+    bgr, _ = mm.avi_decode(mm.avi_encode(fr, fps=5))
+    np.testing.assert_array_equal(bgr[..., 1], fr)
+
+
+def test_avi_container_matches_spec():
+    """Pin the RIFF/AVI container against the spec with an independent
+    parse (not avi_decode): RIFF size math, hdrl/movi lists, avih
+    dimensions and frame count, strf BI_RGB 24-bit."""
+    import struct
+
+    data = mm.avi_encode(mm.gradient_frames(4, 6, 8), fps=10)
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+    # first chunk: LIST hdrl
+    assert data[12:16] == b"LIST" and data[20:24] == b"hdrl"
+    assert data[24:28] == b"avih"
+    avih = struct.unpack("<IIIIIIIIIIIIII", data[32:88])
+    assert avih[0] == 100_000           # usec/frame at 10 fps
+    assert avih[4] == 4                 # total frames
+    assert (avih[8], avih[9]) == (8, 6)  # width, height
+    # strf BITMAPINFOHEADER sits inside strl; locate by tag
+    i = data.index(b"strf")
+    _sz, bw, bh, _pl, bits, comp = struct.unpack("<IiiHHI", data[i + 8:i + 28])
+    assert (bw, bh, bits, comp) == (8, 6, 24, 0)
+    # movi holds 4 00db chunks of padded row bytes
+    assert data.count(b"00db") == 4
+
+
+def test_avi_decode_rejects_compressed():
+    data = bytearray(mm.avi_encode(mm.gradient_frames(2, 4, 4), fps=10))
+    i = bytes(data).index(b"strf")
+    data[i + 24:i + 28] = b"MJPG"  # biCompression: BI_RGB -> fourcc
+    with pytest.raises(ValueError, match="unsupported AVI"):
+        mm.avi_decode(bytes(data))
+
+
+def test_decode_frames_real_pixels(media):
+    """Sampled frames decode to the exact gradient values through the
+    full Spark path (luma of R=G=B=v is v·(.299+.587+.114)/255)."""
+    out = mm.decode_frames(media, every_n=4, codec="real").collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    meta = {r["media_id"]: r["meta"]["n_frames"] for r in
+            media.filter("kind = 'video'").collect()}
+    assert set(by_id) == set(meta)
+    for mid, rows in by_id.items():
+        assert sorted(r["frame_idx"] for r in rows) == list(
+            range(0, meta[mid], 4))
+    # pixel-level check on one clip (media row 2: 6+ (2%3)*2 = 10 frames)
+    r0 = next(r for r in by_id[2] if r["frame_idx"] == 4)
+    fr = mm.gradient_frames(10, 12, 16)[4].astype(np.float32)
+    want = fr * 0.299 + fr * 0.587 + fr * 0.114
+    np.testing.assert_allclose(r0["pixels"], (want / 255.0).reshape(-1),
+                               atol=1e-6)
+
+
+def test_video_features_pinned(media):
+    feats = {r["media_id"]: r for r in
+             mm.video_features(media, codec="real").collect()}
+    assert len(feats) == 20
+    r = feats[2]
+    n = 6 + (2 % 3) * 2
+    b64 = np.repeat(mm.gradient_frames(n, 12, 16)[..., None], 3, 2).astype(np.int64)
+    assert (r["n_frames"], r["height"], r["width"]) == (n, 12, 16)
+    assert r["fps"] == 10.0
+    assert r["mean_luma8"] == pytest.approx(
+        float(b64.sum()) / b64.size / 255.0, abs=1e-12)
+    assert r["motion"] == pytest.approx(
+        float(np.abs(b64[1:] - b64[:-1]).sum()) / b64[1:].size / 255.0,
+        abs=1e-12)
+
+
+def test_video_codec_modes(media, spark):
+    opaque = spark.createDataFrame(
+        [(998, "video", bytearray(b"not-an-avi" * 20),
+          {"mime": "video/mp4", "width": 8, "height": 8,
+           "sample_rate": None, "n_frames": 12, "duration_s": 1.2})],
+        mm.MEDIA_SCHEMA)
+    feats = mm.video_features(media.unionByName(opaque), codec="auto").collect()
+    assert len(feats) == 21  # real AVIs decode, the opaque one fakes
+    with pytest.raises(Exception, match="codec='real'"):
+        mm.video_features(opaque, codec="real").collect()
+    fake_frames = mm.decode_frames(opaque, every_n=5, codec="auto").collect()
+    assert [r["frame_idx"] for r in fake_frames] == [0, 5, 10]
