@@ -122,6 +122,31 @@ def _run_flat(method: str):
     return _build, _search
 
 
+def _run_hnsw():
+    """HNSW through the grid harness: build-time args M/efConstruction/
+    num_shards (reference milvus/config.yml HNSW grid: M, efConstruction),
+    query-time arg ef (set_query_arguments analog).  The build artifact is
+    the shard DataFrame — cache() stands in for the stored parquet (the
+    CLI's write step persists results, not indexes)."""
+    def _build(train, args):
+        from bigvectorbench_spark.operators.hnsw import build_hnsw_shards
+
+        shards = build_hnsw_shards(
+            train, m=int(args.get("M", 8)),
+            ef_construction=int(args.get("efConstruction", 64)),
+            num_shards=int(args.get("num_shards", 8)), seed=3).cache()
+        shards.count()  # materialize: build time must be in build_time
+        return shards
+
+    def _search(shards, queries, count, qargs):
+        from bigvectorbench_spark.operators.hnsw import hnsw_search
+
+        return hnsw_search(shards, queries, k=count,
+                           ef=int(qargs.get("ef", 64)))
+
+    return _build, _search
+
+
 def _run_ivf():
     def _build(train, args):
         idx = IVFIndex.fit(train, nlist=int(args.get("nlist", 16)), seed=1)
@@ -138,6 +163,7 @@ ALGORITHMS: dict[str, Callable] = {
     "flat-expr": lambda: _run_flat("expr"),
     "flat-gemm": lambda: _run_flat("gemm"),
     "ivf": _run_ivf,
+    "hnsw": _run_hnsw,
 }
 
 

@@ -27,6 +27,8 @@ GRIDS = {
     "flat-expr": dict(build_grid=None, query_grid=None),
     "flat-gemm": dict(build_grid=None, query_grid=None),
     "ivf": dict(build_grid={"nlist": [8, 16]}, query_grid={"nprobe": [1, 2, 4, 8]}),
+    "hnsw": dict(build_grid={"M": [8], "efConstruction": [64]},
+                 query_grid={"ef": [16, 64, 256]}),
 }
 
 

@@ -98,7 +98,23 @@ def test_run_definition_individual_timing(spark, small_ds):
 def test_unknown_algorithm_raises(spark, small_ds):
     tr, te = small_ds
     with pytest.raises(ValueError):
-        hz.run_definition(spark, hz.Definition("hnsw", "fx", 10), tr, te)
+        hz.run_definition(spark, hz.Definition("scann", "fx", 10), tr, te)
+
+
+def test_run_definition_hnsw_grid(spark, small_ds):
+    """HNSW through the grid harness (reference milvus HNSW config grid:
+    M/efConstruction build-time, ef query-time): recall monotone in ef,
+    exact at ef >= corpus size."""
+    tr, te = small_ds
+    defs = hz.expand_definitions(
+        "hnsw", "fx", 10,
+        build_grid={"M": [8], "efConstruction": [64], "num_shards": [2]},
+        query_grid={"ef": [4, 1000]})
+    results = {d.label: hz.run_definition(spark, d, tr, te) for d in defs}
+    full = results["hnsw(M=8,efConstruction=64,num_shards=2)[ef=1000]"]
+    low = results["hnsw(M=8,efConstruction=64,num_shards=2)[ef=4]"]
+    assert full.mean_recall == 1.0  # ef >= shard size: exactness contract
+    assert low.mean_recall <= full.mean_recall
 
 
 def test_zipf_vocab_is_distinct_and_zipf_shaped():
