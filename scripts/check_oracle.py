@@ -14,6 +14,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The IVF/PQ oracles embed candidate lists regenerated from
+# $SPARK_GRAFT_ORACLE_SF_DIR (default sf0.01, the driver's gate), read at
+# __spark_entry__ IMPORT time — a sweep at any other sf must regenerate
+# them from the SWEPT tables or 3 queries spuriously mismatch.  Default
+# the env var to the sweep dir BEFORE the import so the harness is
+# self-consistent out of the box.
+if len(sys.argv) > 1:
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sys.argv[1])
+
 import duckdb
 
 import __spark_entry__ as entry
