@@ -231,6 +231,34 @@ class _ShardHNSW:
         return g
 
 
+# ---------------------------------------------------------- worker residency
+
+# Deserialized graphs cached per Python WORKER PROCESS, keyed by payload
+# digest — the batch analog of a resident serving tier.  Spark reuses
+# Python workers across tasks and jobs within a session, so repeated
+# searches against the same stored index skip the O(shard bytes) unpickle
+# that otherwise dominates wall at large shard sizes (SCALING.md measured
+# it: 20k→200k rows grew search WORK 1.38× but WALL 1.9× — the gap is
+# this deserialize).  Bounded FIFO so executor memory stays capped however
+# many distinct indexes a session touches.
+
+_GRAPH_CACHE: dict[bytes, "_ShardHNSW"] = {}
+_GRAPH_CACHE_MAX = 8
+
+
+def _resident_graph(payload: bytes) -> "_ShardHNSW":
+    import hashlib
+
+    key = hashlib.md5(payload).digest()
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+        g = _ShardHNSW.loads(payload)
+        if len(_GRAPH_CACHE) >= _GRAPH_CACHE_MAX:
+            _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
+        _GRAPH_CACHE[key] = g
+    return g
+
+
 # ------------------------------------------------------------ Spark surface
 
 
@@ -353,7 +381,7 @@ def hnsw_search(
         qids_, Q_ = bc.value
         for pdf in pdf_iter:
             for payload in pdf["payload"]:
-                g = _ShardHNSW.loads(payload)
+                g = _resident_graph(bytes(payload))
                 out_q, out_i, out_d = [], [], []
                 for qi in range(len(qids_)):
                     for d2, node in g.search(Q_[qi], k, ef):
@@ -395,7 +423,7 @@ def hnsw_search_work(
         Q_ = bc.value
         for pdf in pdf_iter:
             for payload in pdf["payload"]:
-                g = _ShardHNSW.loads(payload)
+                g = _resident_graph(bytes(payload))
                 g.n_dist = 0
                 for qi in range(len(Q_)):
                     g.search(Q_[qi], k, ef)
