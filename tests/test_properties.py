@@ -91,3 +91,40 @@ def test_fixture_groundtruth_self_consistency(spark):
     gt = build_groundtruth(train, test.limit(40), k=20, method="gemm")
     mismatches = verify_distances(gt, train, test.limit(40), tol=1e-4)
     assert mismatches.count() == 0
+
+
+# ----------------------------------------------------- media codec roundtrips
+# Pure-Python property checks (no Spark session): any payload the encoders
+# can produce, the decoders must recover exactly — arbitrary dims including
+# the odd-width/stride/padding corners.
+
+from bigvectorbench_spark.operators import multimodal as mm
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+@settings(**_SETTINGS)
+def test_png_roundtrip_property(h, w, seed):
+    gray = np.random.RandomState(seed).randint(0, 256, (h, w)).astype(np.uint8)
+    out = mm.png_decode(mm.png_encode(gray))
+    np.testing.assert_array_equal((out * 255.0).round().astype(np.uint8), gray)
+
+
+@given(st.integers(1, 5000), st.sampled_from([8000, 16000, 44100]),
+       st.integers(0, 2**32 - 1))
+@settings(**_SETTINGS)
+def test_wav_roundtrip_property(n, sr, seed):
+    s = np.random.RandomState(seed).randint(-32768, 32768, n).astype(np.int16)
+    out, sr2 = mm.wav_decode(mm.wav_encode(s, sr))
+    assert sr2 == sr
+    np.testing.assert_array_equal((out * 32768.0).astype(np.int16), s)
+
+
+@given(st.integers(1, 6), st.integers(1, 20), st.integers(1, 20),
+       st.integers(0, 2**32 - 1))
+@settings(**_SETTINGS)
+def test_avi_roundtrip_property(n, h, w, seed):
+    fr = np.random.RandomState(seed).randint(0, 256, (n, h, w)).astype(np.uint8)
+    bgr, fps = mm.avi_decode(mm.avi_encode(fr, fps=10))
+    assert fps == 10.0 and bgr.shape == (n, h, w, 3)
+    for c in range(3):
+        np.testing.assert_array_equal(bgr[..., c], fr)
