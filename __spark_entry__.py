@@ -224,13 +224,16 @@ def _hnsw_scale_index(spark, sf):
     """Load-or-build the persisted scale-mode index artifact for ``sf``.
 
     Returns (shards DataFrame, corpus row count).  The cache key is the
-    sf dir basename + footer row count, so a regenerated corpus can never
-    serve a stale graph; no count() action runs (r5 ask #7)."""
+    sf dir basename + footer row count + footer-statistics fingerprint —
+    the fingerprint keeps a corpus REGENERATED with a new seed (same
+    shape, same count, often same byte size) from being served a stale
+    graph.  No count() action and no data read runs (r5 ask #7)."""
     from bigvectorbench_spark.operators.hnsw import load_or_build_hnsw
-    from bigvectorbench_spark.sources.tables import table_rows
+    from bigvectorbench_spark.sources.tables import table_fingerprint, table_rows
 
     n = table_rows(sf, "embeddings")
-    key = f"{_os.path.basename(str(sf).rstrip('/'))}_{n}"
+    key = (f"{_os.path.basename(str(sf).rstrip('/'))}_{n}"
+           f"_{table_fingerprint(sf, 'embeddings')}")
     shards = load_or_build_hnsw(_train(spark, sf), cache_key=key,
                                 **_HNSW_SCALE_CFG)
     return shards, n

@@ -73,3 +73,33 @@ def table_rows(sf_dir: str, name: str) -> int:
         n = pq.read_metadata(path).num_rows
     _ROWS_CACHE[path] = n
     return n
+
+
+def table_fingerprint(sf_dir: str, name: str) -> str:
+    """Short content fingerprint from the parquet FOOTERS (no data read):
+    md5 over row counts, byte sizes, and every column chunk's min/max
+    statistics.  A corpus REGENERATED with a new seed keeps its shape —
+    and, for incompressible float payloads, even its byte size — but the
+    leaf-column value ranges virtually never survive a reseed, so
+    derived-artifact cache keys that include this can't serve a stale
+    index for a same-shaped, different-content corpus."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (sorted(os.path.join(path, f) for f in os.listdir(path)
+                    if f.endswith(".parquet"))
+             if os.path.isdir(path) else [path])
+    h = hashlib.md5()
+    for f in files:
+        md = pq.read_metadata(f)
+        h.update(f"{md.num_rows}:{os.path.getsize(f)}".encode())
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for c in range(g.num_columns):
+                st = g.column(c).statistics
+                if st is not None:
+                    h.update(repr((st.min, st.max, st.null_count)).encode())
+    return h.hexdigest()[:12]

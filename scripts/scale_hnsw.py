@@ -33,7 +33,7 @@ from bigvectorbench_spark.operators.hnsw import (
     hnsw_search, hnsw_search_work, load_or_build_hnsw)
 from bigvectorbench_spark.operators.knn import knn
 from bigvectorbench_spark.operators import metrics as mx
-from bigvectorbench_spark.sources.tables import load_table, table_rows
+from bigvectorbench_spark.sources.tables import load_table, table_fingerprint, table_rows
 
 import __spark_entry__ as e
 
@@ -60,7 +60,8 @@ def measure(spark, sf):
     # index build (timed cold: remove any cached artifact first)
     import shutil
 
-    key = f"{os.path.basename(str(sf).rstrip('/'))}_{n}"
+    key = (f"{os.path.basename(str(sf).rstrip('/'))}_{n}"
+           f"_{table_fingerprint(sf, 'embeddings')}")
     cache_root = os.environ.get(
         "SPARK_GRAFT_INDEX_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -114,7 +115,8 @@ def ef_sweep(spark, sf, efs):
     n = table_rows(sf, "embeddings")
     t = e._train(spark, sf)
     q = e._queries_block(spark, sf, n)
-    key = f"{os.path.basename(str(sf).rstrip('/'))}_{n}"
+    key = (f"{os.path.basename(str(sf).rstrip('/'))}_{n}"
+           f"_{table_fingerprint(sf, 'embeddings')}")
     shards = load_or_build_hnsw(t, cache_key=key, **e._HNSW_SCALE_CFG)
     exact = knn(t, q, k=10, method="expr").groupBy("qid").agg(
         F.collect_list("id").alias("neighbors"))

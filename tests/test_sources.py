@@ -121,3 +121,40 @@ def test_read_huggingface_gated(spark):
     import pytest
     with pytest.raises(NotImplementedError):
         src.read_huggingface(spark, "some/dataset")
+
+
+def test_table_rows_and_fingerprint_sharded_dir(tmp_path):
+    """Footer row counts work on both a single parquet file and a sharded
+    directory (skipping _SUCCESS), and the footer-statistics fingerprint
+    changes when same-shaped content changes — the property the index
+    cache key relies on to never serve a stale graph (raw byte size does
+    NOT have it: incompressible float payloads of the same shape write
+    the same size)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigvectorbench_spark.sources.tables import table_fingerprint, table_rows
+
+    def write_corpus(root, seed):
+        d = root / "embeddings.parquet"
+        d.mkdir(parents=True)
+        rng = np.random.RandomState(seed)
+        for s in range(3):
+            pq.write_table(pa.table({
+                "vec_id": np.arange(s * 10, s * 10 + 10, dtype=np.int64),
+                "embedding": pa.array(
+                    [rng.randn(8).astype(np.float32) for _ in range(10)],
+                    pa.list_(pa.float32())),
+            }), str(d / f"part-{s}.parquet"))
+        (d / "_SUCCESS").touch()
+
+    write_corpus(tmp_path / "a", seed=1)
+    write_corpus(tmp_path / "b", seed=2)  # same shape, different content
+    assert table_rows(str(tmp_path / "a"), "embeddings") == 30
+    assert table_rows(str(tmp_path / "b"), "embeddings") == 30
+    assert (table_fingerprint(str(tmp_path / "a"), "embeddings")
+            != table_fingerprint(str(tmp_path / "b"), "embeddings"))
+    # deterministic for identical content
+    assert (table_fingerprint(str(tmp_path / "a"), "embeddings")
+            == table_fingerprint(str(tmp_path / "a"), "embeddings"))
