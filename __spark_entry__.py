@@ -1305,6 +1305,76 @@ def q_video_features(spark, sf):
     )
 
 
+def _docs_pii(spark, sf):
+    """documents with deterministic PII planted in-query: a corpus-derived
+    email / phone / IPv4 appended to the docs where doc_id hits the 7/11/13
+    residue classes.  The fixture construction is explicit and mirrored
+    verbatim in the oracle SQL — the operator under test is the detection/
+    redaction pipeline (curation.pii_scrub_report), not the planting."""
+    d = _docs_wide(spark, sf)
+    email = F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com now"))
+    phone = F.concat(F.lit(" call +1-555-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                     F.lit(" today"))
+    ip = F.concat(F.lit(" from 192.168."),
+                  (F.col("doc_id") % 256).cast("string"), F.lit("."),
+                  ((F.col("doc_id") * 7) % 256).cast("string"))
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, email).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, phone).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, ip).otherwise(F.lit("")),
+        ),
+    )
+
+
+def q_pii_scrub(spark, sf):
+    """PII detection + redaction accounting per source (curation stage:
+    scrub before training).  Stateless regexp scan in whole-stage codegen;
+    the only shuffle is the per-source rollup.  Regexes are Java-regex/RE2
+    portable, so DuckDB reproduces the exact matches."""
+    from bigvectorbench_spark.operators import curation as cur
+    return cur.pii_scrub_report(_docs_pii(spark, sf)).orderBy("source")
+
+
+def q_gopher_quality(spark, sf):
+    """Gopher-style quality-filter breakdown per source: token-count
+    bounds, mean-word-length bounds, stopword presence, and the
+    max-token-frequency repetition rule — the repetition rule computed
+    SHUFFLE-FREE via a sorted-array run-length fold (curation.
+    max_token_run) instead of the classical explode + two-shuffle groupBy."""
+    from bigvectorbench_spark.operators import curation as cur
+    return cur.gopher_quality_report(_docs_wide(spark, sf)).orderBy("source")
+
+
+def q_decontaminate(spark, sf):
+    """Eval-set decontamination: train docs sharing any 8-token window
+    with the held-out slice (doc_id % 97 = 0).  The eval shingle
+    inventory is fixed-size → broadcast semi-join; the train corpus is
+    scanned, never shuffled."""
+    from bigvectorbench_spark.operators import curation as cur
+    return cur.decontaminate_report(_docs_wide(spark, sf)).orderBy("source")
+
+
+def q_substring_dedup(spark, sf):
+    """Repeated 15-token-window detection corpus-wide (the distributed
+    analog of exact substring dedup, Lee et al. 2022).  Shuffles 8-byte
+    portable window hashes, never window text."""
+    from bigvectorbench_spark.operators import curation as cur
+    return cur.substring_dedup_report(_docs_wide(spark, sf)).orderBy("source")
+
+
+def q_domain_mix(spark, sf):
+    """Deterministic stratified domain mixing: multiplicative-hash
+    Bernoulli keep decision per doc against a per-source target rate.
+    Zero-shuffle filter; only the acceptance report aggregates."""
+    from bigvectorbench_spark.operators import curation as cur
+    return cur.domain_mix_report(load_table(spark, sf, "documents")).orderBy("source")
+
+
 def q_dedup_components(spark, sf):
     """Transitive closure of the near-dup pair list: connected components
     via iterative min-label propagation (one shuffle join per round).
@@ -1444,6 +1514,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # prove green on the new code.  hnsw_scale_search is approximate by
     # design → rows-only below the window, recall-gated by the in-window
     # hnsw_scale_recall at the identical config.
+    #
+    # Round-6 mid-round addition: FIVE new curation-family queries
+    # (pii_scrub, gopher_quality, decontaminate, substring_dedup,
+    # domain_mix — all value-oracled) enter the window; to keep the 50
+    # slots, five more r5-green queries with in-window kin rotate out
+    # until round 7: revenue_running (user_gap_stats covers windows),
+    # sessionize + clicks_before_purchase (asof_clicks + events_hourly
+    # cover the temporal family), qps_by_type + pareto_frontier
+    # (latency_percentiles covers the metrics family).
     # corpus_stats_approx / embedding_cosine_dups_srp / quality_tags_approx
     # stay rows-only by nature — driver-visible through the in-window
     # sketch_bounds / srp_recall gates and the pytest ntile-agreement pin.
@@ -1471,16 +1550,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "corpus_rollup": q_corpus_rollup,
         "user_gap_stats": q_user_gap_stats,
-        "revenue_running": q_revenue_running,
         "quality_deciles": q_quality_deciles,
         "topk_per_group": q_topk_per_group,
-        "sessionize": q_sessionize,
         "asof_clicks": q_asof_clicks,
-        "clicks_before_purchase": q_clicks_before_purchase,
         "events_hourly": q_events_hourly,
         "latency_percentiles": q_latency_percentiles,
-        "qps_by_type": q_qps_by_type,
-        "pareto_frontier": q_pareto_frontier,
+        # new round 6: the curation operator family (PII scrub, Gopher
+        # quality, decontamination, substring dedup, domain mix) — all
+        # value-oracled, in-window to prove green on first declaration
+        "pii_scrub": q_pii_scrub,
+        "gopher_quality": q_gopher_quality,
+        "decontaminate": q_decontaminate,
+        "substring_dedup": q_substring_dedup,
+        "domain_mix": q_domain_mix,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "minhash_dups": q_minhash_dups,
@@ -1500,6 +1582,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclen_percentiles": q_doclen_percentiles,
         # --- below the 50-slot correctness window this round (rotate back
         # in round 7) -------------------------------------------------------
+        "revenue_running": q_revenue_running,
+        "sessionize": q_sessionize,
+        "clicks_before_purchase": q_clicks_before_purchase,
+        "qps_by_type": q_qps_by_type,
+        "pareto_frontier": q_pareto_frontier,
         "knn_angular": q_knn_angular,
         "knn_hamming": q_knn_hamming,
         "mv_knn_fused": q_mv_knn_fused,
@@ -2442,5 +2529,104 @@ b AS (SELECT doc_id, list_sort([
         {{'n': -h_fr, 'l': 'fr'}}, {{'n': -h_zh::BIGINT, 'l': 'zh'}}])[1] AS best
       FROM h)
 SELECT doc_id, CASE WHEN best.n < 0 THEN best.l ELSE 'en' END AS pred_lang FROM b
+""",
+        # --- curation family (round 6).  The PII fixture construction is
+        # mirrored verbatim from _docs_pii; regexes are Java-regex/RE2
+        # portable (no lookaround/backrefs) and DuckDB's regexp_replace
+        # needs the 'g' flag to match Spark's replace-all semantics.
+        "pii_scrub": """
+WITH aug AS (SELECT source,
+  text || CASE WHEN doc_id % 7 = 0
+               THEN ' contact user' || doc_id::VARCHAR || '@example.com now' ELSE '' END
+       || CASE WHEN doc_id % 11 = 0
+               THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' today' ELSE '' END
+       || CASE WHEN doc_id % 13 = 0
+               THEN ' from 192.168.' || (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR
+               ELSE '' END AS text
+  FROM documents),
+s AS (SELECT source,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(text, '\\+1-555-[0-9]{4}')) AS n_phone,
+  len(regexp_extract_all(text, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS n_ip,
+  length(text) - length(
+    regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\\+1-555-[0-9]{4}', '[PHONE]', 'g'),
+      '([0-9]{1,3}\\.){3}[0-9]{1,3}', '[IP]', 'g')) AS delta
+  FROM aug)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_email)::BIGINT AS n_emails,
+       sum(n_phone)::BIGINT AS n_phones,
+       sum(n_ip)::BIGINT AS n_ips,
+       sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_with_pii,
+       sum(delta)::BIGINT AS chars_redacted
+FROM s GROUP BY source
+""",
+        "gopher_quality": f"""
+WITH tk AS (SELECT doc_id, source, {_TOKENS} AS tk FROM documents),
+mf AS (SELECT doc_id, max(c) AS maxrun FROM (
+         SELECT doc_id, count(*) AS c FROM (
+           SELECT doc_id, unnest(tk) AS w FROM tk) GROUP BY doc_id, w)
+       GROUP BY doc_id),
+s AS (SELECT t.doc_id, source, len(tk) AS n,
+  CASE WHEN len(tk) = 0 THEN 0.0
+       ELSE list_sum(list_transform(tk, w -> length(w)))::DOUBLE / len(tk) END AS awl,
+  len(list_intersect(list_distinct(tk),
+      ['the','and','of','to','is','a','in','that'])) AS nstop,
+  CASE WHEN len(tk) = 0 THEN 1.0
+       ELSE coalesce(maxrun, 0)::DOUBLE / len(tk) END AS rep
+  FROM tk t LEFT JOIN mf USING (doc_id)),
+f AS (SELECT source,
+  CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END AS fail_len,
+  CASE WHEN awl < 3.0 OR awl > 10.0 THEN 1 ELSE 0 END AS fail_wordlen,
+  CASE WHEN nstop < 2 THEN 1 ELSE 0 END AS fail_stop,
+  CASE WHEN rep > 0.2 THEN 1 ELSE 0 END AS fail_rep
+  FROM s)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN fail_len + fail_wordlen + fail_stop + fail_rep = 0
+                THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+       sum(fail_len)::BIGINT AS n_fail_len,
+       sum(fail_wordlen)::BIGINT AS n_fail_wordlen,
+       sum(fail_stop)::BIGINT AS n_fail_stop,
+       sum(fail_rep)::BIGINT AS n_fail_rep
+FROM f GROUP BY source
+""",
+        "decontaminate": f"""
+WITH tk AS (SELECT doc_id, source, {_TOKENS} AS tk FROM documents),
+w AS (SELECT doc_id, source, doc_id % 97 = 0 AS is_eval,
+             list_distinct(list_transform(range(1, greatest(len(tk) - 6, 1)),
+                 i -> {_PHASH.format(x="array_to_string(tk[i:i+7], ' ')")})) AS whs
+      FROM tk),
+e AS (SELECT DISTINCT unnest(whs) AS wh FROM w WHERE is_eval),
+t AS (SELECT doc_id, source, whs FROM w WHERE NOT is_eval),
+c AS (SELECT DISTINCT doc_id FROM
+        (SELECT doc_id, unnest(whs) AS wh FROM t) x JOIN e USING (wh))
+SELECT source, count(*)::BIGINT AS n_train,
+       count(c.doc_id)::BIGINT AS n_contaminated
+FROM t LEFT JOIN c USING (doc_id) GROUP BY source
+""",
+        "substring_dedup": f"""
+WITH tk AS (SELECT doc_id, source, {_TOKENS} AS tk FROM documents),
+w AS (SELECT doc_id, source,
+             unnest(list_transform(range(1, greatest(len(tk) - 13, 1)),
+                 i -> {_PHASH.format(x="array_to_string(tk[i:i+14], ' ')")})) AS wh
+      FROM tk),
+cnt AS (SELECT wh, count(*) AS n_occ FROM w GROUP BY wh),
+d AS (SELECT doc_id, count(*) AS nd
+      FROM w JOIN cnt USING (wh) WHERE n_occ > 1 GROUP BY doc_id)
+SELECT docs.source, count(*)::BIGINT AS n_docs,
+       count(d.doc_id)::BIGINT AS n_dup_docs,
+       coalesce(sum(nd), 0)::BIGINT AS n_dup_occurrences
+FROM (SELECT doc_id, source FROM documents) docs
+LEFT JOIN d USING (doc_id) GROUP BY docs.source
+""",
+        "domain_mix": """
+SELECT source,
+       ((regexp_extract(source, '([0-9]+)$', 1)::BIGINT % 4) + 1) * 250 AS target_permille,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN ((doc_id * 2654435761) % 4294967296) % 1000 <
+                     ((regexp_extract(source, '([0-9]+)$', 1)::BIGINT % 4) + 1) * 250
+                THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM documents GROUP BY source
 """,
     }

@@ -62,6 +62,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_components",
     "corpus_curation",
+    "pii_scrub",
+    "gopher_quality",
+    "decontaminate",
+    "substring_dedup",
+    "domain_mix",
     "bm25_topk",
     "top_terms_per_source",
     "token_stats",

@@ -1,0 +1,340 @@
+"""Corpus-curation operators for LLM training-data pipelines (builder's-brief
+extension surface, alongside dedup.py): PII detection/redaction, Gopher-style
+quality filtering, eval-set decontamination, substring-level (window) dedup,
+and deterministic domain mixing.
+
+These are the remaining standard stages of a web-scale curation pipeline
+(C4/Gopher/RefinedWeb lineage) that dedup.py and functions/text.py do not
+already cover.  Scale design notes:
+
+- **PII scrub** is a stateless narrow pipeline: `regexp_extract_all` /
+  `regexp_replace` run inside whole-stage codegen, one pass over the text,
+  and the only shuffle is the final per-source aggregation (map-side
+  partial).  At 100 TB this is scan-bound, which is the best possible shape.
+- **Gopher quality** computes every per-document rule — token-count bounds,
+  mean-word-length bounds, stopword presence, max-token-frequency repetition
+  — as higher-order array expressions over ONE materialized tokens column.
+  The repetition rule (classically an explode + groupBy + max, two shuffles
+  per corpus) is folded into a sorted-array run-length `aggregate`, so the
+  whole rule set is shuffle-free until the final per-source rollup.
+- **Decontamination** broadcasts the eval-set shingle inventory (fixed size:
+  benchmarks don't grow with the corpus) and semi-joins the train side
+  against it — the 100 TB corpus is never shuffled, only scanned.
+- **Substring dedup** (the window-occurrence analog of Lee et al.'s exact
+  substring deduplication) shuffles 8-byte window HASHES, never window
+  text: `portable_hash60` keys the occurrence count, so shuffle volume is
+  ~8 bytes x token count regardless of document size, with map-side
+  partial aggregation on the count.
+- **Domain mixing** is a deterministic multiplicative-hash Bernoulli filter
+  (keep iff h(doc_id) mod 1000 < target‰) — no shuffle at all until the
+  acceptance report, no RNG state, reproducible across engines and runs,
+  and exactly the sampling shape a 1000-executor job wants (embarrassingly
+  parallel, partition-local).
+
+Every operator is value-oracle-able: the regexes are portable between Java
+regex and RE2 (no lookaround/backrefs), the hashes are md5-derived
+(`portable_hash60`), and the arithmetic is integer or exact-double.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigvectorbench_spark.functions import text as tx
+
+# ------------------------------------------------------------------ PII scrub
+
+# Portable between Java regex (Spark) and RE2 (DuckDB): character classes,
+# bounded repetition, no lookaround, no backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+IPV4_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+_PII_RULES: Sequence[tuple[str, str, str]] = (
+    ("email", EMAIL_RE, "[EMAIL]"),
+    ("phone", PHONE_RE, "[PHONE]"),
+    ("ip", IPV4_RE, "[IP]"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts (whole-match extraction, group 0)."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for name, pat, _ in _PII_RULES
+    }
+
+
+def pii_redact(text: Column) -> Column:
+    """Text with every PII match replaced by its category token.  Rules are
+    applied email -> phone -> ip; the replacement tokens contain no digits
+    or '@'/'.' runs, so later rules cannot re-match earlier redactions."""
+    out = text
+    for _, pat, token in _PII_RULES:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_scrub_report(df: DataFrame, *, text_col: str = "text",
+                     group_col: str = "source") -> DataFrame:
+    """Per-group PII accounting: match counts per category, documents with
+    any PII, and total characters removed by redaction.  One codegen scan
+    plus one partial-aggregated groupBy."""
+    c = pii_counts(F.col(text_col))
+    scanned = df.select(
+        F.col(group_col),
+        c["email"].alias("n_email"),
+        c["phone"].alias("n_phone"),
+        c["ip"].alias("n_ip"),
+        (F.length(F.col(text_col)) - F.length(pii_redact(F.col(text_col))))
+        .alias("delta"),
+    )
+    return (
+        scanned.groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("n_emails"),
+            F.sum("n_phone").cast("bigint").alias("n_phones"),
+            F.sum("n_ip").cast("bigint").alias("n_ips"),
+            F.sum(((F.col("n_email") + F.col("n_phone") + F.col("n_ip")) > 0)
+                  .cast("int")).cast("bigint").alias("n_docs_with_pii"),
+            F.sum("delta").cast("bigint").alias("chars_redacted"),
+        )
+    )
+
+
+# ------------------------------------------------------------- Gopher quality
+
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_AVG_WORD_LEN = 3.0
+GOPHER_MAX_AVG_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORDS = 2  # distinct stopword types required
+GOPHER_MAX_TOKEN_FREQ = 0.20  # max single-token occupancy
+
+
+def max_token_run(tk: Column) -> Column:
+    """Highest occurrence count of any single token, WITHOUT a shuffle:
+    sort the (materialized) tokens array and fold a run-length maximum over
+    it with `aggregate`.  The classical plan is explode + groupBy(doc,
+    token) + max — two full shuffles of the token stream; this form keeps
+    the rule inside whole-stage codegen per row.  Empty array -> 0."""
+    sorted_tk = F.array_sort(tk)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, w: Column) -> Column:
+        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            w.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_tk, init, step, lambda acc: acc["best"])
+
+
+def gopher_flags(tk: Column,
+                 stopwords: Sequence[str] = tx.EN_STOPWORDS) -> dict[str, Column]:
+    """Per-document Gopher-rule failure flags from a MATERIALIZED tokens
+    column (see text.shingles_from_tokens for why inlining tokens(text)
+    here would re-tokenize per reference)."""
+    n = F.size(tk)
+    awl = tx.avg_token_len_from_tokens(tk)
+    n_stop = F.size(F.array_intersect(F.array_distinct(tk),
+                                      F.lit(list(stopwords))))
+    rep = F.when(n == 0, F.lit(1.0)).otherwise(
+        max_token_run(tk) / n.cast("double"))
+    return {
+        "fail_len": (n < GOPHER_MIN_TOKENS) | (n > GOPHER_MAX_TOKENS),
+        "fail_wordlen": (awl < GOPHER_MIN_AVG_WORD_LEN)
+        | (awl > GOPHER_MAX_AVG_WORD_LEN),
+        "fail_stop": n_stop < GOPHER_MIN_STOPWORDS,
+        "fail_rep": rep > GOPHER_MAX_TOKEN_FREQ,
+    }
+
+
+def gopher_quality_report(df: DataFrame, *, text_col: str = "text",
+                          group_col: str = "source") -> DataFrame:
+    """Per-group Gopher-filter breakdown: documents passing all rules and
+    independent per-rule failure counts (a doc can fail several)."""
+    tokenized = df.select(
+        F.col(group_col), tx.tokens(F.col(text_col)).alias("tk"))
+    flags = gopher_flags(F.col("tk"))
+    flagged = tokenized.select(
+        group_col,
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+    )
+    passed = (F.col("fail_len") + F.col("fail_wordlen")
+              + F.col("fail_stop") + F.col("fail_rep")) == 0
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(passed.cast("int")).cast("bigint").alias("n_pass"),
+            F.sum("fail_len").cast("bigint").alias("n_fail_len"),
+            F.sum("fail_wordlen").cast("bigint").alias("n_fail_wordlen"),
+            F.sum("fail_stop").cast("bigint").alias("n_fail_stop"),
+            F.sum("fail_rep").cast("bigint").alias("n_fail_rep"),
+        )
+    )
+
+
+# ------------------------------------------------------ eval decontamination
+
+
+def window_hashes(tk: Column, n: int, *, distinct: bool = False) -> Column:
+    """Portable 60-bit hashes of every n-token window (NOT n-distinct
+    shingles: positions matter for occurrence counting).  Uses
+    `portable_hash60` so oracles can reproduce the keys; the 8-byte hash —
+    not the window text — is what downstream joins shuffle."""
+    idx = F.when(F.size(tk) >= n,
+                 F.sequence(F.lit(1), F.size(tk) - (n - 1))
+                 ).otherwise(F.lit([]).cast("array<int>"))
+    wins = F.transform(
+        idx, lambda i: tx.portable_hash60(F.concat_ws(" ", F.slice(tk, i, n))))
+    return F.array_distinct(wins) if distinct else wins
+
+
+def decontaminate_report(df: DataFrame, *, id_col: str = "doc_id",
+                         text_col: str = "text", group_col: str = "source",
+                         eval_mod: int = 97, ngram: int = 8) -> DataFrame:
+    """Train/eval n-gram-overlap decontamination (the standard test-set
+    contamination check): the eval split is the deterministic slice
+    ``id % eval_mod = 0``; a train document is contaminated if it shares
+    any ``ngram``-token window with any eval document.
+
+    Scale shape: the eval inventory is FIXED SIZE (benchmarks don't grow
+    with the corpus), so it is broadcast and the train side is scanned,
+    never shuffled — `explode` + broadcast LEFT SEMI join + per-doc
+    distinct + per-group rollup."""
+    tokenized = df.select(
+        F.col(id_col), F.col(group_col),
+        tx.tokens(F.col(text_col)).alias("tk"),
+        (F.col(id_col) % eval_mod == 0).alias("is_eval"),
+    ).select(
+        id_col, group_col, "is_eval",
+        window_hashes(F.col("tk"), ngram, distinct=True).alias("whs"),
+    )
+    eval_whs = (
+        tokenized.filter("is_eval")
+        .select(F.explode("whs").alias("wh")).distinct()
+    )
+    train = tokenized.filter(~F.col("is_eval"))
+    contaminated = (
+        train.select(id_col, F.explode("whs").alias("wh"))
+        .join(F.broadcast(eval_whs), "wh", "left_semi")
+        .select(id_col).distinct()
+    )
+    return (
+        train.join(contaminated.withColumn("hit", F.lit(1)), id_col, "left")
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_train"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint")
+            .alias("n_contaminated"),
+        )
+    )
+
+
+# ------------------------------------------------------- substring-level dedup
+
+
+def substring_dedup_report(df: DataFrame, *, id_col: str = "doc_id",
+                           text_col: str = "text", group_col: str = "source",
+                           window: int = 15) -> DataFrame:
+    """Repeated-window detection across the corpus — the distributed analog
+    of exact substring deduplication (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better": a suffix-array over the corpus
+    finds verbatim repeated spans; here every ``window``-token span is
+    keyed by a portable 8-byte hash and counted corpus-wide, which finds
+    the same >=window-token verbatim repetitions without a global suffix
+    sort).
+
+    Per group: total documents, documents containing at least one span
+    that occurs elsewhere in the corpus, and the number of span
+    occurrences in this group that are corpus-wide duplicates.
+
+    Scale shape: the shuffle key is the 60-bit hash (8 bytes x ~token
+    count, independent of document size); the occurrence count gets
+    map-side partial aggregation; the join back is hash-keyed.  A real
+    100 TB run would additionally salt the all-zeros/boilerplate hot
+    hashes — the max_shingle_freq guard in dedup.py is the same idea."""
+    tokenized = df.select(
+        F.col(id_col), F.col(group_col), tx.tokens(F.col(text_col)).alias("tk"))
+    occ = tokenized.select(
+        id_col, group_col,
+        F.explode(window_hashes(F.col("tk"), window)).alias("wh"),
+    )
+    counts = occ.groupBy("wh").agg(F.count("*").alias("n_occ"))
+    dup_occ = occ.join(counts.filter(F.col("n_occ") > 1), "wh")
+    per_doc = (
+        dup_occ.groupBy(id_col, group_col)
+        .agg(F.count("*").alias("n_dup_occ_doc"))
+    )
+    docs = tokenized.select(id_col, group_col)
+    return (
+        docs.join(per_doc.select(id_col, "n_dup_occ_doc"), id_col, "left")
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            # the left join leaves NULL for dup-free docs; a group that is
+            # ALL dup-free would sum NULLs to NULL — coalesce row-wise so
+            # the count is 0 there (DuckDB's count() convention)
+            F.sum(F.coalesce((F.col("n_dup_occ_doc") > 0).cast("int"),
+                             F.lit(0))).cast("bigint").alias("n_dup_docs"),
+            F.sum(F.coalesce("n_dup_occ_doc", F.lit(0))).cast("bigint")
+            .alias("n_dup_occurrences"),
+        )
+    )
+
+
+# ------------------------------------------------------------- domain mixing
+
+# Knuth multiplicative constant (2^32 / phi); the hash is exact bigint
+# arithmetic so every engine reproduces it bit-for-bit.
+_KNUTH = 2654435761
+_MOD32 = 4294967296
+
+
+def mix_hash(id_col: Column) -> Column:
+    """Deterministic per-row sampling hash in [0, 1000): multiplicative
+    hashing on the id, exact integer arithmetic (no RNG state, no
+    engine-specific hash function).  Valid for ids < 2^31 (the product
+    must stay in a signed 64-bit int); a 100 TB deployment widens this to
+    the same arithmetic over `xxhash64(id) & 0x7fffffff`."""
+    return F.pmod(F.pmod(id_col.cast("bigint") * F.lit(_KNUTH), F.lit(_MOD32)),
+                  F.lit(1000))
+
+
+def domain_mix_report(df: DataFrame, *, id_col: str = "doc_id",
+                      group_col: str = "source") -> DataFrame:
+    """Stratified corpus mixing: each source keeps a deterministic
+    pseudo-random fraction of its documents (target ‰ derived from the
+    source's numeric suffix: (n mod 4 + 1) * 250 -> 250/500/750/1000),
+    the way training mixtures downsample over-represented domains.
+
+    The keep decision is a partition-local filter — zero shuffle for the
+    kept corpus itself; only the acceptance report aggregates.  Being
+    hash-deterministic it is also STABLE: re-running on the same corpus
+    (or an appended corpus) keeps the same documents, which is what makes
+    incremental re-mixes diff-friendly at 100 TB."""
+    src_num = F.regexp_extract(F.col(group_col), r"([0-9]+)$", 1).cast("bigint")
+    target = (F.pmod(src_num, F.lit(4)) + 1) * 250
+    scanned = df.select(
+        F.col(group_col),
+        target.alias("target_permille"),
+        (mix_hash(F.col(id_col)) < target).cast("int").alias("keep"),
+    )
+    return (
+        scanned.groupBy(group_col, "target_permille")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+        )
+        .select(group_col, F.col("target_permille").cast("bigint"),
+                "n_docs", "n_kept")
+    )

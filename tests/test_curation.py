@@ -1,0 +1,188 @@
+"""Curation-family operators: PII scrub, Gopher quality, decontamination,
+substring-level dedup, domain mixing (operators/curation.py)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigvectorbench_spark.operators import curation as cur
+
+
+def _hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ------------------------------------------------------------------ PII scrub
+
+
+def test_pii_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "s", "reach me at jo.doe+x@mail-host.org or jo@b.co thanks"),
+            (2, "s", "call +1-555-0042 from 10.0.200.3 now"),
+            (3, "s", "clean text with no identifiers at all"),
+        ],
+        "id long, source string, text string",
+    )
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        *[v.alias(k) for k, v in cur.pii_counts(F.col("text")).items()],
+        cur.pii_redact(F.col("text")).alias("red"),
+    ).collect()}
+    assert (rows[1]["email"], rows[1]["phone"], rows[1]["ip"]) == (2, 0, 0)
+    assert rows[1]["red"] == "reach me at [EMAIL] or [EMAIL] thanks"
+    assert (rows[2]["email"], rows[2]["phone"], rows[2]["ip"]) == (0, 1, 1)
+    assert rows[2]["red"] == "call [PHONE] from [IP] now"
+    assert rows[3]["red"] == rows[3]["red"] and rows[3]["email"] == 0
+
+
+def test_pii_scrub_report_totals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x ann@b.io y"),
+            (2, "a", "no pii here"),
+            (3, "b", "two emails a@b.cd e@f.gh and +1-555-9999"),
+        ],
+        "id long, source string, text string",
+    )
+    out = {r["source"]: r for r in cur.pii_scrub_report(df).collect()}
+    assert out["a"]["n_docs"] == 2
+    assert out["a"]["n_emails"] == 1
+    assert out["a"]["n_docs_with_pii"] == 1
+    # "x ann@b.io y" -> "x [EMAIL] y": 8 chars removed, 7 added
+    assert out["a"]["chars_redacted"] == len("ann@b.io") - len("[EMAIL]")
+    assert out["b"]["n_emails"] == 2 and out["b"]["n_phones"] == 1
+    assert out["b"]["n_docs_with_pii"] == 1
+
+
+# ------------------------------------------------------------- Gopher quality
+
+
+def test_max_token_run(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "a", "c", "a"]), (2, ["x"]), (3, [])],
+        "id long, tk array<string>",
+    )
+    got = {r["id"]: r["m"] for r in df.select(
+        "id", cur.max_token_run(F.col("tk")).alias("m")).collect()}
+    assert got == {1: 3, 2: 1, 3: 0}
+
+
+def test_gopher_flags_each_rule(spark):
+    stop_rich = " ".join(["the", "and", "of", "to"] * 15)  # 60 tokens, 4 stops
+    short = "the and word"  # fails length only... and wordlen (mean 3.33 ok)
+    repeaty = " ".join(["the", "and"] + ["spam"] * 58)  # spam occupies 58/60
+    longwords = " ".join(["the", "and"] + ["arglebargleglyph"] * 58)
+    df = spark.createDataFrame(
+        [(1, stop_rich), (2, short), (3, repeaty), (4, longwords)],
+        "id long, text string",
+    )
+    from bigvectorbench_spark.functions import text as tx
+    flags = df.select("id", tx.tokens(F.col("text")).alias("tk")).select(
+        "id", *[v.alias(k) for k, v in cur.gopher_flags(F.col("tk")).items()])
+    got = {r["id"]: r for r in flags.collect()}
+    # stop_rich: 60 tokens, mean len 2.83 < 3 -> fails wordlen; 'the' run 15/60=0.25 -> fails rep
+    assert not got[1]["fail_len"] and not got[1]["fail_stop"]
+    assert got[2]["fail_len"]  # 3 tokens < 50
+    assert got[3]["fail_rep"] and not got[3]["fail_len"]
+    assert got[4]["fail_wordlen"]  # mean word length >> 10
+
+
+def test_gopher_report_partitions_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cur.gopher_quality_report(docs).collect()
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    for r in out:
+        assert 0 <= r["n_pass"] <= r["n_docs"]
+        for c in ("n_fail_len", "n_fail_wordlen", "n_fail_stop", "n_fail_rep"):
+            assert 0 <= r[c] <= r["n_docs"]
+
+
+# ------------------------------------------------------------ window hashing
+
+
+def test_window_hashes_match_reference(spark):
+    toks = ["w%d" % i for i in range(6)]
+    df = spark.createDataFrame([(1, toks)], "id long, tk array<string>")
+    got = df.select(cur.window_hashes(F.col("tk"), 4).alias("w")).collect()[0]["w"]
+    want = [_hash60(" ".join(toks[i:i + 4])) for i in range(3)]
+    assert got == want
+
+
+def test_window_hashes_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, ["a", "b"])], "id long, tk array<string>")
+    got = df.select(cur.window_hashes(F.col("tk"), 4).alias("w")).collect()[0]["w"]
+    assert got == []
+
+
+# ------------------------------------------------------------ decontamination
+
+
+def test_decontaminate_planted_overlap(spark):
+    shared = " ".join("tok%d" % i for i in range(8))
+    rows = [
+        (0, "s0", shared + " evaltail one two"),          # eval doc (0 % 97 == 0)
+        (1, "s0", "prefix words " + shared),              # contaminated
+        (2, "s0", " ".join("other%d" % i for i in range(12))),  # clean
+        (3, "s1", shared),                                # contaminated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in cur.decontaminate_report(df).collect()}
+    assert out["s0"]["n_train"] == 2 and out["s0"]["n_contaminated"] == 1
+    assert out["s1"]["n_train"] == 1 and out["s1"]["n_contaminated"] == 1
+
+
+# -------------------------------------------------------------- substring dedup
+
+
+def test_substring_dedup_planted_repeat(spark):
+    span = " ".join("s%d" % i for i in range(15))
+    rows = [
+        (1, "a", span + " unique tail of doc one"),
+        (2, "a", "doc two starts here then " + span),
+        (3, "b", " ".join("z%d" % i for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in cur.substring_dedup_report(df).collect()}
+    # the planted span occurs in docs 1 and 2 (one occurrence each)
+    assert out["a"]["n_dup_docs"] == 2
+    assert out["a"]["n_dup_occurrences"] == 2
+    assert out["b"]["n_dup_docs"] == 0 and out["b"]["n_dup_occurrences"] == 0
+
+
+def test_substring_dedup_within_doc_repeat(spark):
+    # the same 15-token window occurring TWICE in one doc is a duplicate too
+    span = " ".join("r%d" % i for i in range(15))
+    df = spark.createDataFrame(
+        [(1, "a", span + " mid " + span)],
+        "doc_id long, source string, text string")
+    out = cur.substring_dedup_report(df).collect()[0]
+    assert out["n_dup_docs"] == 1 and out["n_dup_occurrences"] >= 2
+
+
+# --------------------------------------------------------------- domain mixing
+
+
+def test_mix_hash_matches_python(spark):
+    ids = list(range(0, 2000, 7))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["h"] for r in df.select(
+        "doc_id", cur.mix_hash(F.col("doc_id")).alias("h")).collect()}
+    for i in ids:
+        assert got[i] == (i * 2654435761) % 4294967296 % 1000
+
+
+def test_domain_mix_report_targets_and_determinism(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = {r["source"]: r for r in cur.domain_mix_report(docs).collect()}
+    for src, r in out.items():
+        n = int(src.replace("src", ""))
+        assert r["target_permille"] == (n % 4 + 1) * 250
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        if r["target_permille"] == 1000:
+            assert r["n_kept"] == r["n_docs"]
+    # deterministic: a second run keeps the identical documents
+    again = {r["source"]: r for r in cur.domain_mix_report(docs).collect()}
+    assert {s: r["n_kept"] for s, r in out.items()} == \
+           {s: r["n_kept"] for s, r in again.items()}

@@ -159,3 +159,58 @@ def test_dedup_pair_generation_is_equijoin_not_cartesian(spark):
         plan = plan_of(pairs)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_single_shuffle_reports(spark):
+    """pii_scrub / gopher_quality / domain_mix are scan + ONE aggregation
+    shuffle: every per-document rule (including the Gopher repetition
+    rule, classically an explode + groupBy) stays inside whole-stage
+    codegen, so exactly one Exchange appears — the final per-source
+    rollup.  At 100 TB these are scan-bound, the best possible shape."""
+    from bigvectorbench_spark.operators.curation import (
+        domain_mix_report, gopher_quality_report, pii_scrub_report)
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", f"doc {i} with the a few words and tokens")
+         for i in range(40)],
+        "doc_id bigint, source string, text string",
+    )
+    for report in (pii_scrub_report(docs), gopher_quality_report(docs),
+                   domain_mix_report(docs)):
+        plan = plan_of(report)
+        assert plan.count("Exchange") <= 2  # hashpartitioning (+AQE read)
+        for j in ("SortMergeJoin", "CartesianProduct",
+                  "BroadcastNestedLoopJoin"):
+            assert j not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval shingle inventory is fixed-size -> must broadcast; the
+    train corpus is scanned, never shuffled through the semi-join."""
+    from bigvectorbench_spark.operators.curation import decontaminate_report
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", " ".join(f"w{(i * 7 + j) % 13}" for j in range(12)))
+         for i in range(50)],
+        "doc_id bigint, source string, text string",
+    )
+    plan = plan_of(decontaminate_report(docs, eval_mod=7))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_substring_dedup_joins_on_hash_not_text(spark):
+    """The occurrence-count join must key on the 8-byte window hash —
+    no window strings in the shuffle, no cartesian fallback."""
+    from bigvectorbench_spark.operators.curation import substring_dedup_report
+
+    docs = spark.createDataFrame(
+        [(i, "s", " ".join(f"t{(i + j) % 9}" for j in range(20)))
+         for i in range(30)],
+        "doc_id bigint, source string, text string",
+    )
+    plan = plan_of(substring_dedup_report(docs, window=15))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the join key is the hash column wh (bigint), visible in the plan
+    assert "wh" in plan
