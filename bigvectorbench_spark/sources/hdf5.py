@@ -24,10 +24,11 @@ Spark-first design — metadata on the driver, data plane distributed:
 - CHUNKED/compressed datasets read pure-Python too: the chunk index is a
   v1 B-tree walked on the driver (KBs of metadata), and each Spark task
   reads + inflates its own chunk byte ranges (deflate/shuffle/fletcher32
-  inverted with zlib/numpy — the filters every gzip'd h5py export uses).
-  Full-row-width chunks (h5py's auto-chunking for tall 2-D arrays) yield
-  complete rows with zero shuffle; row-splitting grids assemble with one
-  row-id-keyed shuffle.  Only exotic filters (szip, lzf) fall back to an
+  inverted with zlib/numpy, lzf with the pure-Python codec in lzf.py —
+  the filters every h5py export short of szip uses).  Full-row-width
+  chunks (h5py's auto-chunking for tall 2-D arrays) yield complete rows
+  with zero shuffle; row-splitting grids assemble with one row-id-keyed
+  shuffle.  Only szip (patent-encumbered, rare) falls back to an
   import-gated h5py stream, mirroring ``read_huggingface``'s gating
   (vectors.py:230).
 
@@ -476,7 +477,7 @@ def read_hdf5(
     return splits.repartition(n_splits, "split").mapInArrow(_read, schema)
 
 
-_SUPPORTED_FILTERS = {1, 2, 3}  # deflate, shuffle, fletcher32
+_SUPPORTED_FILTERS = {1, 2, 3, 32000}  # deflate, shuffle, fletcher32, lzf
 
 
 def _defilter(raw: bytes, filters) -> bytes:
@@ -486,6 +487,9 @@ def _defilter(raw: bytes, filters) -> bytes:
     for fid, vals in reversed(filters):
         if fid == 1:  # deflate
             raw = _zlib.decompress(raw)
+        elif fid == 32000:  # lzf (h5py builtin filter, pure-Python codec)
+            from bigvectorbench_spark.sources.lzf import lzf_decompress
+            raw = lzf_decompress(raw)
         elif fid == 2:  # shuffle: all byte-0s, then all byte-1s, ...
             elem = vals[0] if vals else 1
             a = np.frombuffer(raw, np.uint8)
@@ -698,10 +702,19 @@ def _object_header(messages: list[bytes]) -> bytes:
     return struct.pack("<BxHIIxxxx", 1, len(messages), 1, len(blob)) + blob
 
 
+_FILTER_NAMES = {32000: b"lzf"}
+
+
 def _filter_msg_body(filters: list[tuple[int, tuple[int, ...]]]) -> bytes:
     body = struct.pack("<BB6x", 1, len(filters))
     for fid, vals in filters:
-        body += struct.pack("<HHHH", fid, 0, 0, len(vals))
+        # ids >= 256 are registered third-party filters: the v1 message
+        # carries their name (8-padded); builtin ids omit it (spec IV.A.2.l)
+        name = _FILTER_NAMES.get(fid, b"") if fid >= 256 else b""
+        name_len = ((len(name) + 1 + 7) & ~7) if name else 0
+        body += struct.pack("<HHHH", fid, name_len, 0, len(vals))
+        if name_len:
+            body += (name + b"\0").ljust(name_len, b"\0")
         body += b"".join(struct.pack("<I", v) for v in vals)
         if len(vals) % 2:
             body += b"\0\0\0\0"
@@ -755,6 +768,9 @@ def _encode_chunks(arr: np.ndarray, cdims, filters):
                        .reshape(-1, elem).T.tobytes())
             elif fid == 1:  # deflate
                 raw = zlib.compress(raw, vals[0] if vals else 6)
+            elif fid == 32000:  # lzf
+                from bigvectorbench_spark.sources.lzf import lzf_compress
+                raw = lzf_compress(raw)
             else:
                 raise NotImplementedError(f"writer filter id {fid}")
         out.append((offs, raw))
@@ -783,11 +799,14 @@ def write_hdf5(path: str, datasets: dict[str, np.ndarray],
         comp = (compression.get(nm) if isinstance(compression, dict)
                 else compression)
         fl: list[tuple[int, tuple[int, ...]]] = []
-        if comp in ("gzip+shuffle", "shuffle+gzip"):
+        if comp in ("gzip+shuffle", "shuffle+gzip", "lzf+shuffle",
+                    "shuffle+lzf"):
             fl.append((2, (arr.dtype.itemsize,)))
         if comp in ("gzip", "gzip+shuffle", "shuffle+gzip"):
             fl.append((1, (compression_level,)))
-        elif comp not in (None, "gzip+shuffle", "shuffle+gzip"):
+        elif comp in ("lzf", "lzf+shuffle", "shuffle+lzf"):
+            fl.append((32000, ()))
+        elif comp is not None:
             raise NotImplementedError(f"compression {comp!r}")
         return fl
 

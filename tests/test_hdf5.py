@@ -240,3 +240,57 @@ def test_defilter_fletcher32():
     stored = z.compress(payload + b"\x01\x02\x03\x04")
     # write order: fletcher32 then deflate → inverse inflates then strips
     assert _defilter(stored, [(3, ()), (1, (6,))]) == payload
+
+
+def test_lzf_codec_roundtrip_and_handcrafted():
+    """Pure-Python liblzf codec (sources/lzf.py): roundtrip on repetitive,
+    random, empty, and tiny inputs, plus a hand-assembled stream pinning
+    the control-byte format (literal run + overlapping back-reference)."""
+    from bigvectorbench_spark.sources.lzf import lzf_compress, lzf_decompress
+
+    rng = np.random.RandomState(7)
+    cases = [
+        b"",
+        b"a",
+        b"ab",
+        b"abc" * 200,                      # highly compressible
+        bytes(rng.randint(0, 256, 4096, dtype=np.uint8)),  # incompressible
+        np.arange(1000, dtype=np.int32).tobytes(),
+        b"\x00" * 10000,                   # long RLE (overlapping copies)
+    ]
+    for payload in cases:
+        assert lzf_decompress(lzf_compress(payload)) == payload
+    # compressible input actually compresses
+    assert len(lzf_compress(b"abc" * 200)) < 100
+    # hand-assembled: literal "AB", then backref len 4 off 1 (overlap on 'B')
+    # ctrl=0x01 run of 2; ctrl=(2<<5)|0x00 len=4, off byte 0 -> ref=-1 back 1
+    stream = bytes([0x01, ord("A"), ord("B"), (2 << 5) | 0x00, 0x00])
+    assert lzf_decompress(stream) == b"ABBBBB"
+    with pytest.raises(ValueError):
+        lzf_decompress(bytes([0x05, ord("x")]))  # truncated literal run
+
+
+def test_chunked_lzf_roundtrip(spark, tmp_path):
+    """Chunked + lzf (filter id 32000, the h5py builtin third-party
+    filter) read pure-Python end to end — including the named-filter
+    pipeline message (ids >= 256 carry their name) and lzf+shuffle."""
+    rng = np.random.RandomState(11)
+    x = rng.randn(57, 6).astype(np.float32)
+    path = str(tmp_path / "clzf.hdf5")
+    write_hdf5(path, {"x": x}, chunks={"x": (16, 6)}, compression="lzf")
+    ds = hdf5_meta(path).datasets["x"]
+    assert ds.layout == "chunked" and ds.filters == [(32000, ())]
+    got = np.array([r["vec"] for r in
+                    read_hdf5(spark, path, "x").orderBy("id").collect()],
+                   dtype=np.float32)
+    np.testing.assert_array_equal(got, x)
+
+    y = rng.randn(40, 8)
+    path2 = str(tmp_path / "clzfs.hdf5")
+    write_hdf5(path2, {"y": y}, chunks={"y": (13, 8)},
+               compression="lzf+shuffle")
+    ds2 = hdf5_meta(path2).datasets["y"]
+    assert ds2.filters == [(2, (8,)), (32000, ())]
+    got2 = np.array([r["vec"] for r in
+                     read_hdf5(spark, path2, "y").orderBy("id").collect()])
+    np.testing.assert_array_equal(got2, y)
