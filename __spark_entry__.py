@@ -1375,6 +1375,21 @@ def q_domain_mix(spark, sf):
     return cur.domain_mix_report(load_table(spark, sf, "documents")).orderBy("source")
 
 
+def q_bpe_token_stats(spark, sf):
+    """Token accounting with a BPE-ish regex pre-tokenizer (GPT-2 pattern
+    family, ASCII-portable subset — functions/text.py::BPE_RE) next to the
+    whitespace count: the LLM-cost estimate a training pipeline budgets
+    with.  Runs over the PII-augmented corpus so emails/phones/IPs give
+    the two counters genuinely different answers (punctuation runs split
+    into their own pre-tokens).  Whole pipeline is one codegen scan."""
+    d = _docs_pii(spark, sf)
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
+        tx.bpe_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
 def q_dedup_components(spark, sf):
     """Transitive closure of the near-dup pair list: connected components
     via iterative min-label propagation (one shuffle join per round).
@@ -1606,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round 6, value-oracled (sweeps + pytest); enters the window
         # in round 7 with the returning rotation set
         "video_features": q_video_features,
+        "bpe_token_stats": q_bpe_token_stats,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
@@ -1645,6 +1661,17 @@ SELECT {cols} FROM r WHERE rank <= {k}
 
 
 _PHASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+# The PII-planting fixture (mirrors _docs_pii verbatim), shared by the
+# pii_scrub and bpe_token_stats oracles.
+_PII_AUG = """text
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' contact user' || doc_id::VARCHAR || '@example.com now' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+          THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' today' ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+          THEN ' from 192.168.' || (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR
+          ELSE '' END"""
 
 # The driver evaluates oracles at sf0.01 (TESTDATA.md contract); the ANN
 # oracles recompute the deterministic index builds on that table.  The
@@ -2534,16 +2561,11 @@ SELECT doc_id, CASE WHEN best.n < 0 THEN best.l ELSE 'en' END AS pred_lang FROM 
         # mirrored verbatim from _docs_pii; regexes are Java-regex/RE2
         # portable (no lookaround/backrefs) and DuckDB's regexp_replace
         # needs the 'g' flag to match Spark's replace-all semantics.
+        # NOT an f-string: the regex quantifiers {2,}/{4}/{1,3} would be
+        # eaten as format fields — the fixture expression is spliced in
+        # with .replace instead.
         "pii_scrub": """
-WITH aug AS (SELECT source,
-  text || CASE WHEN doc_id % 7 = 0
-               THEN ' contact user' || doc_id::VARCHAR || '@example.com now' ELSE '' END
-       || CASE WHEN doc_id % 11 = 0
-               THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' today' ELSE '' END
-       || CASE WHEN doc_id % 13 = 0
-               THEN ' from 192.168.' || (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR
-               ELSE '' END AS text
-  FROM documents),
+WITH aug AS (SELECT source, @PII_AUG@ AS text FROM documents),
 s AS (SELECT source,
   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
   len(regexp_extract_all(text, '\\+1-555-[0-9]{4}')) AS n_phone,
@@ -2561,7 +2583,7 @@ SELECT source, count(*)::BIGINT AS n_docs,
        sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_with_pii,
        sum(delta)::BIGINT AS chars_redacted
 FROM s GROUP BY source
-""",
+""".replace("@PII_AUG@", _PII_AUG),
         "gopher_quality": f"""
 WITH tk AS (SELECT doc_id, source, {_TOKENS} AS tk FROM documents),
 mf AS (SELECT doc_id, max(c) AS maxrun FROM (
@@ -2619,6 +2641,13 @@ SELECT docs.source, count(*)::BIGINT AS n_docs,
        coalesce(sum(nd), 0)::BIGINT AS n_dup_occurrences
 FROM (SELECT doc_id, source FROM documents) docs
 LEFT JOIN d USING (doc_id) GROUP BY docs.source
+""",
+        "bpe_token_stats": f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG} AS text FROM documents)
+SELECT doc_id, len({_TOKENS}) AS n_ws_tokens,
+       len(list_filter(regexp_extract_all(text, '{tx.BPE_RE.replace(chr(39), chr(39) * 2)}'),
+           t -> trim(t) != '')) AS n_bpe_tokens
+FROM aug
 """,
         "domain_mix": """
 SELECT source,

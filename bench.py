@@ -67,6 +67,7 @@ HEADLINE = [
     "decontaminate",
     "substring_dedup",
     "domain_mix",
+    "bpe_token_stats",
     "bm25_topk",
     "top_terms_per_source",
     "token_stats",

@@ -221,3 +221,26 @@ def doc_fingerprint(text: Column, *, shingle_n: int = 3, num_mins: int = 8,
     materialize tokens first (see ``shingles_from_tokens``)."""
     return fingerprint_from_tokens(tokens(text), shingle_n=shingle_n,
                                    num_mins=num_mins, hash=hash)
+
+
+# BPE-ish regex pre-tokenization (the GPT-2 pattern family, simplified to
+# the subset portable between Java regex and RE2 so DuckDB oracles can
+# reproduce token streams exactly: no lookahead, ASCII classes).  Splits
+# contractions, letter runs, digit runs, and punctuation runs — each with
+# its optional leading space, the way BPE vocabularies bind them.
+BPE_RE = r"'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+| '|\s"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-style pre-tokens (GPT-2 pattern family) as an array column —
+    JVM-side regexp_extract_all, whole-match (group 0).  Whitespace
+    matches are real tokens here (BPE vocabularies encode them); callers
+    counting "text tokens" should filter them, as bpe_token_count does."""
+    return F.regexp_extract_all(text, F.lit(BPE_RE), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Number of non-whitespace BPE pre-tokens — the LLM-cost estimate a
+    training pipeline budgets with (whitespace token_count undercounts
+    text with punctuation/contractions; this is the standard proxy)."""
+    return F.size(F.filter(bpe_tokens(text), lambda t: F.trim(t) != ""))

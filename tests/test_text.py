@@ -63,3 +63,35 @@ def test_doc_fingerprint_similarity(spark):
     overlap_ab = len(set(fa) & set(fb))
     overlap_ac = len(set(fa) & set(fc))
     assert overlap_ab > overlap_ac
+
+
+def test_bpe_tokens_match_python_re(spark):
+    """The BPE-ish pre-tokenizer (GPT-2 pattern family, portable subset)
+    must produce the same token stream in Spark's Java regex as Python's
+    re (and, by the same leftmost-first semantics, DuckDB's RE2 — the
+    oracle relies on this three-way agreement)."""
+    import re
+
+    samples = [
+        "the quick brown fox",
+        "contact user70@example.com now",
+        "call +1-555-0042 today",
+        "it's o'clock we'll they've 192.168.4.28",
+        "",
+        "  double  spaces  and CamelCase42x",
+    ]
+    for s in samples:
+        got = _eval(spark, tx.bpe_tokens(F.col("t")), s)
+        want = [m.group(0) for m in re.finditer(tx.BPE_RE, s)]
+        assert got == want, s
+
+
+def test_bpe_token_count_splits_punctuation(spark):
+    # whitespace sees 2 tokens; BPE splits the email into name/@/host parts
+    s = "email user70@example.com"
+    assert _eval(spark, tx.token_count(F.col("t")), s) == 2
+    assert _eval(spark, tx.bpe_token_count(F.col("t")), s) > 4
+    # pure word soup: the two counters agree
+    w = "plain words only here"
+    assert (_eval(spark, tx.bpe_token_count(F.col("t")), w)
+            == _eval(spark, tx.token_count(F.col("t")), w))
