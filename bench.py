@@ -218,11 +218,15 @@ def main() -> None:
         # rounds see the failure even if they never read `errors`).
         out["value"] = None
         out["errors"] = errors
+    # Belt-and-braces for the tail window: progressively coarser per-query
+    # precision until the line fits (78 queries at 2 decimals is ~1,860
+    # chars — one more growth round would overflow without the 1-dp tier).
+    # The headline total keeps 3 decimals throughout.
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:
-        # Belt-and-braces for the tail window: 2-decimal per-query times
-        # shave ~70 bytes per 69 queries; the headline total keeps 3.
-        out["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    for ndp in (2, 1):
+        if len(line) <= 1900:
+            break
+        out["queries"] = {k: round(v, ndp) for k, v in timings.items()}
         line = json.dumps(out, separators=(",", ":"))
     print(line)
 
