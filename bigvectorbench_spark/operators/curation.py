@@ -219,13 +219,18 @@ def decontaminate_report(df: DataFrame, *, id_col: str = "doc_id",
         id_col, group_col, "is_eval",
         window_hashes(F.col("tk"), ngram, distinct=True).alias("whs"),
     )
+    # The size() filters are the cheap, COLUMN-referencing replacement for
+    # what InferFiltersFromGenerate would add — that rule is excluded
+    # session-wide (session.py) because it substitutes the whole window
+    # expression into the pushed filter, re-tokenizing per array element.
     eval_whs = (
-        tokenized.filter("is_eval")
+        tokenized.filter("is_eval").filter(F.size("whs") > 0)
         .select(F.explode("whs").alias("wh")).distinct()
     )
     train = tokenized.filter(~F.col("is_eval"))
     contaminated = (
-        train.select(id_col, F.explode("whs").alias("wh"))
+        train.filter(F.size("whs") > 0)
+        .select(id_col, F.explode("whs").alias("wh"))
         .join(F.broadcast(eval_whs), "wh", "left_semi")
         .select(id_col).distinct()
     )
@@ -265,7 +270,7 @@ def substring_dedup_report(df: DataFrame, *, id_col: str = "doc_id",
     hashes — the max_shingle_freq guard in dedup.py is the same idea."""
     tokenized = df.select(
         F.col(id_col), F.col(group_col), tx.tokens(F.col(text_col)).alias("tk"))
-    occ = tokenized.select(
+    occ = tokenized.filter(F.size("tk") >= window).select(
         id_col, group_col,
         F.explode(window_hashes(F.col("tk"), window)).alias("wh"),
     )

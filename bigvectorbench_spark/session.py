@@ -29,6 +29,20 @@ _DEFAULTS = {
     # The driver's events table stores TIMESTAMP(NANOS), which Spark's
     # reader rejects by default; read as long and convert in load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate copies the ENTIRE generator child expression
+    # into an inferred `size(child) > 0 AND isnotnull(child)` filter, which
+    # predicate pushdown then carries below projections — substituting every
+    # column alias with its full expression.  For explode-of-computed-array
+    # pipelines (window hashes, shingles) the array expression contains a
+    # higher-order lambda over a tokenized column, and after substitution the
+    # tokenizer lands INSIDE the lambda, re-evaluated once per array element:
+    # measured 25s → 5.3s on the 5k-doc Zipf decontamination query, with the
+    # duplicated filter running single-threaded in the pre-repartition scan
+    # task.  The rule's benefit (dropping empty-array rows before Generate)
+    # is negligible for these plans; operators that want it add an explicit
+    # cheap size() filter on the materialized column instead (curation.py).
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.driver.memory": "8g",
 }
 
