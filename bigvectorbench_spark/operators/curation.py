@@ -219,18 +219,19 @@ def decontaminate_report(df: DataFrame, *, id_col: str = "doc_id",
         id_col, group_col, "is_eval",
         window_hashes(F.col("tk"), ngram, distinct=True).alias("whs"),
     )
-    # The size() filters are the cheap, COLUMN-referencing replacement for
-    # what InferFiltersFromGenerate would add — that rule is excluded
-    # session-wide (session.py) because it substitutes the whole window
-    # expression into the pushed filter, re-tokenizing per array element.
+    # NOTE: no size(whs) pre-filter here — explode already skips empty
+    # arrays, and ANY predicate over the computed array column gets pushed
+    # below the projection with the window expression substituted in,
+    # re-tokenizing per array element (the InferFiltersFromGenerate defect
+    # this module's plans exclude session-wide, session.py).  Filters on
+    # the MATERIALIZED tk column are safe: they evaluate once per row.
     eval_whs = (
-        tokenized.filter("is_eval").filter(F.size("whs") > 0)
+        tokenized.filter("is_eval")
         .select(F.explode("whs").alias("wh")).distinct()
     )
     train = tokenized.filter(~F.col("is_eval"))
     contaminated = (
-        train.filter(F.size("whs") > 0)
-        .select(id_col, F.explode("whs").alias("wh"))
+        train.select(id_col, F.explode("whs").alias("wh"))
         .join(F.broadcast(eval_whs), "wh", "left_semi")
         .select(id_col).distinct()
     )

@@ -214,3 +214,26 @@ def test_substring_dedup_joins_on_hash_not_text(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the join key is the hash column wh (bigint), visible in the plan
     assert "wh" in plan
+
+
+def test_no_inlined_tokenizer_inside_window_lambdas(spark):
+    """Regression pin for the InferFiltersFromGenerate defect (session.py
+    excludes the rule): no optimized plan may contain the tokenizer
+    substituted INSIDE a window-slice lambda (`slice(filter(split`), and
+    no Filter node may carry a duplicated window `transform(` — either
+    shape re-tokenizes the document once per array element (measured 25s
+    -> 5.3s at 5k Zipf docs)."""
+    from bigvectorbench_spark.operators.curation import (
+        decontaminate_report, substring_dedup_report)
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", " ".join(f"w{(i * 5 + j) % 23}" for j in range(30)))
+         for i in range(40)],
+        "doc_id bigint, source string, text string",
+    ).repartition(4)
+    for report in (decontaminate_report(docs, eval_mod=7),
+                   substring_dedup_report(docs, window=15)):
+        p = report._jdf.queryExecution().optimizedPlan().toString()
+        assert "slice(filter(split" not in p
+        assert not any("Filter" in line and "transform(" in line
+                       for line in p.splitlines())
