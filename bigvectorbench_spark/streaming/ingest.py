@@ -147,3 +147,50 @@ def streaming_dedup(
     if not stream.isStreaming:
         return stream.dropDuplicates(cols)
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(cols)
+
+
+def streaming_pii_scrub(
+    stream: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    group_col: str = "source",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Continuous PII accounting over a document stream: the stateless
+    detect/redact scan (operators/curation.py rules — regexes evaluated in
+    whole-stage codegen per micro-batch, identical semantics to the batch
+    ``pii_scrub_report``) feeding a watermarked tumbling-window rollup per
+    group.  State is one counter row per (window, group) — bounded by the
+    watermark horizon, never by stream length.
+
+    The split mirrors how a curation pipeline deploys: the REDACTED text
+    continues downstream (callers keep the ``redacted`` column from
+    ``pii_redact``); this rollup is the monitoring leg.  In batch mode the
+    same call degrades to a per-group batch report with a window column,
+    so the operator is oracle-checkable on static data.
+    """
+    from bigvectorbench_spark.operators.curation import pii_counts
+
+    c = pii_counts(F.col(text_col))
+    scanned = stream.select(
+        F.col(ts_col), F.col(group_col),
+        c["email"].alias("n_email"),
+        c["phone"].alias("n_phone"),
+        c["ip"].alias("n_ip"),
+    )
+    if stream.isStreaming:
+        scanned = scanned.withWatermark(ts_col, watermark)
+    return (
+        scanned.groupBy(F.window(ts_col, window).alias("win"),
+                        F.col(group_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("n_emails"),
+            F.sum("n_phone").cast("bigint").alias("n_phones"),
+            F.sum("n_ip").cast("bigint").alias("n_ips"),
+            F.sum(((F.col("n_email") + F.col("n_phone") + F.col("n_ip")) > 0)
+                  .cast("int")).cast("bigint").alias("n_docs_with_pii"),
+        )
+    )

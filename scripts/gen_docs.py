@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Documents-only corpus generator for curation-family scale decades
+beyond what full gen_sf.py runs are worth (a 500k-doc documents table is
+~200 MB; the matching sf10 lineitem would be 60M rows nobody needs for a
+text-pipeline measurement).
+
+Identical distributions to gen_sf.py's documents block (same vocab modes,
+log-normal Zipf lengths, 2% exact + 3% near planted duplicates, 20
+sources, 5 languages) — imported from gen_sf, not copied.
+
+Usage: python scripts/gen_docs.py N_DOCS OUTDIR [seed] [driver|zipf]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pyarrow as pa
+
+from gen_sf import LANGS, LANG_P, VOCAB, write, zipf_vocab
+
+
+def generate_docs(n_doc: int, outdir: str, seed: int = 42,
+                  vocab: str = "zipf") -> None:
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    if vocab == "zipf":
+        vwords, vp = zipf_vocab(50_000, rng)
+        lens = np.clip(np.exp(rng.normal(np.log(80), 0.8, n_doc)),
+                       10, 1000).astype(np.int64)
+        words = vwords[rng.choice(len(vwords), int(lens.sum()), p=vp)]
+
+        def _rand_word():
+            return vwords[rng.choice(len(vwords), p=vp)]
+    else:
+        vwords = np.array(VOCAB)
+        lens = rng.randint(10, 101, n_doc)
+        words = vwords[rng.randint(0, len(vwords), int(lens.sum()))]
+
+        def _rand_word():
+            return VOCAB[rng.randint(0, len(VOCAB))]
+    texts, pos = [], 0
+    for ln in lens:
+        texts.append(" ".join(words[pos:pos + ln]))
+        pos += int(ln)
+    n_exact_dup = n_doc // 50
+    n_near_dup = 3 * n_doc // 100
+    victims = rng.choice(n_doc, n_exact_dup + n_near_dup, replace=False)
+    sources_ = rng.randint(0, n_doc, n_exact_dup + n_near_dup)
+    for v, s in zip(victims[:n_exact_dup], sources_[:n_exact_dup]):
+        texts[v] = texts[s]
+    for v, s in zip(victims[n_exact_dup:], sources_[n_exact_dup:]):
+        tk = texts[s].split()
+        swap = rng.rand(len(tk)) < 0.02
+        for i in np.flatnonzero(swap):
+            tk[i] = _rand_word()
+        texts[v] = " ".join(tk)
+    write(outdir, "documents", pa.table({
+        "doc_id": np.arange(n_doc, dtype=np.int64),
+        "text": texts,
+        "lang": np.array(LANGS)[rng.choice(5, n_doc, p=LANG_P)],
+        "source": [f"src{i % 20}" for i in range(n_doc)],
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+    }), shards=1 if n_doc < 16_000 else 32)
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1])
+    outdir = sys.argv[2]
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    vocab = sys.argv[4] if len(sys.argv) > 4 else "zipf"
+    generate_docs(n, outdir, seed, vocab)

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Curation-family scale measurement over documents-only corpora (second
+decade and beyond — bench.py needs every table, these queries need one).
+
+Times each curation report (best-of-N, noop sink, cache cleared between
+queries) on one or more documents-only directories produced by
+scripts/gen_docs.py, and prints one JSON line per directory.
+
+Usage: python scripts/scale_curation.py DOCS_DIR [DOCS_DIR ...]
+  e.g. python scripts/gen_docs.py 500000 /tmp/docs500k 42 zipf
+       python scripts/scale_curation.py /tmp/gen/zipf1 /tmp/docs500k
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bigvectorbench_spark import get_spark
+from bigvectorbench_spark.functions import text as tx
+from bigvectorbench_spark.operators import curation as cur
+
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def reports(docs):
+    pii = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com now"))).otherwise(F.lit("")),
+        ),
+    )
+    return {
+        "pii_scrub": cur.pii_scrub_report(pii),
+        "gopher_quality": cur.gopher_quality_report(docs),
+        "decontaminate": cur.decontaminate_report(docs),
+        "substring_dedup": cur.substring_dedup_report(docs),
+        "domain_mix": cur.domain_mix_report(docs),
+        "bpe_token_stats": docs.select(
+            "doc_id", tx.bpe_token_count(F.col("text")).alias("n")),
+    }
+
+
+def main() -> None:
+    spark = get_spark("scale-curation")
+    spark.sparkContext.setLogLevel("ERROR")
+    par = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    for d in sys.argv[1:]:
+        docs = spark.read.parquet(f"{d}/documents.parquet").repartition(par)
+        n = docs.count()
+        out = {}
+        for name, df in reports(docs).items():
+            times = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            out[name] = round(min(times), 3)
+        print(json.dumps({"dir": d, "n_docs": n, "queries": out},
+                         separators=(",", ":")), flush=True)
+
+
+if __name__ == "__main__":
+    main()
