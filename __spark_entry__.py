@@ -1375,6 +1375,16 @@ def q_domain_mix(spark, sf):
     return cur.domain_mix_report(load_table(spark, sf, "documents")).orderBy("source")
 
 
+def q_substring_spans(spark, sf):
+    """Merged repeated-span extraction (the full Lee-et-al exact-substring
+    output): maximal token spans covered by 15-token windows that occur
+    more than once corpus-wide — the cut-list a span-removal rewrite
+    consumes.  Islands merged JVM-side in a fold, no second shuffle."""
+    from bigvectorbench_spark.operators import curation as cur
+    return cur.substring_spans(_docs_wide(spark, sf)).orderBy(
+        "doc_id", "span_start")
+
+
 def q_bpe_token_stats(spark, sf):
     """Token accounting with a BPE-ish regex pre-tokenizer (GPT-2 pattern
     family, ASCII-portable subset — functions/text.py::BPE_RE) next to the
@@ -1622,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in round 7 with the returning rotation set
         "video_features": q_video_features,
         "bpe_token_stats": q_bpe_token_stats,
+        "substring_spans": q_substring_spans,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
@@ -2648,6 +2659,21 @@ SELECT doc_id, len({_TOKENS}) AS n_ws_tokens,
        len(list_filter(regexp_extract_all(text, '{tx.BPE_RE.replace(chr(39), chr(39) * 2)}'),
            t -> trim(t) != '')) AS n_bpe_tokens
 FROM aug
+""",
+        "substring_spans": f"""
+WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+w AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 13, 1)),
+             i -> {{'pos': i, 'wh': {_PHASH.format(x="array_to_string(tk[i:i+14], ' ')")}}})) AS u
+      FROM tk),
+p AS (SELECT doc_id, u.pos AS pos, u.wh AS wh FROM w),
+cnt AS (SELECT wh, count(*) AS n FROM p GROUP BY wh),
+d AS (SELECT doc_id, pos FROM p JOIN cnt USING (wh) WHERE n > 1),
+isl AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM d)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) - min(pos) + 15)::BIGINT AS span_len
+FROM isl GROUP BY doc_id, g
 """,
         "domain_mix": """
 SELECT source,

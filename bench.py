@@ -68,6 +68,7 @@ HEADLINE = [
     "substring_dedup",
     "domain_mix",
     "bpe_token_stats",
+    "substring_spans",
     "bm25_topk",
     "top_terms_per_source",
     "token_stats",

@@ -344,3 +344,67 @@ def domain_mix_report(df: DataFrame, *, id_col: str = "doc_id",
         .select(group_col, F.col("target_permille").cast("bigint"),
                 "n_docs", "n_kept")
     )
+
+
+def substring_spans(df: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", window: int = 15) -> DataFrame:
+    """Merged repeated spans per document — the full exact-substring-dedup
+    output (Lee et al.: the suffix array yields the actual repeated byte
+    ranges; here every duplicated ``window``-token run is recovered as a
+    maximal token span).  A window POSITION is duplicated when its hash
+    occurs >1 time corpus-wide; consecutive duplicated positions merge
+    into one span (gaps-and-islands: island id = position − rank), and a
+    span of consecutive positions p..q covers tokens p..q+window−1.
+
+    Output: (doc_id, span_start, span_len) with 1-based token offsets —
+    the cut-list a training pipeline feeds to the span-removal rewrite.
+
+    Scale shape: identical to substring_dedup_report (8-byte hash keys
+    shuffle, map-side-combined counts) plus one per-doc sort of its
+    duplicated positions inside a groupBy aggregate — positions per doc
+    are bounded by doc length, so the sort is row-local work, and the
+    islands arithmetic is a JVM-side transform over the sorted array (no
+    window function, no second shuffle)."""
+    tokenized = df.select(
+        F.col(id_col), tx.tokens(F.col(text_col)).alias("tk"))
+    pos_hash = tokenized.filter(F.size("tk") >= window).select(
+        id_col,
+        F.posexplode(window_hashes(F.col("tk"), window)).alias("pos", "wh"),
+    ).withColumn("pos", F.col("pos") + 1)  # posexplode is 0-based
+    counts = pos_hash.groupBy("wh").agg(F.count("*").alias("n_occ"))
+    dup_pos = (
+        pos_hash.join(counts.filter(F.col("n_occ") > 1), "wh")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+    )
+    # islands: positions p with identical p - rank belong to one run; emit
+    # (start, run_len) per island via a fold over the sorted array
+    init = F.expr("named_struct('spans', array(named_struct('s', -1, 'e', -1)))")
+
+    def step(acc: Column, p: Column) -> Column:
+        last = F.element_at(acc["spans"], -1)
+        extend = p == last["e"] + 1
+        upd = F.when(
+            extend,
+            F.concat(F.slice(acc["spans"], 1, F.size(acc["spans"]) - 1),
+                     F.array(F.struct(last["s"].alias("s"), p.alias("e")))),
+        ).otherwise(
+            F.concat(acc["spans"],
+                     F.array(F.struct(p.alias("s"), p.alias("e")))))
+        return F.struct(upd.alias("spans"))
+
+    spans = dup_pos.select(
+        id_col,
+        F.explode(
+            F.slice(  # drop the (-1,-1) sentinel head
+                F.aggregate(F.col("ps"), init, step)["spans"],
+                2, F.size("ps"),  # ≤ len(ps) islands
+            )
+        ).alias("sp"),
+    )
+    return spans.select(
+        id_col,
+        F.col("sp.s").cast("bigint").alias("span_start"),
+        (F.col("sp.e") - F.col("sp.s") + window).cast("bigint")
+        .alias("span_len"),
+    )

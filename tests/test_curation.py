@@ -186,3 +186,34 @@ def test_domain_mix_report_targets_and_determinism(spark, sf_dir):
     again = {r["source"]: r for r in cur.domain_mix_report(docs).collect()}
     assert {s: r["n_kept"] for s, r in out.items()} == \
            {s: r["n_kept"] for s, r in again.items()}
+
+
+# ------------------------------------------------------------ substring spans
+
+
+def test_substring_spans_merges_consecutive_windows(spark):
+    # duplicated 20-token run -> positions 1..6 (window 15) merge to one
+    # span of length 20 in each doc
+    run = " ".join("q%d" % i for i in range(20))
+    df = spark.createDataFrame(
+        [(1, "a", run + " tail one extra words here"),
+         (2, "a", "prefix z " + run)],
+        "doc_id long, source string, text string")
+    spans = {(r["doc_id"]): (r["span_start"], r["span_len"])
+             for r in cur.substring_spans(df).collect()}
+    assert spans[1] == (1, 20)
+    assert spans[2] == (3, 20)  # after 2-token prefix
+
+
+def test_substring_spans_separate_islands(spark):
+    span_a = " ".join("a%d" % i for i in range(15))
+    span_b = " ".join("b%d" % i for i in range(15))
+    gap = " ".join("g%d" % i for i in range(5))
+    df = spark.createDataFrame(
+        [(1, "s", span_a + " " + gap + " " + span_b),
+         (2, "s", span_a), (3, "s", span_b)],
+        "doc_id long, source string, text string")
+    got = sorted((r["doc_id"], r["span_start"], r["span_len"])
+                 for r in cur.substring_spans(df).collect())
+    # doc 1: two islands (pos 1 and pos 21), each exactly 15 tokens
+    assert got == [(1, 1, 15), (1, 21, 15), (2, 1, 15), (3, 1, 15)]
