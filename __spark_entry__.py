@@ -1400,6 +1400,28 @@ def q_bpe_token_stats(spark, sf):
     )
 
 
+def q_pack_blocks(spark, sf):
+    """Concat-and-split sequence packing (GPT-style pretraining loader
+    prep): every doc gets its token span in the virtual corpus
+    concatenation, cut into 512-token training blocks.  The global prefix
+    sum runs as a distributed two-pass (range buckets → per-bucket window
+    cumsum → broadcast bucket offsets) instead of the single-task
+    ORDER-BY-all window — the oracle IS that single window, so the
+    equivalence is hash-checked row by row (exact integer arithmetic)."""
+    from bigvectorbench_spark.operators import packing as pk
+    return pk.pack_blocks(_docs_wide(spark, sf), block_size=512)
+
+
+def q_block_manifest(spark, sf):
+    """Per-training-block composition from the packing spans: docs
+    contributing to each 512-token block and the slots they fill (every
+    non-final block exactly full — the loader invariant).  Explode is
+    bounded (docs touch ⌈n/512⌉+1 blocks); one map-side-combined groupBy."""
+    from bigvectorbench_spark.operators import packing as pk
+    packed = pk.pack_blocks(_docs_wide(spark, sf), block_size=512)
+    return pk.block_manifest(packed, block_size=512)
+
+
 def q_dedup_components(spark, sf):
     """Transitive closure of the near-dup pair list: connected components
     via iterative min-label propagation (one shuffle join per round).
@@ -1633,6 +1655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_features": q_video_features,
         "bpe_token_stats": q_bpe_token_stats,
         "substring_spans": q_substring_spans,
+        "pack_blocks": q_pack_blocks,
+        "block_manifest": q_block_manifest,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
@@ -2674,6 +2698,30 @@ isl AS (SELECT doc_id, pos,
 SELECT doc_id, min(pos)::BIGINT AS span_start,
        (max(pos) - min(pos) + 15)::BIGINT AS span_len
 FROM isl GROUP BY doc_id, g
+""",
+        # The oracle for pack_blocks is the SINGLE global window the Spark
+        # side deliberately avoids (one task at scale) — hash equality
+        # proves the two-pass distributed prefix sum computes the same
+        # stream offsets for every document.
+        "pack_blocks": f"""
+WITH tk AS (SELECT doc_id, len({_TOKENS}) AS n FROM documents),
+c AS (SELECT doc_id, n, (sum(n) OVER (ORDER BY doc_id) - n)::BIGINT AS s FROM tk)
+SELECT doc_id, n::BIGINT AS n_tokens, s AS start_off, (s + n)::BIGINT AS end_off,
+       (s // 512)::BIGINT AS first_block,
+       (CASE WHEN n > 0 THEN (s + n - 1) // 512 - s // 512 + 1
+             ELSE 0 END)::BIGINT AS n_blocks
+FROM c
+""",
+        "block_manifest": f"""
+WITH tk AS (SELECT doc_id, len({_TOKENS}) AS n FROM documents),
+c AS (SELECT doc_id, n, (sum(n) OVER (ORDER BY doc_id) - n)::BIGINT AS s FROM tk),
+d AS (SELECT doc_id, s, s + n AS e, s // 512 AS fb, (s + n - 1) // 512 AS lb
+      FROM c WHERE n > 0),
+x AS (SELECT doc_id, s, e, unnest(range(fb, lb + 1)) AS block_id FROM d)
+SELECT block_id::BIGINT AS block_id, count(*)::BIGINT AS n_docs,
+       sum(least(e, (block_id + 1) * 512) - greatest(s, block_id * 512))::BIGINT
+           AS n_tokens
+FROM x GROUP BY block_id
 """,
         "domain_mix": """
 SELECT source,

@@ -1,0 +1,167 @@
+"""Sequence packing for LLM training-data pipelines (builder's-brief
+extension surface): assign every document a contiguous token span in the
+virtual concatenation of the corpus, then cut that stream into fixed-size
+training blocks — the "concat-and-split" packing used by GPT-style
+pretraining loaders (each block is ``block_size`` tokens; a document may
+span a block boundary).
+
+The core primitive is a GLOBAL prefix sum over documents ordered by id.
+The naive Spark expression — ``sum(n) OVER (ORDER BY doc_id)`` with no
+partitionBy — collapses the whole corpus into ONE window task, which is
+exactly the single-thread bottleneck a 100 TB table cannot afford.  This
+module implements the classic two-pass distributed prefix sum instead:
+
+1. docs are range-bucketed by id (``n_buckets`` fixed, independent of
+   corpus size), and the cumulative sum WITHIN each bucket is a
+   ``partitionBy(bucket)`` window — all buckets in parallel, one shuffle;
+2. per-bucket token totals (≤ ``n_buckets`` rows — bounded by
+   construction, not by data) are collected, turned into exclusive bucket
+   offsets on the driver, and joined back broadcast.
+
+``global start = bucket offset + within-bucket cumsum − n_tokens`` is
+exact integer arithmetic, identical to the single-window form for every
+row, which is what the DuckDB oracle (a plain global window) checks.
+
+Scale notes:
+- The tokenizer runs ONCE per document: the narrow (id, n_tokens, bucket)
+  projection is cached before the totals pass, so pass 2 reads 3 longs per
+  row, not the text.  The cache envelope is 24 bytes × n_docs — at 10^9
+  docs that is ~24 GB cluster-wide, a fraction of executor storage; for
+  corpora beyond that, write the projection to parquet instead (same two
+  jobs, no semantic change).
+- Shuffle account: one hash exchange on ``bucket`` (3-long rows), one
+  broadcast of the ≤ n_buckets offset table.  Document text never moves.
+- Everything downstream (block ids, boundary-crossing flags, per-block
+  token splits) is pure integer arithmetic in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from bigvectorbench_spark.functions import text as tx
+
+__all__ = ["pack_blocks", "block_manifest"]
+
+
+def pack_blocks(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_size: int = 512,
+    n_buckets: int = 1024,
+    max_id: int | None = None,
+) -> DataFrame:
+    """Per-document packing spans: (doc_id, n_tokens, start_off, end_off,
+    first_block, n_blocks), where offsets index the virtual concatenation
+    of all documents in ``id_col`` order and blocks are ``block_size``-token
+    windows of that stream.  ``n_blocks`` counts the blocks the document
+    touches (0 for empty documents).
+
+    ``max_id``: highest id, used only to size the range buckets.  Pass it
+    when known from table metadata (e.g. a generation manifest) to skip
+    the one-column max() scan; any upper bound ≥ the true max is valid —
+    bucketing changes intermediate bucket ids, never the output.
+    """
+    if block_size <= 0:
+        raise ValueError("block_size must be positive")
+    sid, n = F.col(id_col).cast("bigint"), F.col("n_tokens")
+    if max_id is None:
+        row = df.agg(F.max(sid).alias("m")).first()
+        max_id = 0 if row is None or row["m"] is None else int(row["m"])
+    width = max(1, (int(max_id) + n_buckets) // n_buckets)
+
+    narrow = df.select(
+        sid.alias("_id"),
+        tx.token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        (sid / width).cast("bigint").alias("_b"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_b").orderBy("_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = narrow.withColumn("_cum", F.sum("n_tokens").over(w))
+    # One tokenize pass total: the totals job below re-reads this narrow
+    # cached projection (3 longs/row), not the text.
+    cum = cum.persist()
+    try:
+        # Bounded collect: ≤ n_buckets rows by construction (fixed at call
+        # time, not data-dependent) — the driver-side half of the two-pass
+        # prefix sum.
+        totals = {
+            r["_b"]: r["t"]
+            for r in cum.groupBy("_b").agg(F.max("_cum").alias("t")).collect()
+        }
+        off, offsets = 0, {}
+        for b in sorted(totals):
+            offsets[b] = off
+            off += totals[b]
+        spark = df.sparkSession
+        off_df = spark.createDataFrame(
+            [(int(b), int(o)) for b, o in sorted(offsets.items())],
+            "_b bigint, _off bigint")
+        start = (F.col("_off") + F.col("_cum") - F.col("n_tokens"))
+        first = F.col("start_off") - F.col("start_off") % block_size
+        last_tok = F.col("end_off") - 1
+        out = (
+            cum.join(F.broadcast(off_df), "_b")
+            .select(
+                F.col("_id").alias(id_col),
+                "n_tokens",
+                start.alias("start_off"),
+                (start + F.col("n_tokens")).alias("end_off"),
+            )
+            .select(
+                id_col, "n_tokens", "start_off", "end_off",
+                (F.col("start_off") / block_size).cast("bigint")
+                .alias("first_block"),
+                F.when(
+                    F.col("n_tokens") > 0,
+                    (last_tok / block_size).cast("bigint")
+                    - (F.col("start_off") / block_size).cast("bigint") + 1,
+                ).otherwise(F.lit(0)).cast("bigint").alias("n_blocks"),
+            )
+        )
+        # Materialization note: callers that consume `out` lazily after this
+        # function returns still hit the persisted `cum` (unpersist below is
+        # lazy/non-blocking), but the cache lifetime is the caller's query,
+        # not the session.
+        return out
+    finally:
+        cum.unpersist(blocking=False)
+
+
+def block_manifest(
+    packed: DataFrame, *, block_size: int = 512, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-block composition from ``pack_blocks`` output: (block_id, n_docs,
+    n_tokens) — how many documents contribute to each training block and
+    how many of its ``block_size`` slots they fill (the final block of the
+    stream may be partial; all others are exactly full, which is the
+    packing invariant a loader relies on).
+
+    Plan: explode each document onto the blocks it touches (``n_blocks`` is
+    tiny for natural text — a doc touches ⌈n/B⌉+1 blocks at most), compute
+    the overlap of [start_off, end_off) with each block window in codegen,
+    then one map-side-combined groupBy on block_id."""
+    b = F.col("block_id")
+    lo = F.greatest(F.col("start_off"), b * block_size)
+    hi = F.least(F.col("end_off"), (b + 1) * block_size)
+    return (
+        packed.filter(F.col("n_blocks") > 0)
+        .select(
+            id_col, "start_off", "end_off",
+            F.explode(
+                F.sequence(
+                    F.col("first_block"),
+                    F.col("first_block") + F.col("n_blocks") - 1,
+                )
+            ).alias("block_id"),
+        )
+        .groupBy("block_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(hi - lo).cast("bigint").alias("n_tokens"),
+        )
+    )
