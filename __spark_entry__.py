@@ -1400,6 +1400,18 @@ def q_bpe_token_stats(spark, sf):
     )
 
 
+def q_lm_fluency(spark, sf):
+    """Bigram-LM fluency scoring (the CCNet perplexity-filter stage in its
+    exact-arithmetic form): LM fit on the doc_id % 7 = 0 reference slice,
+    every doc scored — OOV-pair count, LM hit-rate, and the mean MLE
+    conditional likelihood of seen pairs (6-dp-rounded terms accumulated
+    in DECIMAL, so both engines sum identical exact values).  The library's
+    ``mode="perplexity"`` adds true add-alpha bits-per-bigram, pytest-
+    verified (ln is not IEEE-exact across engines — excluded here)."""
+    from bigvectorbench_spark.operators import lm
+    return lm.lm_score_report(_docs_wide(spark, sf))
+
+
 def q_pack_blocks(spark, sf):
     """Concat-and-split sequence packing (GPT-style pretraining loader
     prep): every doc gets its token span in the virtual corpus
@@ -1657,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": q_substring_spans,
         "pack_blocks": q_pack_blocks,
         "block_manifest": q_block_manifest,
+        "lm_fluency": q_lm_fluency,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
@@ -2698,6 +2711,34 @@ isl AS (SELECT doc_id, pos,
 SELECT doc_id, min(pos)::BIGINT AS span_start,
        (max(pos) - min(pos) + 15)::BIGINT AS span_len
 FROM isl GROUP BY doc_id, g
+""",
+        "lm_fluency": f"""
+WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+pr AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+           i -> {{'w1': tk[i], 'w2': tk[i+1]}})) AS u FROM tk),
+p AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM pr),
+bg AS (SELECT w1, w2, count(*)::BIGINT AS c_bg FROM p
+       WHERE doc_id % 7 = 0 GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c_bg)::BIGINT AS c_ctx FROM bg GROUP BY w1),
+s AS (SELECT p.doc_id, l.c_bg, l.c_ctx FROM p LEFT JOIN
+        (SELECT w1, w2, c_bg, c_ctx FROM bg JOIN ctx USING (w1)) l
+        USING (w1, w2)),
+r AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        sum(CASE WHEN c_bg IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        sum(CASE WHEN c_bg IS NOT NULL
+                 THEN round(c_bg::DOUBLE / c_ctx, 6)::DECIMAL(18,6) END)
+            AS lik_sum
+      FROM s GROUP BY doc_id)
+SELECT doc_id, n_bigrams, n_oov,
+   CASE WHEN n_bigrams > 0
+        THEN round((n_bigrams - n_oov)::DOUBLE / n_bigrams, 6) END AS hit_rate,
+   CASE WHEN n_bigrams - n_oov > 0
+        THEN round(lik_sum::DOUBLE / (n_bigrams - n_oov), 6) END
+       AS mean_cond_lik
+FROM r
+UNION ALL
+SELECT doc_id, 0::BIGINT, 0::BIGINT, NULL::DOUBLE, NULL::DOUBLE
+FROM tk WHERE len(tk) < 2
 """,
         # The oracle for pack_blocks is the SINGLE global window the Spark
         # side deliberately avoids (one task at scale) — hash equality
