@@ -1400,6 +1400,23 @@ def q_bpe_token_stats(spark, sf):
     )
 
 
+def q_semantic_dups(spark, sf):
+    """SemDeDup-style semantic dedup: k-means (the IVF build — nlist=8,
+    seed=1) partitions the embedding space; exact unit-vector cosine pairs
+    are generated WITHIN clusters only, turning the O(n²) cross join into
+    one equi-join keyed on cluster_id (pair work n²/k).  The oracle embeds
+    the independently recomputed assignment and re-derives every
+    within-cluster pair with the same cosine fold, so the partition AND
+    the scores hash-check.  Boundary-straddling pairs are the published
+    recall trade-off; the brute twin (embedding_cosine_dups, same 0.4
+    threshold) bounds what this path can see."""
+    emb = load_table(spark, sf, "embeddings")
+    out = dd.semantic_dup_pairs(emb, threshold=0.4, nlist=8, seed=1,
+                                max_iter=8)
+    return out.select("id_a", "id_b", "cluster_id",
+                      F.round("cosine", 6).alias("cosine"))
+
+
 def q_lm_fluency(spark, sf):
     """Bigram-LM fluency scoring (the CCNet perplexity-filter stage in its
     exact-arithmetic form): LM fit on the doc_id % 7 = 0 reference slice,
@@ -1670,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_blocks": q_pack_blocks,
         "block_manifest": q_block_manifest,
         "lm_fluency": q_lm_fluency,
+        "semantic_dups": q_semantic_dups,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
@@ -1851,7 +1869,26 @@ SELECT qid, id, dist, rank FROM r WHERE rank <= 10
         ivfpq_pairs.extend(f"({int(q)},{int(i)})" for i in top)
     ivfpq_sql = _cand_sql(", ".join(ivfpq_pairs))
 
-    return {"ivf_knn": ivf_sql, "pq_knn": pq_sql, "ivfpq_knn": ivfpq_sql}
+    # ---- SemDeDup (same IVF build: nlist=8, seed=1, max_iter=8) ----------
+    # The cluster partition is the IVF assignment above, embedded verbatim;
+    # DuckDB re-derives every within-cluster pair with the exact unit-vector
+    # cosine fold, so both the partition (which pairs are candidates) and
+    # the scores are hash-checked.
+    semantic_sql = f"""
+WITH assign(id, cell) AS (VALUES {assign_vals}),
+u AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT id, list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS u
+      FROM u),
+j AS (SELECT n.id, u, cell FROM n JOIN assign ON assign.id = n.id),
+p AS (SELECT a.id AS id_a, b.id AS id_b, a.cell::INT AS cluster_id,
+             list_sum(list_transform(list_zip(a.u, b.u), x -> x[1]*x[2])) AS cosine
+      FROM j a JOIN j b ON a.cell = b.cell AND a.id < b.id)
+SELECT id_a, id_b, cluster_id, round(cosine, 6) AS cosine FROM p
+WHERE cosine >= 0.4
+"""
+
+    return {"ivf_knn": ivf_sql, "pq_knn": pq_sql, "ivfpq_knn": ivfpq_sql,
+            "semantic_dups": semantic_sql}
 
 
 # ivf_recall / pq_recall: the Spark side computes recall of the approximate

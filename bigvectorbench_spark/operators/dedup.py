@@ -553,6 +553,58 @@ def embedding_dup_pairs(
 # ------------------------------------------------- duplicate-group clustering
 
 
+def semantic_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int = 8,
+    seed: int = 1,
+    max_iter: int = 8,
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic near-dup pairs (Abbas et al.
+    2023): k-means partitions the embedding space, and exact cosine pairs
+    are generated WITHIN clusters only — the published scale recipe for
+    semantic dedup, cutting pair work from O(n²) to O(Σ|cluster|²) ≈ n²/k.
+
+    Plan: centroid fit on a bounded sorted-by-id sample (driver kmeans++,
+    the IVF build path — similarity.py::IVFIndex.fit), assignment as a
+    narrow Arrow GEMM map (no shuffle), then ONE equi-join keyed on
+    cluster_id with the ``id_a < id_b`` refine and the exact unit-vector
+    cosine fold.  Versus ``embedding_dup_pairs(method='brute')`` the join
+    key turns the cross join into a hash join whose shuffle is O(n) rows.
+
+    At 100 TB: nlist scales with the corpus (SemDeDup uses n/k ≈ 10⁴-10⁵
+    rows per cluster) so each cluster's self-join stays executor-sized;
+    skewed clusters split further by sub-bucketing the same way the
+    banded LSH paths do.  Choosing nlist is the recall/cost lever: pairs
+    straddling a k-means boundary are missed (the published trade-off;
+    srp_recall-style gating applies).
+
+    Output: (id_a, id_b, cluster_id, cosine)."""
+    from bigvectorbench_spark.operators.similarity import IVFIndex
+
+    base = _widen(df.select(F.col(id_col).alias("id"),
+                            F.col(vec_col).alias("vec")))
+    idx = IVFIndex.fit(base, vec_col="vec", nlist=nlist, seed=seed,
+                       max_iter=max_iter, sort_col="id")
+    unit = (idx.assign(base, vec_col="vec")
+            .select("id", "cluster_id",
+                    dist_fns.unit_vec(F.col("vec")).alias("u")))
+    a, b = unit.alias("a"), unit.alias("b")
+    return (
+        a.join(b, (F.col("a.cluster_id") == F.col("b.cluster_id"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.cluster_id").alias("cluster_id"),
+            dist_fns.dot(F.col("a.u"), F.col("b.u")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def dup_components(
     pairs: DataFrame,
     *,

@@ -221,3 +221,39 @@ def test_portable_hash_mode_same_pairs(docs):
     # band collisions differ per hash, but the exact-dup pair (0,1,2 group)
     # must appear under both
     assert {(0, 1), (0, 2), (1, 2)} <= fast_s and {(0, 1), (0, 2), (1, 2)} <= port_s
+
+
+def test_semantic_dup_pairs_matches_cluster_scoped_oracle(vectors):
+    """SemDeDup path: pairs must be exactly the brute pairs RESTRICTED to
+    same-k-means-cluster, with the assignment recomputed independently in
+    numpy (same sorted-sample kmeans++ and norm-expansion argmin)."""
+    from bigvectorbench_spark.operators.similarity import _kmeans_pp
+
+    V, df = vectors
+    got = {(r["id_a"], r["id_b"]) for r in
+           dd.semantic_dup_pairs(df, threshold=0.98, nlist=4).collect()}
+    # float32 storage: the oracle must see the same values Spark reads.
+    Vf = V.astype(np.float32).astype(np.float64)
+    C = _kmeans_pp(Vf, 4, seed=1, max_iter=8)
+    d2 = (Vf * Vf).sum(1)[:, None] - 2.0 * (Vf @ C.T) + (C * C).sum(1)[None, :]
+    cid = d2.argmin(axis=1)
+    brute = _cos_pairs(Vf, 0.98)
+    want = {(i, j) for i, j in brute if cid[i] == cid[j]}
+    assert got == want
+    assert got.issubset(brute)
+    # Planted near-dups are ~colinear, so k-means cannot separate them:
+    # the cluster-scoped path must still find both.
+    assert (0, 1) in got and (6, 7) in got
+
+
+def test_semantic_dup_pairs_cluster_ids_match_assignment(vectors):
+    from bigvectorbench_spark.operators.similarity import _kmeans_pp
+
+    V, df = vectors
+    rows = dd.semantic_dup_pairs(df, threshold=0.98, nlist=4).collect()
+    Vf = V.astype(np.float32).astype(np.float64)
+    C = _kmeans_pp(Vf, 4, seed=1, max_iter=8)
+    d2 = (Vf * Vf).sum(1)[:, None] - 2.0 * (Vf @ C.T) + (C * C).sum(1)[None, :]
+    cid = d2.argmin(axis=1)
+    for r in rows:
+        assert r["cluster_id"] == cid[r["id_a"]] == cid[r["id_b"]]
