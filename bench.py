@@ -69,6 +69,10 @@ HEADLINE = [
     "domain_mix",
     "bpe_token_stats",
     "substring_spans",
+    "pack_blocks",
+    "block_manifest",
+    "lm_fluency",
+    "semantic_dups",
     "bm25_topk",
     "top_terms_per_source",
     "token_stats",

@@ -237,3 +237,60 @@ def test_no_inlined_tokenizer_inside_window_lambdas(spark):
         assert "slice(filter(split" not in p
         assert not any("Filter" in line and "transform(" in line
                        for line in p.splitlines())
+
+
+def test_pack_blocks_has_no_global_window(spark):
+    """The two-pass prefix sum must never plan the single-task global
+    window: every Window in the plan is partitioned (by the range bucket),
+    and the bucket-offset join is a broadcast."""
+    from bigvectorbench_spark.operators.packing import pack_blocks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i % 7))) for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    plan = plan_of(pack_blocks(docs, block_size=8, n_buckets=4))
+    # A global window materializes as an Exchange SinglePartition feeding
+    # the Window node - the exact shape this operator exists to avoid.
+    assert "SinglePartition" not in plan
+    assert "Window" in plan and "partitionBy" not in plan.lower().replace(
+        "partition by", "")  # formatted plans show 'Window [..], [_b..]'
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_lm_scoring_join_is_equijoin_without_text(spark):
+    """LM scoring joins (doc_id, w1, w2) triples against the compact
+    bigram table - an equi-join, never a cartesian, and the document text
+    column does not survive into the join."""
+    from bigvectorbench_spark.operators.lm import lm_score_report
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i + j) % 11}" for j in range(10)))
+         for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    plan = plan_of(lm_score_report(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # join keys are the pair words
+    assert "w1" in plan and "w2" in plan
+
+
+def test_semantic_dups_is_cluster_equijoin(spark):
+    """SemDeDup pair generation must plan as an equi-join keyed on
+    cluster_id - the n^2/k candidate bound - not a cross join with a
+    filter."""
+    import numpy as np
+
+    from bigvectorbench_spark.operators.dedup import semantic_dup_pairs
+
+    rng = np.random.RandomState(3)
+    V = rng.randn(60, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<float>",
+    )
+    plan = plan_of(semantic_dup_pairs(df, threshold=0.9, nlist=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "cluster_id" in plan
