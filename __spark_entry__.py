@@ -1411,8 +1411,12 @@ def q_semantic_dups(spark, sf):
     recall trade-off; the brute twin (embedding_cosine_dups, same 0.4
     threshold) bounds what this path can see."""
     emb = load_table(spark, sf, "embeddings")
+    # expr scoring: engine-reproducible cosine fold term order (the 6-dp
+    # round must agree with DuckDB's).  The gemm per-cluster BLAS kernel is
+    # the scale path (default; pair sets identical, folds differ ~1e-15) —
+    # measured in scripts/scale_semdedup.py, parity-pinned in test_dedup.
     out = dd.semantic_dup_pairs(emb, threshold=0.4, nlist=8, seed=1,
-                                max_iter=8)
+                                max_iter=8, method="expr")
     return out.select("id_a", "id_b", "cluster_id",
                       F.round("cosine", 6).alias("cosine"))
 

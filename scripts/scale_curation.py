@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from bigvectorbench_spark import get_spark
 from bigvectorbench_spark.functions import text as tx
 from bigvectorbench_spark.operators import curation as cur
+from bigvectorbench_spark.operators import lm
+from bigvectorbench_spark.operators import packing as pk
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
@@ -48,6 +50,10 @@ def reports(docs):
         "domain_mix": cur.domain_mix_report(docs),
         "bpe_token_stats": docs.select(
             "doc_id", tx.bpe_token_count(F.col("text")).alias("n")),
+        "pack_blocks": pk.pack_blocks(docs, block_size=512),
+        "block_manifest": pk.block_manifest(
+            pk.pack_blocks(docs, block_size=512), block_size=512),
+        "lm_fluency": lm.lm_score_report(docs),
     }
 
 
