@@ -1350,6 +1350,17 @@ def q_gopher_quality(spark, sf):
     return cur.gopher_quality_report(_docs_wide(spark, sf)).orderBy("source")
 
 
+def q_gopher_repetition(spark, sf):
+    """The FULL Gopher repetition rule family (Rae et al. 2021 Table A1):
+    top-2/3/4-gram and duplicate-5..10-gram character fractions, nine
+    rules per doc as sorted-array run-length folds — zero shuffles before
+    the per-source rollup.  Fractions are exact integer char masses over
+    one double division, compared unrounded to the published thresholds;
+    the oracle regenerates every n-gram statistic via unnest + groupBy."""
+    from bigvectorbench_spark.operators import curation as cur
+    return cur.gopher_repetition_report(_docs_wide(spark, sf)).orderBy("source")
+
+
 def q_decontaminate(spark, sf):
     """Eval-set decontamination: train docs sharing any 8-token window
     with the held-out slice (doc_id % 97 = 0).  The eval shingle
@@ -1692,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_manifest": q_block_manifest,
         "lm_fluency": q_lm_fluency,
         "semantic_dups": q_semantic_dups,
+        "gopher_repetition": q_gopher_repetition,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
@@ -1750,6 +1762,64 @@ _PII_AUG = """text
 import os as _os
 
 _ORACLE_SF_DIR = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _gopher_repetition_sql() -> str:
+    """Oracle for the nine Gopher repetition rules: one unnest+groupBy CTE
+    per n regenerating the per-doc character masses the Spark folds
+    compute, thresholds emitted from the SAME constants (repr gives both
+    engines the identical double literal)."""
+    from bigvectorbench_spark.operators.curation import (
+        GOPHER_DUP_NGRAM_MAX, GOPHER_TOP_NGRAM_MAX)
+
+    ctes, joins, flag_cols, all_flags = [], [], [], []
+
+    def gram_cte(n: int, stat: str) -> str:
+        # windows i..i+n-1 (DuckDB slices are 1-based inclusive); range()
+        # is empty when the doc has fewer than n tokens
+        grams = (f"unnest(list_transform(range(1, len(tk) - {n - 2}), "
+                 f"i -> array_to_string(tk[i:i+{n - 1}], ' ')))")
+        per_gram = (f"SELECT doc_id, g, count(*) AS c FROM "
+                    f"(SELECT doc_id, {grams} AS g FROM tk) GROUP BY doc_id, g")
+        chars = f"c * (length(g) - {n - 1})"
+        agg = (f"max({chars})" if stat == "top"
+               else f"sum(CASE WHEN c >= 2 THEN {chars} ELSE 0 END)")
+        return (f"a{stat}{n} AS (SELECT doc_id, {agg} AS v "
+                f"FROM ({per_gram}) GROUP BY doc_id)")
+
+    for stat, rules in (("top", GOPHER_TOP_NGRAM_MAX),
+                        ("dup", GOPHER_DUP_NGRAM_MAX)):
+        for n, thr in rules.items():
+            ctes.append(gram_cte(n, stat))
+            joins.append(
+                f"LEFT JOIN a{stat}{n} ON a{stat}{n}.doc_id = base.doc_id")
+            flag_cols.append(
+                f"CASE WHEN tot > 0 AND "
+                f"coalesce(a{stat}{n}.v, 0)::DOUBLE / tot > {thr!r} "
+                f"THEN 1 ELSE 0 END AS fail_{stat}{n}")
+            all_flags.append(f"fail_{stat}{n}")
+
+    nl = ",\n"
+    cte_block = nl.join(ctes)
+    flag_block = (nl + "  ").join(flag_cols)
+    join_block = " ".join(joins)
+    any_fail = " + ".join(all_flags)
+    sum_cols = (nl + "  ").join(
+        f"sum({fl})::BIGINT AS n_{fl}" for fl in all_flags)
+    return f"""
+WITH tk AS (SELECT doc_id, source, {_TOKENS} AS tk FROM documents),
+base AS (SELECT doc_id, source,
+         coalesce(list_sum(list_transform(tk, w -> length(w))), 0) AS tot
+         FROM tk),
+{cte_block},
+f AS (SELECT source,
+  {flag_block}
+  FROM base {join_block})
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN {any_fail} = 0 THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+  {sum_cols}
+FROM f GROUP BY source
+"""
 
 
 def _ann_oracles() -> dict[str, str]:
@@ -2805,6 +2875,7 @@ SELECT block_id::BIGINT AS block_id, count(*)::BIGINT AS n_docs,
            AS n_tokens
 FROM x GROUP BY block_id
 """,
+        "gopher_repetition": _gopher_repetition_sql(),
         "domain_mix": """
 SELECT source,
        ((regexp_extract(source, '([0-9]+)$', 1)::BIGINT % 4) + 1) * 250 AS target_permille,

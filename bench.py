@@ -73,6 +73,7 @@ HEADLINE = [
     "block_manifest",
     "lm_fluency",
     "semantic_dups",
+    "gopher_repetition",
     "bm25_topk",
     "top_terms_per_source",
     "token_stats",

@@ -183,6 +183,117 @@ def gopher_quality_report(df: DataFrame, *, text_col: str = "text",
     )
 
 
+# ------------------------------------------- Gopher repetition (n-gram rules)
+
+# The full published repetition rule set (Gopher, Rae et al. 2021 Table A1):
+# fraction of characters in the MOST FREQUENT n-gram (n=2,3,4) and fraction
+# of characters in DUPLICATED n-grams (n=5..10), each with its threshold.
+GOPHER_TOP_NGRAM_MAX: Mapping[int, float] = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX: Mapping[int, float] = {
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _pos_ngrams(tk: Column, n: int) -> Column:
+    """POSITIONAL n-grams joined by ' ' (every window, not distinct —
+    occurrence counts are the statistic here)."""
+    idx = tx._index_range(F.size(tk) - (n - 1))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tk, i + j) for j in range(n)]),
+    )
+
+
+def _gram_chars(w: Column, n: int) -> Column:
+    """Characters of an n-gram excluding the n−1 joining spaces = the sum
+    of its token lengths (the char-accounting unit both engines share)."""
+    return F.length(w) - (n - 1)
+
+
+def top_ngram_chars(tk: Column, n: int) -> Column:
+    """max over n-grams of (occurrences × gram chars) — the character mass
+    of the heaviest repeated n-gram, shuffle-free: sort the positional
+    gram array and fold run-lengths (the max_token_run pattern), taking
+    the maximum of run × chars as each run grows.  Deterministic without
+    a tie rule: max of a product needs no argmax."""
+    g = F.array_sort(_pos_ngrams(tk, n))
+    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def step(acc: Column, w: Column) -> Column:
+        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            w.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run * _gram_chars(w, n)).alias("best"),
+        )
+
+    return F.aggregate(g, init, step, lambda acc: acc["best"])
+
+
+def dup_ngram_chars(tk: Column, n: int) -> Column:
+    """Σ over n-grams occurring ≥2× of (occurrences × gram chars) — the
+    character mass inside duplicated n-grams (every occurrence counted;
+    the standard overlap-permitting simplification of the Gopher rule).
+    Same sorted-array run-length fold; completed runs of length ≥2 flush
+    into the accumulator, the final run flushes in the finish lambda."""
+    g = F.array_sort(_pos_ngrams(tk, n))
+    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("acc"))
+
+    def flush(acc: Column) -> Column:
+        return acc["acc"] + F.when(
+            acc["run"] >= 2, acc["run"] * _gram_chars(acc["prev"], n)
+        ).otherwise(F.lit(0))
+
+    def step(acc: Column, w: Column) -> Column:
+        same = w == acc["prev"]
+        return F.struct(
+            w.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["acc"]).otherwise(flush(acc)).alias("acc"),
+        )
+
+    return F.aggregate(g, init, step, flush)
+
+
+def gopher_repetition_report(df: DataFrame, *, text_col: str = "text",
+                             group_col: str = "source") -> DataFrame:
+    """Per-group breakdown of the full Gopher repetition rule family:
+    independent failure counts for top-2/3/4-gram and dup-5..10-gram
+    character fractions, plus documents passing all nine.  Fractions are
+    exact-integer character masses divided once by the doc's total token
+    characters and compared UNROUNDED to the published thresholds (the
+    corpus_curation half-ulp lesson).  Everything up to the final
+    per-group rollup is whole-stage codegen over one materialized tokens
+    column — nine sorted-array folds, zero shuffles."""
+    tokenized = df.select(
+        F.col(group_col), tx.tokens(F.col(text_col)).alias("tk"))
+    tot = F.aggregate(F.col("tk"), F.lit(0),
+                      lambda acc, w: acc + F.length(w))
+    work = tokenized.select(group_col, "tk", tot.alias("tot"))
+
+    def frac(chars: Column) -> Column:
+        return F.when(F.col("tot") > 0,
+                      chars / F.col("tot").cast("double")).otherwise(F.lit(0.0))
+
+    flags = {}
+    for n, thr in GOPHER_TOP_NGRAM_MAX.items():
+        flags[f"fail_top{n}"] = frac(top_ngram_chars(F.col("tk"), n)) > thr
+    for n, thr in GOPHER_DUP_NGRAM_MAX.items():
+        flags[f"fail_dup{n}"] = frac(dup_ngram_chars(F.col("tk"), n)) > thr
+    flagged = work.select(
+        group_col, *[v.cast("int").alias(k) for k, v in flags.items()])
+    any_fail = sum((F.col(k) for k in flags), F.lit(0))
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((any_fail == 0).cast("int")).cast("bigint").alias("n_pass"),
+            *[F.sum(k).cast("bigint").alias(f"n_{k}") for k in flags],
+        )
+    )
+
+
 # ------------------------------------------------------ eval decontamination
 
 

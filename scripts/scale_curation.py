@@ -50,6 +50,7 @@ def reports(docs):
         "domain_mix": cur.domain_mix_report(docs),
         "bpe_token_stats": docs.select(
             "doc_id", tx.bpe_token_count(F.col("text")).alias("n")),
+        "gopher_repetition": cur.gopher_repetition_report(docs),
         "pack_blocks": pk.pack_blocks(docs, block_size=512),
         "block_manifest": pk.block_manifest(
             pk.pack_blocks(docs, block_size=512), block_size=512),

@@ -217,3 +217,69 @@ def test_substring_spans_separate_islands(spark):
                  for r in cur.substring_spans(df).collect())
     # doc 1: two islands (pos 1 and pos 21), each exactly 15 tokens
     assert got == [(1, 1, 15), (1, 21, 15), (2, 1, 15), (3, 1, 15)]
+
+
+# ------------------------------------------- Gopher repetition n-gram rules
+
+
+def _py_ngrams(tk, n):
+    return [" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)]
+
+
+def _py_top(tk, n):
+    from collections import Counter
+    c = Counter(_py_ngrams(tk, n))
+    return max((v * (len(g) - (n - 1)) for g, v in c.items()), default=0)
+
+
+def _py_dup(tk, n):
+    from collections import Counter
+    c = Counter(_py_ngrams(tk, n))
+    return sum(v * (len(g) - (n - 1)) for g, v in c.items() if v >= 2)
+
+
+REP_TEXTS = [
+    (0, "s", "the cat sat on the cat sat again and the cat sat"),
+    (1, "s", "one two three four five six seven eight nine ten"),
+    (2, "s", "ha ha ha ha ha ha ha ha"),
+    (3, "s", ""),
+    (4, "s", "word"),
+    (5, "t", "alpha beta alpha beta alpha beta gamma delta epsilon zeta eta"),
+]
+
+
+def test_ngram_char_folds_match_python(spark):
+    df = spark.createDataFrame(REP_TEXTS, "doc_id long, source string, text string")
+    from bigvectorbench_spark.functions import text as tx
+    import pyspark.sql.functions as F
+
+    work = df.select("doc_id", tx.tokens(F.col("text")).alias("tk"))
+    for n in (2, 3, 5, 10):
+        got = {r["doc_id"]: (r["top"], r["dup"]) for r in work.select(
+            "doc_id",
+            cur.top_ngram_chars(F.col("tk"), n).alias("top"),
+            cur.dup_ngram_chars(F.col("tk"), n).alias("dup"),
+        ).collect()}
+        for i, _, t in REP_TEXTS:
+            tk = [w for w in t.lower().split() if w]
+            assert got[i] == (_py_top(tk, n), _py_dup(tk, n)), (i, n)
+
+
+def test_gopher_repetition_report(spark):
+    df = spark.createDataFrame(REP_TEXTS, "doc_id long, source string, text string")
+    rows = {r["source"]: r for r in
+            cur.gopher_repetition_report(df).collect()}
+    # doc 2 ("ha" x8): every rule fires (all char mass is repeated);
+    # doc 1 (all distinct): no rule fires; docs 3/4 (no n-grams): pass.
+    s = rows["s"]
+    assert s["n_docs"] == 5
+    assert s["n_fail_top2"] >= 1 and s["n_fail_dup5"] >= 1
+    # doc 1, 3, 4 pass every rule; doc 2 fails all; doc 0 fails some
+    assert 2 <= s["n_pass"] <= 4
+    t = rows["t"]
+    # "alpha beta" x3: top-2-gram mass 30 chars of 51 -> fail_top2
+    assert t["n_fail_top2"] == 1
+    # verify one exact counter against python thresholds end-to-end
+    tk = [w for w in REP_TEXTS[5][2].split() if w]
+    tot = sum(len(w) for w in tk)
+    assert (_py_top(tk, 2) / tot > 0.20) == bool(t["n_fail_top2"])
