@@ -1396,6 +1396,16 @@ def q_substring_spans(spark, sf):
         "doc_id", "span_start")
 
 
+def q_substring_rewrite(spark, sf):
+    """The exact-substring cut-list APPLIED (Lee et al.'s second half):
+    every repeated 15-token window is removed except its canonical
+    (minimum (doc_id, pos)) occurrence, and the rewritten token stream is
+    emitted per document.  The oracle rebuilds the identical strings in
+    SQL, so the rewrite is hash-checked character-for-character."""
+    from bigvectorbench_spark.operators import curation as cur
+    return cur.substring_rewrite(_docs_wide(spark, sf))
+
+
 def q_bpe_token_stats(spark, sf):
     """Token accounting with a BPE-ish regex pre-tokenizer (GPT-2 pattern
     family, ASCII-portable subset — functions/text.py::BPE_RE) next to the
@@ -1704,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_fluency": q_lm_fluency,
         "semantic_dups": q_semantic_dups,
         "gopher_repetition": q_gopher_repetition,
+        "substring_rewrite": q_substring_rewrite,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
@@ -2876,6 +2887,28 @@ SELECT block_id::BIGINT AS block_id, count(*)::BIGINT AS n_docs,
 FROM x GROUP BY block_id
 """,
         "gopher_repetition": _gopher_repetition_sql(),
+        "substring_rewrite": f"""
+WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+w AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 13, 1)),
+             i -> {{'pos': i, 'wh': {_PHASH.format(x="array_to_string(tk[i:i+14], ' ')")}}})) AS u
+      FROM tk),
+p AS (SELECT doc_id, u.pos AS pos, u.wh AS wh,
+             doc_id * 1048576 + u.pos AS key FROM w),
+cnt AS (SELECT wh, count(*) AS n, min(key) AS mk FROM p GROUP BY wh),
+cut AS (SELECT doc_id, unnest(range(pos, pos + 15)) AS cp
+        FROM p JOIN cnt USING (wh) WHERE n > 1 AND key != mk),
+cs AS (SELECT doc_id, list_sort(list_distinct(list(cp))) AS cps
+       FROM cut GROUP BY doc_id)
+SELECT t.doc_id, len(tk)::BIGINT AS n_tokens,
+       coalesce(len(cps), 0)::BIGINT AS n_cut,
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(list_transform(range(1, len(tk) + 1),
+                                      i -> {{'p': i, 'w': tk[i]}}),
+                       s -> NOT list_contains(coalesce(cps, []), s.p)),
+           s -> s.w), ' '), '') AS text_clean
+FROM tk t LEFT JOIN cs USING (doc_id)
+""",
         "domain_mix": """
 SELECT source,
        ((regexp_extract(source, '([0-9]+)$', 1)::BIGINT % 4) + 1) * 250 AS target_permille,

@@ -74,6 +74,7 @@ HEADLINE = [
     "lm_fluency",
     "semantic_dups",
     "gopher_repetition",
+    "substring_rewrite",
     "bm25_topk",
     "top_terms_per_source",
     "token_stats",

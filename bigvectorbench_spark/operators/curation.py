@@ -409,6 +409,67 @@ def substring_dedup_report(df: DataFrame, *, id_col: str = "doc_id",
     )
 
 
+# The canonical-occurrence key packs (doc_id, pos) into one BIGINT so both
+# engines take the same min: valid for pos < 2^20 (1M-token docs) and
+# doc_id < 2^43.  A wider deployment packs into a DECIMAL(38) or compares
+# the struct directly.
+_POS_PACK = 1 << 20
+
+
+def substring_rewrite(df: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text", window: int = 15) -> DataFrame:
+    """APPLY the exact-substring cut-list (the second half of Lee et al.'s
+    dedup: don't just find repeated spans — rewrite the corpus with all
+    but one copy removed).  A ``window``-token occurrence is cut when its
+    hash occurs more than once corpus-wide AND it is not the canonical
+    occurrence (minimum (doc_id, position) — so exactly one copy of every
+    repeated span survives, in the lowest-id document).  Tokens covered
+    by any cut occurrence are removed; the emitted ``text_clean`` is the
+    surviving token stream re-joined (the normalized lowercase form — the
+    tokenizer contract all curation stages share).
+
+    Output: (doc_id, n_tokens, n_cut, text_clean) for EVERY document.
+
+    Scale shape: same as substring_dedup_report — 8-byte window hashes
+    shuffle with map-side-combined (count, min-key) aggregation, then one
+    hash-keyed join back and a per-doc cut-set rollup; the rewrite itself
+    is a row-local array filter in codegen.  Document text moves once,
+    into the final join that rewrites it."""
+    tokenized = df.select(
+        F.col(id_col), tx.tokens(F.col(text_col)).alias("tk"))
+    key = (F.col(id_col).cast("bigint") * _POS_PACK + F.col("pos"))
+    occ = tokenized.filter(F.size("tk") >= window).select(
+        id_col,
+        F.posexplode(window_hashes(F.col("tk"), window)).alias("pos", "wh"),
+    ).withColumn("pos", F.col("pos") + 1).withColumn("key", key)
+    stats = occ.groupBy("wh").agg(
+        F.count("*").alias("n_occ"), F.min("key").alias("min_key"))
+    cut_pos = (
+        occ.join(stats, "wh")
+        .filter((F.col("n_occ") > 1) & (F.col("key") != F.col("min_key")))
+        .select(id_col,
+                F.explode(F.sequence(F.col("pos"),
+                                     F.col("pos") + (window - 1))).alias("cp"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("cp")).alias("cps"))
+    )
+    joined = tokenized.join(cut_pos, id_col, "left").withColumn(
+        "cps", F.coalesce(F.col("cps"), F.lit([]).cast("array<int>")))
+    indexed = F.transform(
+        F.col("tk"), lambda w, i: F.struct(w.alias("w"), (i + 1).alias("p")))
+    kept = F.filter(indexed,
+                    lambda s: ~F.array_contains(F.col("cps"), s["p"]))
+    return joined.select(
+        id_col,
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        # cut positions past the token count cannot exist (windows fit in
+        # the doc), so the cut-set size is exactly the removed-token count
+        F.size("cps").cast("bigint").alias("n_cut"),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["w"]))
+        .alias("text_clean"),
+    )
+
+
 # ------------------------------------------------------------- domain mixing
 
 # Knuth multiplicative constant (2^32 / phi); the hash is exact bigint

@@ -283,3 +283,63 @@ def test_gopher_repetition_report(spark):
     tk = [w for w in REP_TEXTS[5][2].split() if w]
     tot = sum(len(w) for w in tk)
     assert (_py_top(tk, 2) / tot > 0.20) == bool(t["n_fail_top2"])
+
+
+# ------------------------------------------------- substring rewrite (apply)
+
+
+def test_substring_rewrite_keeps_one_copy(spark):
+    """Two docs share a 15-token run: the lowest-(doc_id, pos) occurrence
+    survives, the other is cut; unrelated text is untouched."""
+    run = " ".join(f"r{i}" for i in range(15))
+    rows = [
+        (0, f"intro words here {run} tail zero"),
+        (1, f"other beginning {run} different ending"),
+        (2, "completely unrelated document with no repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           cur.substring_rewrite(df, window=15).collect()}
+    # doc 0 holds the canonical copy: nothing cut
+    assert got[0]["n_cut"] == 0
+    assert got[0]["text_clean"] == rows[0][1].lower()
+    # doc 1 loses exactly the 15 shared tokens
+    assert got[1]["n_cut"] == 15
+    assert got[1]["text_clean"] == "other beginning different ending"
+    assert got[2]["n_cut"] == 0
+    assert got[2]["n_tokens"] == 8
+
+
+def test_substring_rewrite_within_doc_repeat(spark):
+    """A doc repeating its own 15-token run keeps the first occurrence."""
+    run = " ".join(f"x{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [(5, f"{run} middle {run}")], "doc_id long, text string")
+    r = cur.substring_rewrite(df, window=15).collect()[0]
+    assert r["n_tokens"] == 31
+    assert r["n_cut"] == 15
+    assert r["text_clean"] == f"{run} middle"
+
+
+def test_substring_rewrite_overlapping_windows_merge(spark):
+    """A 17-token repeated run produces 3 overlapping duplicated windows
+    in the copy; their covered positions union to exactly 17 cut tokens."""
+    run = " ".join(f"y{i}" for i in range(17))
+    df = spark.createDataFrame(
+        [(0, f"{run} uniquezero"), (1, f"prefixone {run}")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           cur.substring_rewrite(df, window=15).collect()}
+    assert got[0]["n_cut"] == 0
+    assert got[1]["n_cut"] == 17
+    assert got[1]["text_clean"] == "prefixone"
+
+
+def test_substring_rewrite_short_docs_pass_through(spark):
+    df = spark.createDataFrame(
+        [(0, "short doc"), (1, "")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           cur.substring_rewrite(df, window=15).collect()}
+    assert got[0] == got[0].__class__(doc_id=0, n_tokens=2, n_cut=0,
+                                      text_clean="short doc")
+    assert got[1]["n_tokens"] == 0 and got[1]["text_clean"] == ""
