@@ -1705,7 +1705,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "hnsw_scale_search": q_hnsw_scale_search,
         # new round 6, value-oracled (sweeps + pytest); enters the window
-        # in round 7 with the returning rotation set
+        # in round 7 with the returning rotation set.  The six *-r6-late
+        # additions (pack_blocks, block_manifest, lm_fluency, semantic_dups,
+        # gopher_repetition, substring_rewrite) are likewise oracled at
+        # sf0.01 AND sf0.001 by scripts/check_oracle.py this round.
         "video_features": q_video_features,
         "bpe_token_stats": q_bpe_token_stats,
         "substring_spans": q_substring_spans,
@@ -1754,6 +1757,18 @@ SELECT {cols} FROM r WHERE rank <= {k}
 
 
 _PHASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+# Rolling window hashes (curation.py token_hashes/rolling_window_hashes,
+# constants mirrored verbatim): per-token 40-bit md5-derived hashes, window
+# hash = seeded fold acc·4093 + x (mod 2^41) — list_reduce seeds with the
+# first element, exactly the Spark aggregate's seed.
+_TH = ("list_transform(tk, w -> "
+       "('0x' || substr(md5(w), 1, 15))::BIGINT % 1099511627776)")
+
+
+def _rwh(i: str, n: int) -> str:
+    return (f"list_reduce(th[{i}:{i}+{n - 1}], "
+            f"(a, b) -> (a * 4093 + b) % 2199023255552)")
 
 # The PII-planting fixture (mirrors _docs_pii verbatim), shared by the
 # pii_scrub and bpe_token_stats oracles.
@@ -2785,10 +2800,11 @@ FROM f GROUP BY source
 """,
         "decontaminate": f"""
 WITH tk AS (SELECT doc_id, source, {_TOKENS} AS tk FROM documents),
+tkh AS (SELECT doc_id, source, tk, {_TH} AS th FROM tk),
 w AS (SELECT doc_id, source, doc_id % 97 = 0 AS is_eval,
              list_distinct(list_transform(range(1, greatest(len(tk) - 6, 1)),
-                 i -> {_PHASH.format(x="array_to_string(tk[i:i+7], ' ')")})) AS whs
-      FROM tk),
+                 i -> {_rwh("i", 8)})) AS whs
+      FROM tkh),
 e AS (SELECT DISTINCT unnest(whs) AS wh FROM w WHERE is_eval),
 t AS (SELECT doc_id, source, whs FROM w WHERE NOT is_eval),
 c AS (SELECT DISTINCT doc_id FROM
@@ -2799,10 +2815,11 @@ FROM t LEFT JOIN c USING (doc_id) GROUP BY source
 """,
         "substring_dedup": f"""
 WITH tk AS (SELECT doc_id, source, {_TOKENS} AS tk FROM documents),
+tkh AS (SELECT doc_id, source, tk, {_TH} AS th FROM tk),
 w AS (SELECT doc_id, source,
              unnest(list_transform(range(1, greatest(len(tk) - 13, 1)),
-                 i -> {_PHASH.format(x="array_to_string(tk[i:i+14], ' ')")})) AS wh
-      FROM tk),
+                 i -> {_rwh("i", 15)})) AS wh
+      FROM tkh),
 cnt AS (SELECT wh, count(*) AS n_occ FROM w GROUP BY wh),
 d AS (SELECT doc_id, count(*) AS nd
       FROM w JOIN cnt USING (wh) WHERE n_occ > 1 GROUP BY doc_id)
@@ -2821,9 +2838,10 @@ FROM aug
 """,
         "substring_spans": f"""
 WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+tkh AS (SELECT doc_id, tk, {_TH} AS th FROM tk),
 w AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 13, 1)),
-             i -> {{'pos': i, 'wh': {_PHASH.format(x="array_to_string(tk[i:i+14], ' ')")}}})) AS u
-      FROM tk),
+             i -> {{'pos': i, 'wh': {_rwh("i", 15)}}})) AS u
+      FROM tkh),
 p AS (SELECT doc_id, u.pos AS pos, u.wh AS wh FROM w),
 cnt AS (SELECT wh, count(*) AS n FROM p GROUP BY wh),
 d AS (SELECT doc_id, pos FROM p JOIN cnt USING (wh) WHERE n > 1),
@@ -2889,9 +2907,10 @@ FROM x GROUP BY block_id
         "gopher_repetition": _gopher_repetition_sql(),
         "substring_rewrite": f"""
 WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+tkh AS (SELECT doc_id, tk, {_TH} AS th FROM tk),
 w AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 13, 1)),
-             i -> {{'pos': i, 'wh': {_PHASH.format(x="array_to_string(tk[i:i+14], ' ')")}}})) AS u
-      FROM tk),
+             i -> {{'pos': i, 'wh': {_rwh("i", 15)}}})) AS u
+      FROM tkh),
 p AS (SELECT doc_id, u.pos AS pos, u.wh AS wh,
              doc_id * 1048576 + u.pos AS key FROM w),
 cnt AS (SELECT wh, count(*) AS n, min(key) AS mk FROM p GROUP BY wh),

@@ -343,3 +343,36 @@ def test_substring_rewrite_short_docs_pass_through(spark):
     assert got[0] == got[0].__class__(doc_id=0, n_tokens=2, n_cut=0,
                                       text_clean="short doc")
     assert got[1]["n_tokens"] == 0 and got[1]["text_clean"] == ""
+
+
+def test_rolling_window_hashes_match_python(spark):
+    """The rolling fold (seeded with the first token hash, acc*P + x mod M)
+    must reproduce an independent Python implementation bit-for-bit."""
+    import pyspark.sql.functions as F
+    from bigvectorbench_spark.functions import text as tx
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "a b", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["whs"] for r in df.select(
+        "doc_id", tx.tokens(F.col("text")).alias("tk")
+    ).select(
+        "doc_id", cur.token_hashes(F.col("tk")).alias("th")
+    ).select(
+        "doc_id", cur.rolling_window_hashes(F.col("th"), 4).alias("whs")
+    ).collect()}
+
+    def py(text, n):
+        tk = [w for w in text.lower().split() if w]
+        th = [_hash60(w) % (1 << 40) for w in tk]
+        out = []
+        for i in range(len(th) - n + 1):
+            acc = th[i]
+            for x in th[i + 1:i + n]:
+                acc = (acc * 4093 + x) % (1 << 41)
+            out.append(acc)
+        return out
+
+    for i, t in enumerate(texts):
+        assert got[i] == py(t, 4), i
