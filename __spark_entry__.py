@@ -1801,17 +1801,21 @@ def _gopher_repetition_sql() -> str:
     ctes, joins, flag_cols, all_flags = [], [], [], []
 
     def gram_cte(n: int, stat: str) -> str:
-        # windows i..i+n-1 (DuckDB slices are 1-based inclusive); range()
-        # is empty when the doc has fewer than n tokens
-        grams = (f"unnest(list_transform(range(1, len(tk) - {n - 2}), "
-                 f"i -> array_to_string(tk[i:i+{n - 1}], ' ')))")
-        per_gram = (f"SELECT doc_id, g, count(*) AS c FROM "
-                    f"(SELECT doc_id, {grams} AS g FROM tk) GROUP BY doc_id, g")
-        chars = f"c * (length(g) - {n - 1})"
-        agg = (f"max({chars})" if stat == "top"
-               else f"sum(CASE WHEN c >= 2 THEN {chars} ELSE 0 END)")
+        # Windows are identified by (rolling hash, char mass) — the SAME
+        # (h, c) pair the Spark folds group on (window_stat_structs), so
+        # even a hash collision is mirrored.  range() is empty when the
+        # doc has fewer than n tokens.
+        win = (f"{{'h': {_rwh('i', n)}, "
+               f"'c': list_sum(lens[i:i+{n - 1}])}}")
+        per_win = (f"SELECT doc_id, u.h AS h, u.c AS c FROM "
+                   f"(SELECT doc_id, unnest(list_transform("
+                   f"range(1, len(th) - {n - 2}), i -> {win})) AS u FROM tkh)")
+        grouped = (f"SELECT doc_id, h, c, count(*) AS cnt FROM ({per_win}) "
+                   f"GROUP BY doc_id, h, c")
+        agg = ("max(cnt * c)" if stat == "top"
+               else "sum(CASE WHEN cnt >= 2 THEN cnt * c ELSE 0 END)")
         return (f"a{stat}{n} AS (SELECT doc_id, {agg} AS v "
-                f"FROM ({per_gram}) GROUP BY doc_id)")
+                f"FROM ({grouped}) GROUP BY doc_id)")
 
     for stat, rules in (("top", GOPHER_TOP_NGRAM_MAX),
                         ("dup", GOPHER_DUP_NGRAM_MAX)):
@@ -1834,9 +1838,10 @@ def _gopher_repetition_sql() -> str:
         f"sum({fl})::BIGINT AS n_{fl}" for fl in all_flags)
     return f"""
 WITH tk AS (SELECT doc_id, source, {_TOKENS} AS tk FROM documents),
+tkh AS (SELECT doc_id, source, {_TH} AS th,
+        list_transform(tk, w -> length(w)) AS lens FROM tk),
 base AS (SELECT doc_id, source,
-         coalesce(list_sum(list_transform(tk, w -> length(w))), 0) AS tot
-         FROM tk),
+         coalesce(list_sum(lens), 0) AS tot FROM tkh),
 {cte_block},
 f AS (SELECT source,
   {flag_block}

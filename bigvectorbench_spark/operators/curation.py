@@ -193,67 +193,82 @@ GOPHER_DUP_NGRAM_MAX: Mapping[int, float] = {
     5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
-def _pos_ngrams(tk: Column, n: int) -> Column:
-    """POSITIONAL n-grams joined by ' ' (every window, not distinct —
-    occurrence counts are the statistic here)."""
-    idx = tx._index_range(F.size(tk) - (n - 1))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tk, i + j) for j in range(n)]),
-    )
+def window_stat_structs(th: Column, lens: Column, n: int) -> Column:
+    """Sorted array of (h, c) structs, one per n-token window: h = the
+    rolling window hash (rolling_window_hashes fold, unrolled), c = the
+    window's character mass (sum of its token lengths, also unrolled).
+    Windows are IDENTIFIED by (h, c) instead of their joined string —
+    building 9 positional gram-string arrays per doc (concat per window)
+    was the measured 90% of gopher_repetition's 113s at 500k docs; int
+    folds plus an int-struct sort cut it to seconds.  A 41-bit hash
+    collision (expectation <2 at 5M windows) merges two grams of equal
+    char mass — mirrored exactly by the oracle, which groups by the same
+    (h, c) pair.  ``th`` (token_hashes) and ``lens`` (per-token lengths)
+    must be MATERIALIZED columns (HOF re-evaluation)."""
+    idx = F.when(F.size(th) >= n,
+                 F.sequence(F.lit(1), F.size(th) - (n - 1))
+                 ).otherwise(F.lit([]).cast("array<int>"))
+
+    def mk(i: Column) -> Column:
+        h = F.element_at(th, i).cast("bigint")
+        c = F.element_at(lens, i)
+        for j in range(1, n):
+            h = F.pmod(h * _ROLL_P + F.element_at(th, i + j), F.lit(_ROLL_M))
+            c = c + F.element_at(lens, i + j)
+        return F.struct(h.alias("h"), c.alias("c"))
+
+    return F.array_sort(F.transform(idx, mk))
 
 
-def _gram_chars(w: Column, n: int) -> Column:
-    """Characters of an n-gram excluding the n−1 joining spaces = the sum
-    of its token lengths (the char-accounting unit both engines share)."""
-    return F.length(w) - (n - 1)
+def _ws_init() -> Column:
+    # fold seed: ph = -1 cannot equal a real (non-negative) window hash.
+    # A function, not a module constant — Column construction needs an
+    # active SparkContext, which imports must not require.
+    return F.struct(
+        F.lit(-1).cast("bigint").alias("ph"), F.lit(0).alias("pc"),
+        F.lit(0).alias("run"), F.lit(0).alias("out"))
 
 
-def top_ngram_chars(tk: Column, n: int) -> Column:
+def top_ngram_chars(th: Column, lens: Column, n: int) -> Column:
     """max over n-grams of (occurrences × gram chars) — the character mass
-    of the heaviest repeated n-gram, shuffle-free: sort the positional
-    gram array and fold run-lengths (the max_token_run pattern), taking
-    the maximum of run × chars as each run grows.  Deterministic without
-    a tie rule: max of a product needs no argmax."""
-    g = F.array_sort(_pos_ngrams(tk, n))
-    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                    F.lit(0).alias("best"))
+    of the heaviest repeated n-gram, shuffle-free: fold run-lengths over
+    the sorted (h, c) window array, taking the maximum of run × chars as
+    each run grows.  Deterministic without a tie rule: max of a product
+    needs no argmax."""
+    g = window_stat_structs(th, lens, n)
 
-    def step(acc: Column, w: Column) -> Column:
-        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+    def step(acc: Column, s: Column) -> Column:
+        same = (s["h"] == acc["ph"]) & (s["c"] == acc["pc"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
         return F.struct(
-            w.alias("prev"), run.alias("run"),
-            F.greatest(acc["best"], run * _gram_chars(w, n)).alias("best"),
+            s["h"].alias("ph"), s["c"].alias("pc"), run.alias("run"),
+            F.greatest(acc["out"], run * s["c"]).alias("out"),
         )
 
-    return F.aggregate(g, init, step, lambda acc: acc["best"])
+    return F.aggregate(g, _ws_init(), step, lambda acc: acc["out"])
 
 
-def dup_ngram_chars(tk: Column, n: int) -> Column:
+def dup_ngram_chars(th: Column, lens: Column, n: int) -> Column:
     """Σ over n-grams occurring ≥2× of (occurrences × gram chars) — the
     character mass inside duplicated n-grams (every occurrence counted;
     the standard overlap-permitting simplification of the Gopher rule).
-    Same sorted-array run-length fold; completed runs of length ≥2 flush
+    Same sorted-(h, c) run-length fold; completed runs of length ≥2 flush
     into the accumulator, the final run flushes in the finish lambda."""
-    g = F.array_sort(_pos_ngrams(tk, n))
-    init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                    F.lit(0).alias("acc"))
+    g = window_stat_structs(th, lens, n)
 
     def flush(acc: Column) -> Column:
-        return acc["acc"] + F.when(
-            acc["run"] >= 2, acc["run"] * _gram_chars(acc["prev"], n)
-        ).otherwise(F.lit(0))
+        return acc["out"] + F.when(
+            acc["run"] >= 2, acc["run"] * acc["pc"]).otherwise(F.lit(0))
 
-    def step(acc: Column, w: Column) -> Column:
-        same = w == acc["prev"]
+    def step(acc: Column, s: Column) -> Column:
+        same = (s["h"] == acc["ph"]) & (s["c"] == acc["pc"])
         return F.struct(
-            w.alias("prev"),
+            s["h"].alias("ph"), s["c"].alias("pc"),
             F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.when(same, acc["acc"]).otherwise(flush(acc)).alias("acc"),
+            F.when(same, acc["out"]).otherwise(flush(acc)).alias("out"),
         )
 
-    return F.aggregate(g, init, step, flush)
+    return F.aggregate(g, _ws_init(), step, flush)
 
 
 def gopher_repetition_report(df: DataFrame, *, text_col: str = "text",
@@ -268,9 +283,17 @@ def gopher_repetition_report(df: DataFrame, *, text_col: str = "text",
     column — nine sorted-array folds, zero shuffles."""
     tokenized = df.select(
         F.col(group_col), tx.tokens(F.col(text_col)).alias("tk"))
-    tot = F.aggregate(F.col("tk"), F.lit(0),
-                      lambda acc, w: acc + F.length(w))
-    work = tokenized.select(group_col, "tk", tot.alias("tot"))
+    # th and lens materialized in their own projection: every rule's
+    # unrolled fold references them per window element (HOF re-evaluation)
+    hashed = tokenized.select(
+        group_col,
+        token_hashes(F.col("tk")).alias("th"),
+        F.transform(F.col("tk"), lambda w: F.length(w)).alias("lens"),
+    )
+    work = hashed.select(
+        group_col, "th", "lens",
+        F.aggregate(F.col("lens"), F.lit(0),
+                    lambda acc, x: acc + x).alias("tot"))
 
     def frac(chars: Column) -> Column:
         return F.when(F.col("tot") > 0,
@@ -278,9 +301,11 @@ def gopher_repetition_report(df: DataFrame, *, text_col: str = "text",
 
     flags = {}
     for n, thr in GOPHER_TOP_NGRAM_MAX.items():
-        flags[f"fail_top{n}"] = frac(top_ngram_chars(F.col("tk"), n)) > thr
+        flags[f"fail_top{n}"] = frac(
+            top_ngram_chars(F.col("th"), F.col("lens"), n)) > thr
     for n, thr in GOPHER_DUP_NGRAM_MAX.items():
-        flags[f"fail_dup{n}"] = frac(dup_ngram_chars(F.col("tk"), n)) > thr
+        flags[f"fail_dup{n}"] = frac(
+            dup_ngram_chars(F.col("th"), F.col("lens"), n)) > thr
     flagged = work.select(
         group_col, *[v.cast("int").alias(k) for k, v in flags.items()])
     any_fail = sum((F.col(k) for k in flags), F.lit(0))

@@ -253,12 +253,16 @@ def test_ngram_char_folds_match_python(spark):
     from bigvectorbench_spark.functions import text as tx
     import pyspark.sql.functions as F
 
-    work = df.select("doc_id", tx.tokens(F.col("text")).alias("tk"))
+    work = df.select("doc_id", tx.tokens(F.col("text")).alias("tk")).select(
+        "doc_id",
+        cur.token_hashes(F.col("tk")).alias("th"),
+        F.transform(F.col("tk"), lambda w: F.length(w)).alias("lens"),
+    )
     for n in (2, 3, 5, 10):
         got = {r["doc_id"]: (r["top"], r["dup"]) for r in work.select(
             "doc_id",
-            cur.top_ngram_chars(F.col("tk"), n).alias("top"),
-            cur.dup_ngram_chars(F.col("tk"), n).alias("dup"),
+            cur.top_ngram_chars(F.col("th"), F.col("lens"), n).alias("top"),
+            cur.dup_ngram_chars(F.col("th"), F.col("lens"), n).alias("dup"),
         ).collect()}
         for i, _, t in REP_TEXTS:
             tk = [w for w in t.lower().split() if w]
