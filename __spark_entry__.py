@@ -1801,19 +1801,19 @@ def _gopher_repetition_sql() -> str:
     ctes, joins, flag_cols, all_flags = [], [], [], []
 
     def gram_cte(n: int, stat: str) -> str:
-        # Windows are identified by (rolling hash, char mass) — the SAME
-        # (h, c) pair the Spark folds group on (window_stat_structs), so
-        # even a hash collision is mirrored.  range() is empty when the
+        # Windows are identified by the SAME packed (rolling hash << 22 |
+        # char mass) bigint the Spark folds group on (window_stat_packed),
+        # so even a hash collision is mirrored.  range() is empty when the
         # doc has fewer than n tokens.
-        win = (f"{{'h': {_rwh('i', n)}, "
-               f"'c': list_sum(lens[i:i+{n - 1}])}}")
-        per_win = (f"SELECT doc_id, u.h AS h, u.c AS c FROM "
-                   f"(SELECT doc_id, unnest(list_transform("
-                   f"range(1, len(th) - {n - 2}), i -> {win})) AS u FROM tkh)")
-        grouped = (f"SELECT doc_id, h, c, count(*) AS cnt FROM ({per_win}) "
-                   f"GROUP BY doc_id, h, c")
-        agg = ("max(cnt * c)" if stat == "top"
-               else "sum(CASE WHEN cnt >= 2 THEN cnt * c ELSE 0 END)")
+        win = f"{_rwh('i', n)} * 4194304 + list_sum(lens[i:i+{n - 1}])"
+        per_win = (f"SELECT doc_id, unnest(list_transform("
+                   f"range(1, len(th) - {n - 2}), i -> {win})) AS pw "
+                   f"FROM tkh")
+        grouped = (f"SELECT doc_id, pw, count(*) AS cnt FROM ({per_win}) "
+                   f"GROUP BY doc_id, pw")
+        chars = "(pw % 4194304)"
+        agg = (f"max(cnt * {chars})" if stat == "top"
+               else f"sum(CASE WHEN cnt >= 2 THEN cnt * {chars} ELSE 0 END)")
         return (f"a{stat}{n} AS (SELECT doc_id, {agg} AS v "
                 f"FROM ({grouped}) GROUP BY doc_id)")
 

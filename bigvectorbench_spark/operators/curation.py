@@ -193,18 +193,27 @@ GOPHER_DUP_NGRAM_MAX: Mapping[int, float] = {
     5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
-def window_stat_structs(th: Column, lens: Column, n: int) -> Column:
-    """Sorted array of (h, c) structs, one per n-token window: h = the
-    rolling window hash (rolling_window_hashes fold, unrolled), c = the
-    window's character mass (sum of its token lengths, also unrolled).
-    Windows are IDENTIFIED by (h, c) instead of their joined string —
-    building 9 positional gram-string arrays per doc (concat per window)
-    was the measured 90% of gopher_repetition's 113s at 500k docs; int
-    folds plus an int-struct sort cut it to seconds.  A 41-bit hash
-    collision (expectation <2 at 5M windows) merges two grams of equal
-    char mass — mirrored exactly by the oracle, which groups by the same
-    (h, c) pair.  ``th`` (token_hashes) and ``lens`` (per-token lengths)
-    must be MATERIALIZED columns (HOF re-evaluation)."""
+# Packed window identity: (41-bit rolling hash << 22) | 22-bit char mass.
+# ONE bigint per window, so array_sort runs the primitive-long fast path —
+# sorting ARRAY<STRUCT> falls back to Spark's interpreted ordering, which
+# measured 2× slower end-to-end on the 500k-doc corpus.  Bounds: packed
+# < 2^63; valid while a window's char mass < 2^22 (10 whitespace tokens
+# of ~400KB each — far beyond any real word).  A 41-bit hash collision
+# (expectation <2 at 5M windows) merges two grams of equal char mass —
+# mirrored exactly by the oracle, which groups by the same packed value.
+_CMASK = (1 << 22) - 1
+
+
+def window_stat_packed(th: Column, lens: Column, n: int) -> Column:
+    """Sorted ARRAY<BIGINT> of packed (rolling window hash, char mass)
+    values, one per n-token window — windows are IDENTIFIED by the packed
+    value instead of their joined string (building 9 positional
+    gram-string arrays per doc was the measured 90% of
+    gopher_repetition's 113s at 500k docs).  ``th`` (token_hashes) and
+    ``lens`` (per-token lengths) must be MATERIALIZED columns (HOF
+    re-evaluation).  The mod is a bitwise AND (power-of-two modulus,
+    non-negative operands — value-identical to pmod, one op instead of
+    three)."""
     idx = F.when(F.size(th) >= n,
                  F.sequence(F.lit(1), F.size(th) - (n - 1))
                  ).otherwise(F.lit([]).cast("array<int>"))
@@ -213,36 +222,41 @@ def window_stat_structs(th: Column, lens: Column, n: int) -> Column:
         h = F.element_at(th, i).cast("bigint")
         c = F.element_at(lens, i)
         for j in range(1, n):
-            h = F.pmod(h * _ROLL_P + F.element_at(th, i + j), F.lit(_ROLL_M))
+            h = (h * _ROLL_P + F.element_at(th, i + j)).bitwiseAND(
+                F.lit(_ROLL_M - 1))
             c = c + F.element_at(lens, i + j)
-        return F.struct(h.alias("h"), c.alias("c"))
+        return h * (_CMASK + 1) + c
 
     return F.array_sort(F.transform(idx, mk))
 
 
 def _ws_init() -> Column:
-    # fold seed: ph = -1 cannot equal a real (non-negative) window hash.
+    # fold seed: pw = -1 cannot equal a real (non-negative) packed window.
     # A function, not a module constant — Column construction needs an
     # active SparkContext, which imports must not require.
     return F.struct(
-        F.lit(-1).cast("bigint").alias("ph"), F.lit(0).alias("pc"),
+        F.lit(-1).cast("bigint").alias("pw"),
         F.lit(0).alias("run"), F.lit(0).alias("out"))
+
+
+def _wchars(pw: Column) -> Column:
+    """Char mass of a packed window value (low 22 bits)."""
+    return pw.bitwiseAND(F.lit(_CMASK)).cast("int")
 
 
 def top_ngram_chars(th: Column, lens: Column, n: int) -> Column:
     """max over n-grams of (occurrences × gram chars) — the character mass
     of the heaviest repeated n-gram, shuffle-free: fold run-lengths over
-    the sorted (h, c) window array, taking the maximum of run × chars as
+    the sorted packed-window array, taking the maximum of run × chars as
     each run grows.  Deterministic without a tie rule: max of a product
     needs no argmax."""
-    g = window_stat_structs(th, lens, n)
+    g = window_stat_packed(th, lens, n)
 
-    def step(acc: Column, s: Column) -> Column:
-        same = (s["h"] == acc["ph"]) & (s["c"] == acc["pc"])
-        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+    def step(acc: Column, w: Column) -> Column:
+        run = F.when(w == acc["pw"], acc["run"] + 1).otherwise(F.lit(1))
         return F.struct(
-            s["h"].alias("ph"), s["c"].alias("pc"), run.alias("run"),
-            F.greatest(acc["out"], run * s["c"]).alias("out"),
+            w.alias("pw"), run.alias("run"),
+            F.greatest(acc["out"], run * _wchars(w)).alias("out"),
         )
 
     return F.aggregate(g, _ws_init(), step, lambda acc: acc["out"])
@@ -252,18 +266,19 @@ def dup_ngram_chars(th: Column, lens: Column, n: int) -> Column:
     """Σ over n-grams occurring ≥2× of (occurrences × gram chars) — the
     character mass inside duplicated n-grams (every occurrence counted;
     the standard overlap-permitting simplification of the Gopher rule).
-    Same sorted-(h, c) run-length fold; completed runs of length ≥2 flush
+    Same sorted-packed run-length fold; completed runs of length ≥2 flush
     into the accumulator, the final run flushes in the finish lambda."""
-    g = window_stat_structs(th, lens, n)
+    g = window_stat_packed(th, lens, n)
 
     def flush(acc: Column) -> Column:
         return acc["out"] + F.when(
-            acc["run"] >= 2, acc["run"] * acc["pc"]).otherwise(F.lit(0))
+            acc["run"] >= 2, acc["run"] * _wchars(acc["pw"])
+        ).otherwise(F.lit(0))
 
-    def step(acc: Column, s: Column) -> Column:
-        same = (s["h"] == acc["ph"]) & (s["c"] == acc["pc"])
+    def step(acc: Column, w: Column) -> Column:
+        same = w == acc["pw"]
         return F.struct(
-            s["h"].alias("ph"), s["c"].alias("pc"),
+            w.alias("pw"),
             F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
             F.when(same, acc["out"]).otherwise(flush(acc)).alias("out"),
         )
@@ -352,8 +367,10 @@ def token_hashes(tk: Column) -> Column:
     rolling_window_hashes: inlined, the fold's repeated references would
     re-hash every token once per window (the HOF re-evaluation trap —
     see text.shingles_from_tokens)."""
+    # power-of-two modulus + non-negative operand: bitwise AND is
+    # value-identical to pmod and one op instead of three
     return F.transform(
-        tk, lambda w: F.pmod(tx.portable_hash60(w), F.lit(_TH_MOD)))
+        tk, lambda w: tx.portable_hash60(w).bitwiseAND(F.lit(_TH_MOD - 1)))
 
 
 def rolling_window_hashes(th: Column, n: int) -> Column:
@@ -378,8 +395,8 @@ def rolling_window_hashes(th: Column, n: int) -> Column:
     def unrolled(i: Column) -> Column:
         acc = F.element_at(th, i).cast("bigint")
         for j in range(1, n):
-            acc = F.pmod(acc * _ROLL_P + F.element_at(th, i + j),
-                         F.lit(_ROLL_M))
+            acc = (acc * _ROLL_P + F.element_at(th, i + j)).bitwiseAND(
+                F.lit(_ROLL_M - 1))
         return acc
 
     return F.transform(idx, unrolled)
