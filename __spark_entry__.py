@@ -1361,6 +1361,81 @@ def q_gopher_repetition(spark, sf):
     return cur.gopher_repetition_report(_docs_wide(spark, sf)).orderBy("source")
 
 
+def _docs_lines(spark, sf):
+    """documents with deterministic LINE structure planted in-query (the
+    corpus text has no newlines): tokens chunk into 6-word lines, each
+    line gets a cycling terminal-or-missing punctuation mark, the
+    (doc_id + line) % 13 == 7 residue injects 'javascript', and the
+    doc_id % 89 / % 97 residue classes append page-level 'lorem ipsum' /
+    curly-brace footers.  The construction is explicit and mirrored
+    verbatim in the oracle SQL (the _docs_pii pattern) — the operator
+    under test is the C4 rule evaluation, not the planting."""
+    d = _docs_wide(spark, sf).select(
+        "doc_id", "source", tx.tokens(F.col("text")).alias("tk"))
+    nl = F.ceil(F.size("tk") / F.lit(6.0)).cast("int")
+    idx = F.when(nl >= 1, F.sequence(F.lit(0), nl - 1)
+                 ).otherwise(F.lit([]).cast("array<int>"))
+    punct = F.array(F.lit("."), F.lit(""), F.lit("!"), F.lit("?"), F.lit(""))
+
+    def mk(i):
+        base = F.concat_ws(" ", F.slice(F.col("tk"), i * 6 + 1, 6))
+        js = F.when(F.pmod(F.col("doc_id") + i, 13) == 7,
+                    F.lit(" javascript embedded here")).otherwise(F.lit(""))
+        p = F.element_at(punct, (F.pmod(F.col("doc_id") + i, 5) + 1).cast("int"))
+        return F.concat(base, js, p)
+
+    lorem = F.when(F.col("doc_id") % 89 == 0,
+                   F.lit("\nthis page quotes lorem ipsum boilerplate.")
+                   ).otherwise(F.lit(""))
+    brace = F.when(F.col("doc_id") % 97 == 0,
+                   F.lit("\nfunction f() { return 1; }")).otherwise(F.lit(""))
+    return d.select(
+        "doc_id", "source",
+        F.concat(F.array_join(F.transform(idx, mk), "\n"), lorem, brace)
+        .alias("text"))
+
+
+def q_c4_line_filter(spark, sf):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2 — the Colossal Clean
+    Crawled Corpus recipe) over a line-structured corpus: keep lines that
+    end in terminal punctuation, have >= 5 words, and don't mention
+    javascript; drop pages with 'lorem ipsum', a '{', or < 3 surviving
+    lines.  Per-source disposition + line + character accounting.  The
+    rule evaluation is entirely row-local (split / rlike / higher-order
+    filter inside whole-stage codegen) — ZERO data-dependent shuffles
+    before the final per-source rollup, the ideal 100 TB map-only shape."""
+    from bigvectorbench_spark.operators import curation as cur
+    return cur.c4_line_filter_report(_docs_lines(spark, sf)).orderBy("source")
+
+
+def _docs_paras(spark, sf):
+    """documents with deterministic PARAGRAPH structure planted in-query:
+    tokens chunk into 8-word paragraphs joined by newlines.  The corpus's
+    planted exact/near-duplicate documents then share whole paragraphs —
+    exactly the cross-document redundancy paragraph dedup removes."""
+    d = _docs_wide(spark, sf).select(
+        "doc_id", "source", tx.tokens(F.col("text")).alias("tk"))
+    nl = F.ceil(F.size("tk") / F.lit(8.0)).cast("int")
+    idx = F.when(nl >= 1, F.sequence(F.lit(0), nl - 1)
+                 ).otherwise(F.lit([]).cast("array<int>"))
+    paras = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i * 8 + 1, 8)))
+    return d.select("doc_id", "source",
+                    F.array_join(paras, "\n").alias("text"))
+
+
+def q_paragraph_dedup(spark, sf):
+    """Corpus-wide keep-first exact paragraph deduplication (the
+    MassiveText / RefinedWeb stage: every repeated paragraph keeps only
+    its first (doc_id, position) occurrence), per-source accounting.
+    Shuffles carry (8-byte md5-derived hash, 8-byte packed occurrence
+    key, 4-byte length) per paragraph — paragraph TEXT never moves; the
+    keep decision is a map-side-combined min per hash and the rewrite is
+    a row-local indexed filter."""
+    from bigvectorbench_spark.operators import curation as cur
+    return cur.paragraph_dedup_report(_docs_paras(spark, sf)).orderBy("source")
+
+
 def q_decontaminate(spark, sf):
     """Eval-set decontamination: train docs sharing any 8-token window
     with the held-out slice (doc_id % 97 = 0).  The eval shingle
@@ -1718,6 +1793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dups": q_semantic_dups,
         "gopher_repetition": q_gopher_repetition,
         "substring_rewrite": q_substring_rewrite,
+        "c4_line_filter": q_c4_line_filter,
+        "paragraph_dedup": q_paragraph_dedup,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
@@ -2941,5 +3018,75 @@ SELECT source,
                      ((regexp_extract(source, '([0-9]+)$', 1)::BIGINT % 4) + 1) * 250
                 THEN 1 ELSE 0 END)::BIGINT AS n_kept
 FROM documents GROUP BY source
+""",
+        # the line/page construction mirrors _docs_lines verbatim; the
+        # C4 rules themselves are re-derived with DuckDB list/regexp ops
+        "c4_line_filter": f"""
+WITH tk AS (SELECT doc_id, source, {_TOKENS} AS tk FROM documents),
+lines AS (SELECT doc_id, source,
+  list_transform(range(0, CAST(ceil(len(tk) / 6.0) AS BIGINT)), i ->
+    array_to_string(tk[CAST(i*6+1 AS INT) : CAST(i*6+6 AS INT)], ' ')
+    || CASE WHEN (doc_id + i) % 13 = 7 THEN ' javascript embedded here'
+            ELSE '' END
+    || (['.', '', '!', '?', ''])[CAST((doc_id + i) % 5 AS INT) + 1]) AS ls
+  FROM tk),
+pages AS (SELECT doc_id, source,
+  array_to_string(ls, chr(10))
+  || CASE WHEN doc_id % 89 = 0
+          THEN chr(10) || 'this page quotes lorem ipsum boilerplate.'
+          ELSE '' END
+  || CASE WHEN doc_id % 97 = 0
+          THEN chr(10) || 'function f() {{ return 1; }}'
+          ELSE '' END AS text FROM lines),
+kept AS (SELECT doc_id, source, text,
+  string_split(text, chr(10)) AS lns,
+  list_filter(string_split(text, chr(10)), ln ->
+    regexp_matches(ln, '[.!?"]$')
+    AND len(list_filter(string_split(ln, ' '), w -> w != '')) >= 5
+    AND NOT contains(lower(ln), 'javascript')) AS kl FROM pages),
+stat AS (SELECT source, len(lns) AS n_lines, len(kl) AS n_kept_lines,
+  CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+       WHEN contains(text, '{{') THEN 'brace'
+       WHEN len(kl) < 3 THEN 'too_few_lines' ELSE 'kept' END AS status,
+  length(array_to_string(kl, chr(10))) AS clean_len FROM kept)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)::BIGINT AS n_kept_docs,
+  sum(CASE WHEN status = 'lorem_ipsum' THEN 1 ELSE 0 END)::BIGINT
+      AS n_lorem_ipsum,
+  sum(CASE WHEN status = 'brace' THEN 1 ELSE 0 END)::BIGINT AS n_brace,
+  sum(CASE WHEN status = 'too_few_lines' THEN 1 ELSE 0 END)::BIGINT
+      AS n_too_few_lines,
+  sum(n_lines)::BIGINT AS n_lines,
+  sum(CASE WHEN status = 'kept' THEN n_kept_lines ELSE 0 END)::BIGINT
+      AS n_lines_kept,
+  sum(CASE WHEN status = 'kept' THEN clean_len ELSE 0 END)::BIGINT
+      AS chars_kept
+FROM stat GROUP BY source ORDER BY source
+""",
+        # paragraph construction mirrors _docs_paras; keep-first = min
+        # packed (doc_id, pos) key per md5-derived 60-bit paragraph hash
+        "paragraph_dedup": f"""
+WITH tk AS (SELECT doc_id, source, {_TOKENS} AS tk FROM documents),
+paras AS (SELECT doc_id, source,
+  list_transform(range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT)), i ->
+    array_to_string(tk[CAST(i*8+1 AS INT) : CAST(i*8+8 AS INT)], ' ')) AS ps
+  FROM tk),
+occ AS (SELECT doc_id, source, u.i AS pos, u.p AS para FROM
+  (SELECT doc_id, source, unnest(list_transform(range(1, len(ps) + 1),
+     i -> {{'i': i, 'p': ps[CAST(i AS INT)]}})) AS u FROM paras)),
+hashed AS (SELECT doc_id, pos, length(para) AS plen,
+  {_PHASH.format(x='para')} AS h,
+  doc_id * 1048576 + pos AS key FROM occ),
+firsts AS (SELECT h, min(key) AS mk FROM hashed GROUP BY h),
+cuts AS (SELECT doc_id, count(*) AS n_cut, sum(plen) AS chars_cut
+  FROM hashed JOIN firsts USING (h) WHERE key != mk GROUP BY doc_id),
+docs AS (SELECT doc_id, source, len(ps) AS n_paras FROM paras)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(n_paras)::BIGINT AS n_paras,
+  sum(coalesce(n_cut, 0))::BIGINT AS n_dup_paras,
+  sum(CASE WHEN coalesce(n_cut, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+      AS n_docs_affected,
+  sum(coalesce(chars_cut, 0))::BIGINT AS chars_removed
+FROM docs LEFT JOIN cuts USING (doc_id) GROUP BY source ORDER BY source
 """,
     }

@@ -686,3 +686,199 @@ def substring_spans(df: DataFrame, *, id_col: str = "doc_id",
         (F.col("sp.e") - F.col("sp.s") + window).cast("bigint")
         .alias("span_len"),
     )
+
+
+# ------------------------------------------------------------- C4 line rules
+
+# Line- and page-level cleaning heuristics from C4 (Raffel et al. 2020,
+# "Exploring the Limits of Transfer Learning...", §2.2 — the rules behind
+# the Colossal Clean Crawled Corpus).  Reference scope: the reference
+# benchmarks engines on curated corpora but ships no cleaning stage; this
+# is the builder's-brief training-pipeline surface, like pii_scrub above.
+C4_MIN_WORDS_PER_LINE = 5     # "only retained lines that contained at
+                              #  least 5 words"
+C4_MIN_LINES = 3              # "discarded any page with fewer than 3
+                              #  sentences" (line = sentence here)
+C4_TERMINAL_RE = r'[.!?"]$'   # "lines that ended in a terminal
+                              #  punctuation mark"
+_C4_LINE_WORD = "javascript"  # "removed any line with the word Javascript"
+_C4_PAGE_PHRASE = "lorem ipsum"
+_C4_PAGE_CHAR = "{"
+
+
+def _c4_kept_lines(lines: Column) -> Column:
+    """The per-line C4 keep predicate over an ARRAY<STRING> of lines: ends
+    in terminal punctuation, has >= C4_MIN_WORDS_PER_LINE whitespace words,
+    and does not mention javascript (case-insensitive).  Pure row-local
+    codegen (regexp + split + filter inside one transform) — the 100 TB
+    scan shape."""
+    def keep(ln: Column) -> Column:
+        words = F.filter(F.split(ln, " "), lambda w: w != "")
+        return (
+            ln.rlike(C4_TERMINAL_RE)
+            & (F.size(words) >= C4_MIN_WORDS_PER_LINE)
+            & ~F.lower(ln).contains(_C4_LINE_WORD)
+        )
+    return F.filter(lines, keep)
+
+
+def c4_clean(df: DataFrame, *, id_col: str = "doc_id",
+             text_col: str = "text", line_sep: str = "\n",
+             extra_cols: Sequence[str] = ()) -> DataFrame:
+    """Apply the C4 cleaning rules to a line-structured corpus: filter
+    lines (terminal punctuation, >=5 words, no 'javascript'), then drop
+    whole pages ('lorem ipsum' anywhere, a '{' anywhere, or fewer than
+    C4_MIN_LINES surviving lines).  Emits one row per input document:
+
+      (doc_id, [extra_cols...], n_lines, n_kept_lines, status, text_clean)
+
+    where status in ('kept', 'lorem_ipsum', 'brace', 'too_few_lines') —
+    page-drop reasons checked in that order (first match wins, so counts
+    partition the corpus) — and text_clean is the kept lines re-joined
+    (NULL for dropped pages).  ``extra_cols`` pass through row-locally so
+    reports never need a join back to the corpus.
+
+    Scale shape: entirely row-local (split / rlike / higher-order filter
+    in whole-stage codegen); ZERO shuffles — the ideal 100 TB map-only
+    stage.  Reports aggregate on top (c4_line_filter_report)."""
+    lines = F.split(F.col(text_col), line_sep)
+    kept = _c4_kept_lines(lines)
+    low = F.lower(F.col(text_col))
+    status = (
+        F.when(low.contains(_C4_PAGE_PHRASE), F.lit("lorem_ipsum"))
+        .when(F.col(text_col).contains(_C4_PAGE_CHAR), F.lit("brace"))
+        .when(F.size(kept) < C4_MIN_LINES, F.lit("too_few_lines"))
+        .otherwise(F.lit("kept"))
+    )
+    return df.withColumn("_lines", lines).withColumn("_kept", kept).select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.size("_lines").cast("bigint").alias("n_lines"),
+        F.size("_kept").cast("bigint").alias("n_kept_lines"),
+        status.alias("status"),
+        F.when(status == "kept", F.array_join(F.col("_kept"), line_sep))
+        .alias("text_clean"),
+    )
+
+
+def c4_line_filter_report(df: DataFrame, *, id_col: str = "doc_id",
+                          text_col: str = "text", group_col: str = "source",
+                          line_sep: str = "\n") -> DataFrame:
+    """Per-group C4 accounting: documents by disposition, line totals, and
+    the character volume that survives.  One map-side-combined rollup on
+    top of the shuffle-free c4_clean scan (group_col rides through the
+    scan — no join back)."""
+    cleaned = c4_clean(
+        df, id_col=id_col, text_col=text_col, line_sep=line_sep,
+        extra_cols=(group_col,),
+    )
+    return (
+        cleaned.groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("status") == "kept").cast("int")).cast("bigint")
+            .alias("n_kept_docs"),
+            F.sum((F.col("status") == "lorem_ipsum").cast("int"))
+            .cast("bigint").alias("n_lorem_ipsum"),
+            F.sum((F.col("status") == "brace").cast("int")).cast("bigint")
+            .alias("n_brace"),
+            F.sum((F.col("status") == "too_few_lines").cast("int"))
+            .cast("bigint").alias("n_too_few_lines"),
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("status") == "kept", F.col("n_kept_lines"))
+                  .otherwise(F.lit(0))).cast("bigint").alias("n_lines_kept"),
+            F.sum(F.coalesce(F.length("text_clean"), F.lit(0)))
+            .cast("bigint").alias("chars_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------- paragraph dedup
+
+def paragraph_dedup(df: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", sep: str = "\n",
+                    extra_cols: Sequence[str] = ()) -> DataFrame:
+    """Corpus-wide exact PARAGRAPH deduplication, keep-first (the
+    MassiveText / RefinedWeb stage: every repeated paragraph keeps exactly
+    one copy — its first occurrence in (doc_id, position) order — and all
+    other occurrences are removed, including repeats inside one document).
+
+    Emits one row per input document:
+
+      (doc_id, n_paras, n_dup_removed, chars_removed, text_clean)
+
+    text_clean = surviving paragraphs re-joined in original order ('' when
+    every paragraph was a later duplicate).
+
+    Scale shape: paragraphs are keyed by portable_hash60, so the shuffle
+    carries (8-byte hash, packed 8-byte occurrence key, 4-byte length) per
+    paragraph — NEVER paragraph text; the keep decision is min(key) per
+    hash with map-side partial min, the cut-set joins back on doc_id, and
+    the rewrite is a row-local indexed filter over the re-split document
+    (the substring_rewrite pattern one level up).  A 60-bit hash collision
+    merges two distinct paragraphs (expectation <1 below ~10^8 paragraphs);
+    the DuckDB oracle groups by the same md5-derived hash, so even a
+    collision is mirrored."""
+    paras = df.select(F.col(id_col), *[F.col(c) for c in extra_cols],
+                      F.split(F.col(text_col), sep).alias("ps"))
+    key = F.col(id_col).cast("bigint") * _POS_PACK + F.col("pos")
+    occ = paras.select(
+        id_col,
+        F.posexplode(F.transform(
+            F.col("ps"),
+            lambda p: F.struct(tx.portable_hash60(p).alias("h"),
+                               F.length(p).alias("len")),
+        )).alias("pos", "s"),
+    ).withColumn("pos", F.col("pos") + 1).select(
+        id_col, "pos", F.col("s.h").alias("h"), F.col("s.len").alias("len"),
+    ).withColumn("key", key)
+    first = occ.groupBy("h").agg(F.min("key").alias("min_key"))
+    cuts = (
+        occ.join(first, "h")
+        .filter(F.col("key") != F.col("min_key"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("pos")).alias("cps"),
+             F.sum("len").cast("bigint").alias("chars_removed"))
+    )
+    joined = paras.join(cuts, id_col, "left").select(
+        id_col, *extra_cols, "ps",
+        F.coalesce(F.col("cps"), F.lit([]).cast("array<int>")).alias("cps"),
+        F.coalesce(F.col("chars_removed"), F.lit(0).cast("bigint"))
+        .alias("chars_removed"),
+    )
+    indexed = F.transform(
+        F.col("ps"), lambda p, i: F.struct(p.alias("p"), (i + 1).alias("i")))
+    kept = F.filter(indexed,
+                    lambda s: ~F.array_contains(F.col("cps"), s["i"]))
+    return joined.select(
+        id_col, *extra_cols,
+        F.size("ps").cast("bigint").alias("n_paras"),
+        F.size("cps").cast("bigint").alias("n_dup_removed"),
+        "chars_removed",
+        F.array_join(F.transform(kept, lambda s: s["p"]), sep)
+        .alias("text_clean"),
+    )
+
+
+def paragraph_dedup_report(df: DataFrame, *, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           group_col: str = "source",
+                           sep: str = "\n") -> DataFrame:
+    """Per-group paragraph-dedup accounting: paragraph totals, duplicates
+    removed, affected documents, characters removed.  One rollup over the
+    per-document dedup (hash-keyed shuffles only; text never moves)."""
+    per_doc = paragraph_dedup(
+        df, id_col=id_col, text_col=text_col, sep=sep,
+        extra_cols=(group_col,),
+    )
+    return (
+        per_doc.groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_paras").cast("bigint").alias("n_paras"),
+            F.sum("n_dup_removed").cast("bigint").alias("n_dup_paras"),
+            F.sum((F.col("n_dup_removed") > 0).cast("int")).cast("bigint")
+            .alias("n_docs_affected"),
+            F.sum("chars_removed").cast("bigint").alias("chars_removed"),
+        )
+    )
