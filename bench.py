@@ -75,6 +75,8 @@ HEADLINE = [
     "semantic_dups",
     "gopher_repetition",
     "substring_rewrite",
+    "c4_line_filter",
+    "paragraph_dedup",
     "bm25_topk",
     "top_terms_per_source",
     "token_stats",

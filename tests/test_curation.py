@@ -380,3 +380,115 @@ def test_rolling_window_hashes_match_python(spark):
 
     for i, t in enumerate(texts):
         assert got[i] == py(t, 4), i
+
+
+# --------------------------------------------------------------- C4 cleaning
+
+
+def test_c4_clean_line_rules(spark):
+    """Each per-line rule in isolation: terminal punctuation, >=5 words,
+    no 'javascript' (case-insensitive)."""
+    text = "\n".join([
+        "this line has exactly five words.",     # kept
+        "this line has no terminal punctuation", # dropped: no [.!?"] end
+        "too few words here!",                   # dropped: 4 words
+        "this JavaScript line would otherwise be kept.",  # dropped: js
+        'a quoted line with six words total"',   # kept: quote is terminal
+        "another perfectly fine sentence ends right here?",  # kept
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = cur.c4_clean(df).collect()[0]
+    assert r["n_lines"] == 6
+    assert r["n_kept_lines"] == 3
+    assert r["status"] == "kept"
+    assert r["text_clean"].splitlines() == [
+        "this line has exactly five words.",
+        'a quoted line with six words total"',
+        "another perfectly fine sentence ends right here?",
+    ]
+
+
+def test_c4_page_drop_reasons_first_match_wins(spark):
+    """Page-level checks in order lorem_ipsum -> brace -> too_few_lines;
+    counts partition the corpus because only the first reason is
+    recorded.  The phrase/char checks scan the ORIGINAL page (C4 drops
+    the page even when the offending line would itself be filtered)."""
+    good = "\n".join(["a sentence long enough to keep around."] * 3)
+    both = good + "\nsome Lorem Ipsum boilerplate { inside }"
+    brace = good + "\nvar x = { a: 1 }"
+    few = "one good sentence with enough words here.\nshort line."
+    df = spark.createDataFrame(
+        [(1, good), (2, both), (3, brace), (4, few), (5, "")],
+        "doc_id long, text string")
+    st = {r["doc_id"]: r["status"] for r in cur.c4_clean(df).collect()}
+    assert st == {1: "kept", 2: "lorem_ipsum", 3: "brace",
+                  4: "too_few_lines", 5: "too_few_lines"}
+    out = cur.c4_clean(df).filter(F.col("status") != "kept").collect()
+    assert all(r["text_clean"] is None for r in out)
+
+
+def test_c4_report_totals(spark):
+    good = "\n".join(["a sentence long enough to keep around."] * 3)
+    df = spark.createDataFrame(
+        [(1, "a", good), (2, "a", "tiny."), (3, "b", good + "\n{")],
+        "doc_id long, source string, text string")
+    out = {r["source"]: r for r in cur.c4_line_filter_report(df).collect()}
+    assert out["a"]["n_docs"] == 2 and out["a"]["n_kept_docs"] == 1
+    assert out["a"]["n_too_few_lines"] == 1
+    assert out["a"]["n_lines"] == 4
+    assert out["a"]["n_lines_kept"] == 3
+    assert out["a"]["chars_kept"] == len(good)
+    assert out["b"]["n_brace"] == 1 and out["b"]["n_kept_docs"] == 0
+
+
+# ----------------------------------------------------------- paragraph dedup
+
+
+def test_paragraph_dedup_keep_first_across_docs(spark):
+    """Keep-first is global (doc_id, position) order regardless of
+    DataFrame row order: the repeated paragraph survives only in the
+    lowest-keyed occurrence."""
+    df = spark.createDataFrame(
+        [(7, "shared paragraph text\nunique to seven"),
+         (3, "unique to three\nshared paragraph text")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cur.paragraph_dedup(df).collect()}
+    assert out[3]["n_dup_removed"] == 0
+    assert out[3]["text_clean"] == "unique to three\nshared paragraph text"
+    assert out[7]["n_dup_removed"] == 1
+    assert out[7]["chars_removed"] == len("shared paragraph text")
+    assert out[7]["text_clean"] == "unique to seven"
+
+
+def test_paragraph_dedup_within_doc_repeats(spark):
+    df = spark.createDataFrame(
+        [(1, "same para\nsame para\nother para\nsame para")],
+        "doc_id long, text string")
+    r = cur.paragraph_dedup(df).collect()[0]
+    assert (r["n_paras"], r["n_dup_removed"]) == (4, 2)
+    assert r["text_clean"] == "same para\nother para"
+    assert r["chars_removed"] == 2 * len("same para")
+
+
+def test_paragraph_dedup_all_dups_yields_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "only para"), (2, "only para")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cur.paragraph_dedup(df).collect()}
+    assert out[1]["text_clean"] == "only para"
+    assert out[2]["text_clean"] == "" and out[2]["n_dup_removed"] == 1
+
+
+def test_paragraph_dedup_report_totals(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "p one\np two"), (2, "a", "p two\np three"),
+         (3, "b", "p one\np one")],
+        "doc_id long, source string, text string")
+    out = {r["source"]: r
+           for r in cur.paragraph_dedup_report(df).collect()}
+    assert out["a"]["n_paras"] == 4 and out["a"]["n_dup_paras"] == 1
+    assert out["a"]["n_docs_affected"] == 1
+    # dedup is corpus-wide: doc 1 (source a) holds the first "p one", so
+    # BOTH of doc 3's copies are later occurrences
+    assert out["b"]["n_dup_paras"] == 2
+    assert out["b"]["chars_removed"] == 2 * len("p one")
+    assert out["b"]["n_docs_affected"] == 1
