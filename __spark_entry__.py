@@ -1436,6 +1436,21 @@ def q_paragraph_dedup(spark, sf):
     return cur.paragraph_dedup_report(_docs_paras(spark, sf)).orderBy("source")
 
 
+def q_dsir_select(spark, sf):
+    """DSIR-style data selection (Xie et al. 2023): hashed-bigram
+    importance ratios of a planted target slice (doc_id % 17 = 0) vs the
+    raw pool, per-source disposition accounting.  Exact-arithmetic oracle
+    form: each of the 4096 bucket ratios is one identically-ordered IEEE
+    double expression rounded once to 6 dp, per-doc sums accumulate in
+    DECIMAL, and the keep rule (mean ratio >= 1) is a decimal-vs-integer
+    compare — no float boundary can flip a disposition between engines.
+    Scale shape: the distribution fit shuffles <= 4096 rows per
+    partition, the ratio table broadcasts, the per-doc rollup is
+    map-side combined; document text never moves."""
+    from bigvectorbench_spark.operators import dsir
+    return dsir.dsir_report(_docs_wide(spark, sf)).orderBy("source")
+
+
 def q_decontaminate(spark, sf):
     """Eval-set decontamination: train docs sharing any 8-token window
     with the held-out slice (doc_id % 97 = 0).  The eval shingle
@@ -1795,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_rewrite": q_substring_rewrite,
         "c4_line_filter": q_c4_line_filter,
         "paragraph_dedup": q_paragraph_dedup,
+        "dsir_select": q_dsir_select,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
@@ -3088,5 +3104,40 @@ SELECT source, count(*)::BIGINT AS n_docs,
       AS n_docs_affected,
   sum(coalesce(chars_cut, 0))::BIGINT AS chars_removed
 FROM docs LEFT JOIN cuts USING (doc_id) GROUP BY source ORDER BY source
+""",
+        # hashed-bigram DSIR: buckets via the SAME token-hash + 2-window
+        # rolling fold the Spark side uses; each bucket ratio is the
+        # identical IEEE double op sequence rounded once to 6 dp, per-doc
+        # sums exact in DECIMAL, keep = decimal >= integer
+        "dsir_select": f"""
+WITH tk AS (SELECT doc_id, source, {_TOKENS} AS tk FROM documents),
+tkh AS (SELECT doc_id, source, {_TH} AS th FROM tk),
+occ AS (SELECT doc_id, source,
+  unnest(list_transform(range(1, len(th)), i -> {_rwh('i', 2)} % 4096)) AS b
+  FROM tkh),
+dist AS (SELECT b, count(*)::BIGINT AS raw_c,
+  sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END)::BIGINT AS tgt_c
+  FROM occ GROUP BY b),
+tot AS (SELECT sum(raw_c)::BIGINT AS t_raw, sum(tgt_c)::BIGINT AS t_tgt
+  FROM dist),
+terms AS (SELECT b,
+  round(((tgt_c + 1)::DOUBLE / (t_tgt + 4096)::DOUBLE)
+      / ((raw_c + 1)::DOUBLE / (t_raw + 4096)::DOUBLE), 6)::DECIMAL(18,6)
+      AS term
+  FROM dist, tot),
+perdoc AS (SELECT doc_id, any_value(source) AS source,
+  count(*)::BIGINT AS n, sum(term) AS ws
+  FROM occ JOIN terms USING (b) GROUP BY doc_id),
+alldocs AS (
+  SELECT source, n, ws, CASE WHEN ws >= n THEN 1 ELSE 0 END AS kept,
+         1 AS scored FROM perdoc
+  UNION ALL
+  SELECT source, 0, NULL, 0, 0 FROM tkh WHERE len(th) < 2)
+SELECT source, count(*)::BIGINT AS n_docs,
+  sum(scored)::BIGINT AS n_scored,
+  sum(kept)::BIGINT AS n_kept,
+  sum(n)::BIGINT AS n_bigrams,
+  round(sum(ws)::DOUBLE / sum(n), 6) AS mean_weight
+FROM alldocs GROUP BY source ORDER BY source
 """,
     }

@@ -77,6 +77,7 @@ HEADLINE = [
     "substring_rewrite",
     "c4_line_filter",
     "paragraph_dedup",
+    "dsir_select",
     "bm25_topk",
     "top_terms_per_source",
     "token_stats",

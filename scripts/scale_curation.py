@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from bigvectorbench_spark import get_spark
 from bigvectorbench_spark.functions import text as tx
 from bigvectorbench_spark.operators import curation as cur
+from bigvectorbench_spark.operators import dsir
 from bigvectorbench_spark.operators import lm
 from bigvectorbench_spark.operators import packing as pk
 
@@ -56,6 +57,19 @@ def reports(docs):
         "block_manifest": pk.block_manifest(
             pk.pack_blocks(docs, block_size=512), block_size=512),
         "lm_fluency": lm.lm_score_report(docs),
+        "dsir_select": dsir.dsir_report(docs),
+    }
+
+
+def entry_reports(spark, d):
+    """Stages whose line/paragraph structure is planted in-query by the
+    entry module (the corpus text has no newlines): reuse the exact
+    headline constructions so the scale numbers measure the same plans."""
+    import __spark_entry__ as entry
+
+    return {
+        "c4_line_filter": entry.q_c4_line_filter(spark, d),
+        "paragraph_dedup": entry.q_paragraph_dedup(spark, d),
     }
 
 
@@ -67,7 +81,9 @@ def main() -> None:
         docs = spark.read.parquet(f"{d}/documents.parquet").repartition(par)
         n = docs.count()
         out = {}
-        for name, df in reports(docs).items():
+        todo = dict(reports(docs))
+        todo.update(entry_reports(spark, d))
+        for name, df in todo.items():
             times = []
             for _ in range(RUNS):
                 t0 = time.perf_counter()
