@@ -294,3 +294,58 @@ def test_semantic_dups_is_cluster_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "cluster_id" in plan
+
+
+def test_c4_clean_is_zero_shuffle_scan(spark):
+    """Every C4 rule is row-local; the report adds exactly one rollup
+    exchange.  At 100 TB this is the ideal map-only cleaning shape."""
+    from bigvectorbench_spark.operators.curation import (
+        c4_clean, c4_line_filter_report)
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", "a good long sentence here.\nshort one.")
+         for i in range(30)],
+        "doc_id bigint, source string, text string",
+    )
+    assert "Exchange" not in plan_of(c4_clean(docs))
+    plan = plan_of(c4_line_filter_report(docs))
+    assert plan.count("Exchange") <= 2  # hashpartitioning (+AQE read)
+    for j in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in plan
+
+
+def test_paragraph_dedup_shuffles_hashes_not_text(spark):
+    """The keep-first decision joins on the 60-bit paragraph hash h; the
+    cut-set joins back on doc_id.  Paragraph TEXT must appear in no
+    exchange: both shuffles carry fixed-width columns only."""
+    from bigvectorbench_spark.operators.curation import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "para one text\npara two text") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    plan = plan_of(paragraph_dedup(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exchanges partition by hash h / min-key grouping / doc_id — never by
+    # a string column; the paragraph string column is named `ps` pre-split
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "ps" not in line and "para" not in line, line
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    """The 4096-row bucket-ratio table must broadcast into the weight
+    join; the corpus side is never sort-merge-joined, and the totals
+    cross-join is a 1-row broadcast, not a cartesian of the corpus."""
+    from bigvectorbench_spark.operators.dsir import dsir_report
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", " ".join(f"w{(i * 3 + j) % 17}" for j in range(10)))
+         for i in range(40)],
+        "doc_id bigint, source string, text string",
+    )
+    plan = plan_of(dsir_report(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
