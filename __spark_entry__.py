@@ -1436,6 +1436,65 @@ def q_paragraph_dedup(spark, sf):
     return cur.paragraph_dedup_report(_docs_paras(spark, sf)).orderBy("source")
 
 
+def q_llm_data_mix(spark, sf):
+    """End-to-end RefinedWeb-style training-mix assembly, composed from
+    this round's stages and value-oracled through ALL of them: C4
+    line/page cleaning -> corpus-wide keep-first exact LINE dedup (the
+    paragraph_dedup operator at line granularity, RefinedWeb's exact
+    line dedup) -> DSIR importance selection over the REWRITTEN text ->
+    per-source accounting (docs surviving each stage, duplicate lines
+    cut, tokens entering the final mix, mean importance ratio).
+
+    Composition stays cheap because each stage's expensive decision
+    travels as fixed-width keys: the C4 stage is a zero-shuffle scan,
+    the line-dedup stage shuffles (hash, packed key, length) triples,
+    DSIR broadcasts a 4096-row ratio table, and the three per-source
+    rollups join on the 20-row source dimension.  tokens_kept falls out
+    of the DSIR bigram count (tokens = bigrams + 1 for scored docs) —
+    no extra tokenize-and-join pass over the corpus."""
+    from bigvectorbench_spark.operators import curation as cur
+    from bigvectorbench_spark.operators import dsir
+
+    # Stage boundaries are MATERIALIZATION points: each intermediate
+    # corpus is consumed by more than one downstream pass (the C4 output
+    # by the stage-1 rollup and the dedup; the rewritten corpus by the
+    # DSIR distribution fit, the weight join, and the empties sweep).
+    # At 100 TB these would be parquet checkpoints between jobs; locally
+    # persist() plays that role (bench.py clears the cache per query).
+    lines = _docs_lines(spark, sf)
+    c4 = cur.c4_clean(lines, extra_cols=("source",)).persist()
+    s1 = c4.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("status") == "kept").cast("int")).cast("bigint")
+        .alias("n_c4_kept"))
+    kept = (c4.filter(F.col("status") == "kept")
+            .select("doc_id", "source",
+                    F.col("text_clean").alias("text")))
+    dd = cur.paragraph_dedup(kept, extra_cols=("source",))
+    s2 = dd.groupBy("source").agg(
+        F.sum("n_dup_removed").cast("bigint").alias("n_line_dups_removed"))
+    final = dd.select("doc_id", "source",
+                      F.col("text_clean").alias("text")).persist()
+    w = dsir.dsir_weights(final, extra_cols=("source",))
+    s3 = w.groupBy("source").agg(
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_dsir_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_bigrams") + 1)
+              .otherwise(F.lit(0))).cast("bigint").alias("tokens_kept"),
+        F.round(F.sum("weight_sum").cast("double") / F.sum("n_bigrams"), 6)
+        .alias("mean_weight"))
+    return (s1.join(s2, "source", "left").join(s3, "source", "left")
+            .select(
+                "source", "n_docs", "n_c4_kept",
+                F.coalesce("n_line_dups_removed", F.lit(0)).cast("bigint")
+                .alias("n_line_dups_removed"),
+                F.coalesce("n_dsir_kept", F.lit(0)).cast("bigint")
+                .alias("n_dsir_kept"),
+                F.coalesce("tokens_kept", F.lit(0)).cast("bigint")
+                .alias("tokens_kept"),
+                "mean_weight")
+            .orderBy("source"))
+
+
 def q_dsir_select(spark, sf):
     """DSIR-style data selection (Xie et al. 2023): hashed-bigram
     importance ratios of a planted target slice (doc_id % 17 = 0) vs the
@@ -1811,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "paragraph_dedup": q_paragraph_dedup,
         "dsir_select": q_dsir_select,
+        "llm_data_mix": q_llm_data_mix,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
@@ -3104,6 +3164,90 @@ SELECT source, count(*)::BIGINT AS n_docs,
       AS n_docs_affected,
   sum(coalesce(chars_cut, 0))::BIGINT AS chars_removed
 FROM docs LEFT JOIN cuts USING (doc_id) GROUP BY source ORDER BY source
+""",
+        # the full composed pipeline: C4 CTEs as in c4_line_filter, line
+        # dedup as in paragraph_dedup (min packed key per md5-60bit line
+        # hash, rewrite via indexed list_filter), DSIR as in dsir_select
+        # but over the REWRITTEN text — every stage's values flow into
+        # the next, so a mismatch anywhere surfaces in the final hash
+        "llm_data_mix": f"""
+WITH tk AS (SELECT doc_id, source, {_TOKENS} AS tk FROM documents),
+lines AS (SELECT doc_id, source,
+  list_transform(range(0, CAST(ceil(len(tk) / 6.0) AS BIGINT)), i ->
+    array_to_string(tk[CAST(i*6+1 AS INT) : CAST(i*6+6 AS INT)], ' ')
+    || CASE WHEN (doc_id + i) % 13 = 7 THEN ' javascript embedded here'
+            ELSE '' END
+    || (['.', '', '!', '?', ''])[CAST((doc_id + i) % 5 AS INT) + 1]) AS ls
+  FROM tk),
+pages AS (SELECT doc_id, source,
+  array_to_string(ls, chr(10))
+  || CASE WHEN doc_id % 89 = 0
+          THEN chr(10) || 'this page quotes lorem ipsum boilerplate.'
+          ELSE '' END
+  || CASE WHEN doc_id % 97 = 0
+          THEN chr(10) || 'function f() {{ return 1; }}'
+          ELSE '' END AS text FROM lines),
+keptl AS (SELECT doc_id, source, text,
+  list_filter(string_split(text, chr(10)), ln ->
+    regexp_matches(ln, '[.!?"]$')
+    AND len(list_filter(string_split(ln, ' '), w -> w != '')) >= 5
+    AND NOT contains(lower(ln), 'javascript')) AS kl FROM pages),
+s1 AS (SELECT source, count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{{')
+            AND len(kl) >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_c4_kept
+  FROM keptl GROUP BY source),
+c4docs AS (SELECT doc_id, source, kl FROM keptl
+  WHERE NOT contains(lower(text), 'lorem ipsum')
+    AND NOT contains(text, '{{')
+    AND len(kl) >= 3),
+occ1 AS (SELECT doc_id, source, u.i AS pos, u.p AS ln FROM
+  (SELECT doc_id, source, unnest(list_transform(range(1, len(kl) + 1),
+     i -> {{'i': i, 'p': kl[CAST(i AS INT)]}})) AS u FROM c4docs)),
+hashed AS (SELECT doc_id, pos, {_PHASH.format(x='ln')} AS h,
+  doc_id * 1048576 + pos AS key FROM occ1),
+firsts AS (SELECT h, min(key) AS mk FROM hashed GROUP BY h),
+cuts AS (SELECT doc_id, list(pos) AS cps, count(*)::BIGINT AS ncut
+  FROM hashed JOIN firsts USING (h) WHERE key != mk GROUP BY doc_id),
+dedup AS (SELECT c.doc_id, c.source,
+  array_to_string(list_transform(
+    list_filter(range(1, len(c.kl) + 1),
+      i -> NOT coalesce(list_contains(u.cps, i), false)),
+    i -> c.kl[CAST(i AS INT)]), chr(10)) AS dtext,
+  coalesce(u.ncut, 0)::BIGINT AS ncut
+  FROM c4docs c LEFT JOIN cuts u ON c.doc_id = u.doc_id),
+s2 AS (SELECT source, sum(ncut)::BIGINT AS n_line_dups_removed
+  FROM dedup GROUP BY source),
+dre AS (SELECT doc_id, source, dtext AS text FROM dedup),
+dtk AS (SELECT doc_id, source, {_TOKENS} AS tk FROM dre),
+dth AS (SELECT doc_id, source, {_TH} AS th FROM dtk),
+occ2 AS (SELECT doc_id,
+  unnest(list_transform(range(1, len(th)), i -> {_rwh('i', 2)} % 4096)) AS b
+  FROM dth),
+dist AS (SELECT b, count(*)::BIGINT AS raw_c,
+  sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END)::BIGINT AS tgt_c
+  FROM occ2 GROUP BY b),
+tot AS (SELECT sum(raw_c)::BIGINT AS t_raw, sum(tgt_c)::BIGINT AS t_tgt
+  FROM dist),
+terms AS (SELECT b,
+  round(((tgt_c + 1)::DOUBLE / (t_tgt + 4096)::DOUBLE)
+      / ((raw_c + 1)::DOUBLE / (t_raw + 4096)::DOUBLE), 6)::DECIMAL(18,6)
+      AS term
+  FROM dist, tot),
+perdoc AS (SELECT o.doc_id, count(*)::BIGINT AS n, sum(term) AS ws
+  FROM occ2 o JOIN terms USING (b) GROUP BY o.doc_id),
+s3 AS (SELECT d.source,
+  sum(CASE WHEN p.ws >= p.n THEN 1 ELSE 0 END)::BIGINT AS n_dsir_kept,
+  sum(CASE WHEN p.ws >= p.n THEN p.n + 1 ELSE 0 END)::BIGINT AS tokens_kept,
+  round(sum(p.ws)::DOUBLE / sum(p.n), 6) AS mean_weight
+  FROM dth d LEFT JOIN perdoc p ON d.doc_id = p.doc_id GROUP BY d.source)
+SELECT s1.source, s1.n_docs, s1.n_c4_kept,
+  coalesce(s2.n_line_dups_removed, 0)::BIGINT AS n_line_dups_removed,
+  coalesce(s3.n_dsir_kept, 0)::BIGINT AS n_dsir_kept,
+  coalesce(s3.tokens_kept, 0)::BIGINT AS tokens_kept,
+  s3.mean_weight
+FROM s1 LEFT JOIN s2 USING (source) LEFT JOIN s3 USING (source)
+ORDER BY source
 """,
         # hashed-bigram DSIR: buckets via the SAME token-hash + 2-window
         # rolling fold the Spark side uses; each bucket ratio is the

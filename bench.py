@@ -78,6 +78,7 @@ HEADLINE = [
     "c4_line_filter",
     "paragraph_dedup",
     "dsir_select",
+    "llm_data_mix",
     "bm25_topk",
     "top_terms_per_source",
     "token_stats",

@@ -70,3 +70,22 @@ def test_all_queries_run_at_smallest_sf(spark, sf_dir):
         df = fn(spark, sf_dir)
         assert df.columns, name
         df.limit(1).collect()
+
+
+def test_llm_data_mix_consistent_with_stage_queries(spark, sf_dir):
+    """The composed pipeline's stage-1 counts must equal the standalone
+    c4_line_filter query's per-source dispositions, its dedup volume must
+    be bounded by the kept corpus, and every stage can only shrink the
+    doc set."""
+    mix = {r["source"]: r
+           for r in entry.q_llm_data_mix(spark, sf_dir).collect()}
+    c4 = {r["source"]: r
+          for r in entry.q_c4_line_filter(spark, sf_dir).collect()}
+    assert set(mix) == set(c4)
+    for s, m in mix.items():
+        assert m["n_c4_kept"] == c4[s]["n_kept_docs"], s
+        assert 0 <= m["n_dsir_kept"] <= m["n_c4_kept"] <= m["n_docs"], s
+        # duplicate LINES removed can't exceed the lines that survived C4
+        assert 0 <= m["n_line_dups_removed"] <= c4[s]["n_lines_kept"], s
+        if m["n_dsir_kept"] > 0:
+            assert m["tokens_kept"] > 0 and m["mean_weight"] is not None
