@@ -1436,6 +1436,19 @@ def q_paragraph_dedup(spark, sf):
     return cur.paragraph_dedup_report(_docs_paras(spark, sf)).orderBy("source")
 
 
+def q_temperature_sample(spark, sf):
+    """Temperature-scaled mixture sampling (mT5/Gopher domain weighting,
+    alpha = 0.5): per-source keep rates proportional to sqrt(n_s),
+    targeting half the corpus; deterministic ppm-resolution hash keep.
+    Exact integer arithmetic after one correctly-rounded IEEE sqrt per
+    source — every emitted value hash-identical across engines.  The
+    corpus never shuffles: one count agg, a 20-row broadcast, a
+    partition-local filter."""
+    from bigvectorbench_spark.operators import curation as cur
+    return (cur.temperature_sample_report(load_table(spark, sf, "documents"))
+            .orderBy("source"))
+
+
 def q_llm_data_mix(spark, sf):
     """End-to-end RefinedWeb-style training-mix assembly, composed from
     this round's stages and value-oracled through ALL of them: C4
@@ -1871,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "dsir_select": q_dsir_select,
         "llm_data_mix": q_llm_data_mix,
+        "temperature_sample": q_temperature_sample,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
@@ -3248,6 +3262,27 @@ SELECT s1.source, s1.n_docs, s1.n_c4_kept,
   s3.mean_weight
 FROM s1 LEFT JOIN s2 USING (source) LEFT JOIN s3 USING (source)
 ORDER BY source
+""",
+        # alpha=0.5 temperature sampling: one IEEE sqrt per source, then
+        # pure int64 arithmetic — floor/DIV/Knuth-hash identical in both
+        # engines by construction
+        "temperature_sample": """
+WITH counts AS (SELECT source, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY source),
+w AS (SELECT source, n_docs,
+  floor(sqrt(n_docs::DOUBLE) * 1000)::BIGINT AS wu FROM counts),
+tot AS (SELECT sum(wu)::BIGINT AS t_wu, sum(n_docs)::BIGINT AS t_n FROM w),
+rates AS (SELECT source, n_docs, wu,
+  least(1000000,
+        (((t_n * 500) // 1000) * wu * 1000000) // (t_wu * n_docs))::BIGINT
+      AS p_ppm
+  FROM w, tot),
+keeps AS (SELECT d.source,
+  sum(CASE WHEN ((d.doc_id * 2654435761) % 4294967296) % 1000000 < r.p_ppm
+           THEN 1 ELSE 0 END)::BIGINT AS n_kept
+  FROM documents d JOIN rates r USING (source) GROUP BY d.source)
+SELECT r.source, r.n_docs, r.wu, r.p_ppm, k.n_kept
+FROM rates r JOIN keeps k USING (source) ORDER BY source
 """,
         # hashed-bigram DSIR: buckets via the SAME token-hash + 2-window
         # rolling fold the Spark side uses; each bucket ratio is the

@@ -79,6 +79,7 @@ HEADLINE = [
     "paragraph_dedup",
     "dsir_select",
     "llm_data_mix",
+    "temperature_sample",
     "bm25_topk",
     "top_terms_per_source",
     "token_stats",

@@ -621,6 +621,67 @@ def domain_mix_report(df: DataFrame, *, id_col: str = "doc_id",
     )
 
 
+def mix_hash_ppm(id_col: Column) -> Column:
+    """mix_hash at parts-per-million resolution (temperature sampling
+    needs finer rates than ‰).  Same envelope: ids < 2^31."""
+    return F.pmod(F.pmod(id_col.cast("bigint") * F.lit(_KNUTH),
+                         F.lit(_MOD32)), F.lit(1_000_000))
+
+
+def temperature_sample_report(df: DataFrame, *, id_col: str = "doc_id",
+                              group_col: str = "source",
+                              sample_permille: int = 500) -> DataFrame:
+    """Temperature-scaled mixture sampling (the mT5 / Gopher domain-
+    weighting step): redistribute a target sample of
+    ``sample_permille``/1000 of the corpus across groups proportionally
+    to n_s^alpha with alpha = 0.5, so over-represented domains are
+    downsampled and small domains over-sampled relative to natural
+    proportions.  alpha = 0.5 is the exactly-reproducible choice: IEEE
+    sqrt is correctly rounded, so both engines floor the SAME double —
+    arbitrary alpha works in-engine via pow() but is not bit-portable.
+
+    All downstream arithmetic is exact integers: group weight
+    wu = floor(sqrt(n_s) * 1000), target T = (N * permille) div 1000,
+    keep rate p_ppm = min(1e6, (T * wu * 1e6) div (Wu * n_s)), and the
+    keep decision is the deterministic Knuth hash at ppm resolution —
+    stable under re-runs and appends like domain_mix.  Integer envelope:
+    T * wu * 1e6 must fit in int64, which holds to ~7M documents; a
+    100 TB deployment widens the rate computation to DECIMAL(38,0)
+    (same operations, both engines exact).
+
+    Output per group: (group, n_docs, wu, p_ppm, n_kept).  Scale shape:
+    one count aggregation, a <=|groups|-row rate table broadcast back,
+    and the keep filter is partition-local — the corpus never shuffles."""
+    counts = df.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"))
+    weighted = counts.select(
+        group_col, "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000)
+        .cast("bigint").alias("wu"))
+    tot = weighted.agg(F.sum("wu").alias("t_wu"),
+                       F.sum("n_docs").alias("t_n"))
+    rates = (
+        weighted.crossJoin(F.broadcast(tot))
+        .withColumn("t_target",
+                    F.expr(f"(t_n * {int(sample_permille)}) DIV 1000"))
+        .withColumn(
+            "p_ppm",
+            F.least(F.lit(1_000_000).cast("bigint"),
+                    F.expr("(t_target * wu * 1000000) DIV (t_wu * n_docs)")))
+        .select(group_col, "n_docs", "wu", "p_ppm")
+    )
+    keeps = (
+        df.select(group_col, mix_hash_ppm(F.col(id_col)).alias("_h"))
+        .join(F.broadcast(rates.select(group_col, "p_ppm")), group_col)
+        .groupBy(group_col)
+        .agg(F.sum((F.col("_h") < F.col("p_ppm")).cast("int"))
+             .cast("bigint").alias("n_kept"))
+    )
+    # both sides are <=|groups| rows; say so instead of leaving the
+    # static planner to pick a sort-merge join it only fixes under AQE
+    return rates.join(F.broadcast(keeps), group_col)
+
+
 def substring_spans(df: DataFrame, *, id_col: str = "doc_id",
                     text_col: str = "text", window: int = 15) -> DataFrame:
     """Merged repeated spans per document — the full exact-substring-dedup

@@ -70,6 +70,7 @@ def entry_reports(spark, d):
     return {
         "c4_line_filter": entry.q_c4_line_filter(spark, d),
         "paragraph_dedup": entry.q_paragraph_dedup(spark, d),
+        "llm_data_mix": entry.q_llm_data_mix(spark, d),
     }
 
 

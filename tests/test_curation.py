@@ -492,3 +492,56 @@ def test_paragraph_dedup_report_totals(spark):
     assert out["b"]["n_dup_paras"] == 2
     assert out["b"]["chars_removed"] == 2 * len("p one")
     assert out["b"]["n_docs_affected"] == 1
+
+
+# ------------------------------------------------------- temperature sampling
+
+
+def test_temperature_sample_exact_arithmetic(spark):
+    """Rates reproduce the exact integer formula; the keep count matches
+    a Python recomputation of the Knuth ppm hash."""
+    import math
+
+    groups = {"big": 400, "mid": 100, "tiny": 25}
+    rows = []
+    i = 0
+    for g, n in groups.items():
+        for _ in range(n):
+            rows.append((i, g))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r
+           for r in cur.temperature_sample_report(df).collect()}
+    wu = {g: math.floor(math.sqrt(n) * 1000) for g, n in groups.items()}
+    t_wu, t_n = sum(wu.values()), sum(groups.values())
+    t_target = (t_n * 500) // 1000
+    for g, n in groups.items():
+        p = min(10**6, (t_target * wu[g] * 10**6) // (t_wu * n))
+        assert out[g]["n_docs"] == n
+        assert out[g]["wu"] == wu[g]
+        assert out[g]["p_ppm"] == p, g
+        kept = sum(1 for d, gg in rows
+                   if gg == g and ((d * 2654435761) % 2**32) % 10**6 < p)
+        assert out[g]["n_kept"] == kept, g
+    # temperature flattens the mixture: the small domain keeps a larger
+    # FRACTION than the big one
+    assert (out["tiny"]["p_ppm"] > out["mid"]["p_ppm"]
+            > out["big"]["p_ppm"])
+
+
+def test_temperature_sample_stable_under_append(spark):
+    """Hash determinism: documents kept from the original corpus remain
+    kept when the corpus is re-sampled after appending a NEW group (their
+    group's rate is unchanged if counts are unchanged)."""
+    base = [(i, "a") for i in range(100)] + [(i + 100, "b") for i in range(100)]
+    extra = [(i + 200, "c") for i in range(100)]
+    df1 = spark.createDataFrame(base, "doc_id long, source string")
+    df2 = spark.createDataFrame(base + extra, "doc_id long, source string")
+    r1 = {r["source"]: r for r in cur.temperature_sample_report(df1).collect()}
+    r2 = {r["source"]: r for r in cur.temperature_sample_report(df2).collect()}
+    # equal-sized groups get equal rates; a/b rates identical in both runs
+    # (t_target and t_wu scale together for identical group sizes)
+    assert r1["a"]["p_ppm"] == r1["b"]["p_ppm"]
+    assert r2["a"]["p_ppm"] == r2["b"]["p_ppm"] == r2["c"]["p_ppm"]
+    assert r1["a"]["p_ppm"] == r2["a"]["p_ppm"]
+    assert r1["a"]["n_kept"] == r2["a"]["n_kept"]

@@ -349,3 +349,20 @@ def test_dsir_ratio_table_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_temperature_sample_corpus_never_shuffles(spark):
+    """The rate table broadcasts back; the corpus side contributes one
+    count aggregation and one keep-filter aggregation — no sort-merge
+    join, no corpus-wide repartition by a data column."""
+    from bigvectorbench_spark.operators.curation import (
+        temperature_sample_report)
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(80)],
+        "doc_id bigint, source string",
+    )
+    plan = plan_of(temperature_sample_report(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
