@@ -1436,6 +1436,21 @@ def q_paragraph_dedup(spark, sf):
     return cur.paragraph_dedup_report(_docs_paras(spark, sf)).orderBy("source")
 
 
+def q_ccnet_bins(spark, sf):
+    """CCNet's per-language head/middle/tail split (Wenzek et al. 2020):
+    lang_id buckets x bigram-LM fluency terciles, exact-rank form with
+    the deterministic (score desc, doc_id) tie-break; 'unscored' bin for
+    docs with no in-vocabulary bigram so the report partitions the
+    corpus.  The approx-percentile tagging twin (mode='approx') is the
+    100 TB row-tagging path, declared rows-only.  Buckets use the
+    corpus's pre-classified lang column (CCNet buckets on its fastText
+    output, which in a warehouse IS a column; the marker-n-gram lang_id
+    fallback is the lang_col=None mode, pytest-covered)."""
+    from bigvectorbench_spark.operators import lm
+    return (lm.ccnet_bins_report(_docs_wide(spark, sf), lang_col="lang")
+            .orderBy("lang", "bin"))
+
+
 def q_temperature_sample(spark, sf):
     """Temperature-scaled mixture sampling (mT5/Gopher domain weighting,
     alpha = 0.5): per-source keep rates proportional to sqrt(n_s),
@@ -1885,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "llm_data_mix": q_llm_data_mix,
         "temperature_sample": q_temperature_sample,
+        "ccnet_bins": q_ccnet_bins,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
@@ -3262,6 +3278,51 @@ SELECT s1.source, s1.n_docs, s1.n_c4_kept,
   s3.mean_weight
 FROM s1 LEFT JOIN s2 USING (source) LEFT JOIN s3 USING (source)
 ORDER BY source
+""",
+        # CCNet binning: the corpus lang column x the lm_fluency oracle
+        # CTEs, then the same deterministic rank -> integer-division cut
+        "ccnet_bins": f"""
+WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+langs AS (SELECT d.doc_id, d.lang, len(t.tk)::BIGINT AS n_tok
+          FROM documents d JOIN tk t USING (doc_id)),
+pr AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+           i -> {{'w1': tk[i], 'w2': tk[i+1]}})) AS u FROM tk),
+p AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM pr),
+bg AS (SELECT w1, w2, count(*)::BIGINT AS c_bg FROM p
+       WHERE doc_id % 7 = 0 GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c_bg)::BIGINT AS c_ctx FROM bg GROUP BY w1),
+s AS (SELECT p.doc_id, l.c_bg, l.c_ctx FROM p LEFT JOIN
+        (SELECT w1, w2, c_bg, c_ctx FROM bg JOIN ctx USING (w1)) l
+        USING (w1, w2)),
+r AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        sum(CASE WHEN c_bg IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        sum(CASE WHEN c_bg IS NOT NULL
+                 THEN round(c_bg::DOUBLE / c_ctx, 6)::DECIMAL(18,6) END)
+            AS lik_sum
+      FROM s GROUP BY doc_id),
+mcl AS (SELECT doc_id,
+   CASE WHEN n_bigrams - n_oov > 0
+        THEN round(lik_sum::DOUBLE / (n_bigrams - n_oov), 6) END AS mcl
+   FROM r
+   UNION ALL
+   SELECT doc_id, NULL::DOUBLE FROM tk WHERE len(tk) < 2),
+jj AS (SELECT l.doc_id, l.lang, l.n_tok, m.mcl
+       FROM langs l JOIN mcl m USING (doc_id)),
+ranked AS (SELECT doc_id, lang, n_tok, mcl,
+   row_number() OVER (PARTITION BY lang ORDER BY mcl DESC, doc_id) AS rk,
+   count(*) OVER (PARTITION BY lang) AS cnt
+   FROM jj WHERE mcl IS NOT NULL),
+agg AS (
+  SELECT lang,
+    (['head','middle','tail'])[CAST((rk - 1) * 3 // cnt AS INT) + 1] AS bin,
+    count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+    round(sum(mcl::DECIMAL(18,6))::DOUBLE / count(*), 6) AS mean_lik
+  FROM ranked GROUP BY lang, bin
+  UNION ALL
+  SELECT lang, 'unscored', count(*)::BIGINT, sum(n_tok)::BIGINT,
+         NULL::DOUBLE
+  FROM jj WHERE mcl IS NULL GROUP BY lang)
+SELECT lang, bin, n_docs, n_tokens, mean_lik FROM agg ORDER BY lang, bin
 """,
         # alpha=0.5 temperature sampling: one IEEE sqrt per source, then
         # pure int64 arithmetic — floor/DIV/Knuth-hash identical in both

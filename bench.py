@@ -80,6 +80,7 @@ HEADLINE = [
     "dsir_select",
     "llm_data_mix",
     "temperature_sample",
+    "ccnet_bins",
     "bm25_topk",
     "top_terms_per_source",
     "token_stats",

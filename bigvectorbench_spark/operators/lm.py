@@ -175,3 +175,109 @@ def lm_score_report(
         )
     )
     return out.unionByName(empties)
+
+
+def ccnet_bins_report(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_filter: Column | None = None,
+    train_mod: int = 7,
+    n_bins: int = 3,
+    mode: str = "exact",
+    lang_col: str | None = None,
+) -> DataFrame:
+    """CCNet's final step (Wenzek et al. 2020): split each LANGUAGE bucket
+    into head/middle/tail by LM score, so a pipeline can keep the
+    most-reference-like slice per language instead of biasing the corpus
+    toward high-resource languages.  Composes lang_id + lm_score_report;
+    one row per (lang, bin):
+
+      (lang, bin, n_docs, n_tokens, mean_lik)
+
+    bin in ('head', 'middle', 'tail'[, 'bin3'...], 'unscored') — scored
+    docs are ranked per language by (mean_cond_lik desc, id asc — the
+    deterministic tie-break that makes bin assignment engine-portable)
+    and cut into n_bins equal-count bins by exact integer arithmetic
+    (bin = (rank-1)*n_bins div count); docs with no in-vocabulary bigram
+    land in 'unscored' so the report partitions the corpus.  mean_lik
+    accumulates the 6-dp scores in DECIMAL (order-independent, exact).
+
+    ``mode="exact"`` ranks with one window per language — one task per
+    language at report granularity (fine for a report; a language is at
+    most the corpus).  ``mode="approx"`` replaces the rank with
+    approx_percentile cutpoints per language and row-local threshold
+    tagging — the 100 TB tagging path (no per-language global sort), at
+    the cost of approximate bin boundaries (the quality_deciles /
+    quality_tags_approx twin convention; rows-only checkable)."""
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"unknown mode {mode!r}")
+    from pyspark.sql import Window
+
+    from bigvectorbench_spark.functions import text as tx2
+
+    sid = F.col(id_col)
+    # language per doc: a pre-classified column when the corpus has one
+    # (CCNet buckets on its fastText classifier's output, which in a
+    # warehouse IS a column), else the marker-n-gram lang_id heuristic
+    if lang_col is not None:
+        langs = df.select(
+            sid.alias(id_col), F.col(lang_col).alias("lang"),
+            tx2.token_count(F.col(text_col)).cast("bigint").alias("n_tok"))
+    else:
+        langs = df.select(
+            sid.alias(id_col),
+            tx2.tokens(F.col(text_col)).alias("_tk"),
+        ).select(
+            id_col,
+            tx2.lang_id_from_tokens(F.col("_tk"),
+                                    F.concat_ws("", F.col("_tk")))
+            .alias("lang"),
+            F.size("_tk").cast("bigint").alias("n_tok"),
+        )
+    scores = lm_score_report(df, id_col=id_col, text_col=text_col,
+                             train_filter=train_filter, train_mod=train_mod)
+    j = langs.join(scores.select(id_col, "mean_cond_lik"), id_col)
+    scored = j.filter(F.col("mean_cond_lik").isNotNull())
+    names = (["head", "middle", "tail"] if n_bins == 3
+             else [f"bin{i}" for i in range(n_bins)])
+    if mode == "exact":
+        w = Window.partitionBy("lang").orderBy(
+            F.col("mean_cond_lik").desc(), sid)
+        ranked = scored.select(
+            "lang", "n_tok", "mean_cond_lik",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(Window.partitionBy("lang")).alias("cnt"),
+        ).withColumn("_b", F.expr(f"((rk - 1) * {int(n_bins)}) DIV cnt"))
+    else:
+        cuts = scored.groupBy("lang").agg(
+            F.percentile_approx(
+                "mean_cond_lik",
+                [1.0 - (i + 1) / n_bins for i in range(n_bins - 1)],
+            ).alias("cut"))
+        ranked = scored.join(F.broadcast(cuts), "lang").withColumn(
+            "_b",
+            F.aggregate(
+                F.col("cut"), F.lit(0),
+                lambda acc, c: acc
+                + (F.col("mean_cond_lik") <= c).cast("int")),
+        )
+    bin_name = F.element_at(
+        F.array(*[F.lit(n) for n in names]), F.col("_b").cast("int") + 1)
+    binned = ranked.groupBy("lang", bin_name.alias("bin")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("mean_cond_lik").cast("decimal(18,6)"))
+            .cast("double") / F.count("*"), 6).alias("mean_lik"),
+    )
+    unscored = (
+        j.filter(F.col("mean_cond_lik").isNull())
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("n_tok").cast("bigint").alias("n_tokens"))
+        .select("lang", F.lit("unscored").alias("bin"), "n_docs",
+                "n_tokens", F.lit(None).cast("double").alias("mean_lik"))
+    )
+    return binned.unionByName(unscored)

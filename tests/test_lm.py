@@ -119,3 +119,67 @@ def test_perplexity_mode_matches_math(spark):
 def test_invalid_mode(spark):
     with pytest.raises(ValueError):
         lm.lm_score_report(_df(spark), mode="nope")
+
+
+# ---------------------------------------------------------------- CCNet bins
+
+
+def _bins_corpus(spark):
+    # 12 scorable docs per lang bucket + one unscorable (single token).
+    # doc_id % 7 == 0 docs are the LM train slice; repetitive docs score
+    # high, shuffled-vocab docs score low.
+    rows = []
+    i = 0
+    for lang in ("en", "fr"):
+        for j in range(12):
+            base = ["alpha", "beta", "gamma", "delta"]
+            # j >= 6 docs carry one in-LM bigram (alpha beta) so they
+            # score (mostly-OOV, not unscorable) plus unique-vocab tails
+            txt = (" ".join(base * 3) if j < 6 else
+                   "alpha beta " + " ".join(
+                       f"w{lang}{j}x{k}" for k in range(12)))
+            rows.append((i, lang, txt))
+            i += 1
+        rows.append((i, lang, "solo"))
+        i += 1
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_ccnet_bins_exact_partitions_and_order(spark):
+    df = _bins_corpus(spark)
+    out = lm.ccnet_bins_report(df, lang_col="lang").collect()
+    by = {(r["lang"], r["bin"]): r for r in out}
+    for lang in ("en", "fr"):
+        # 12 scored docs -> terciles of exactly 4; 1 unscored
+        for b in ("head", "middle", "tail"):
+            assert by[(lang, b)]["n_docs"] == 4, (lang, b)
+        assert by[(lang, "unscored")]["n_docs"] == 1
+        assert by[(lang, "unscored")]["mean_lik"] is None
+        # bins are ordered: head mean >= middle mean >= tail mean
+        assert (by[(lang, "head")]["mean_lik"]
+                >= by[(lang, "middle")]["mean_lik"]
+                >= by[(lang, "tail")]["mean_lik"])
+    # docs partition: 26 total
+    assert sum(r["n_docs"] for r in out) == 26
+
+
+def test_ccnet_bins_approx_mode_partitions(spark):
+    df = _bins_corpus(spark)
+    out = lm.ccnet_bins_report(df, lang_col="lang", mode="approx").collect()
+    assert sum(r["n_docs"] for r in out) == 26
+    names = {r["bin"] for r in out}
+    assert names <= {"head", "middle", "tail", "unscored"}
+    # approx thresholds still respect ordering of bin means where present
+    by = {(r["lang"], r["bin"]): r for r in out}
+    for lang in ("en", "fr"):
+        got = [by[(lang, b)]["mean_lik"] for b in ("head", "middle", "tail")
+               if (lang, b) in by]
+        assert got == sorted(got, reverse=True)
+
+
+def test_ccnet_bins_langid_fallback(spark):
+    df = _bins_corpus(spark).drop("lang")
+    out = lm.ccnet_bins_report(df).collect()
+    # the heuristic sees no markers -> everything lands in 'en' buckets
+    assert {r["lang"] for r in out} == {"en"}
+    assert sum(r["n_docs"] for r in out) == 26
