@@ -1436,6 +1436,44 @@ def q_paragraph_dedup(spark, sf):
     return cur.paragraph_dedup_report(_docs_paras(spark, sf)).orderBy("source")
 
 
+_MORPH_SFX = ["", "ing", "ed", "ly", "er", "est", "s", "ness"]
+
+
+def _docs_morph(spark, sf):
+    """documents with deterministic MORPHOLOGICAL structure planted
+    in-query: every token gets a cycling suffix from _MORPH_SFX keyed by
+    (doc_id + position) % 8, turning the generator vocabulary into
+    stem x suffix families — exactly the structure BPE exists to exploit
+    (merges learn the stems and the suffixes).  Mirrored verbatim in the
+    oracle (the _docs_pii / _docs_lines pattern)."""
+    d = _docs_wide(spark, sf).select(
+        "doc_id", "source", tx.tokens(F.col("text")).alias("tk"))
+    sfx = F.array(*[F.lit(s) for s in _MORPH_SFX])
+    aug = F.transform(
+        F.col("tk"),
+        lambda w, i: F.concat(
+            w, F.element_at(
+                sfx, (F.pmod(F.col("doc_id") + i, 8) + 1).cast("int"))))
+    return d.select("doc_id", "source",
+                    F.array_join(aug, " ").alias("text"))
+
+
+def q_bpe_train(spark, sf):
+    """BPE vocabulary training + application over the morph-planted
+    corpus: learn 100 merges from the distributed word histogram
+    (driver-side fit on the vocabulary-bounded counts — the PQ/IVF
+    bounded-fit convention), segment the vocabulary distributedly, and
+    account pieces-per-token per source through a broadcast join.  The
+    oracle learns the SAME merge table with an independent
+    implementation (Sennrich apply-in-order segmentation vs the GPT-2
+    lowest-rank-first loop) and embeds its word -> piece-count map as
+    SQL literals — hash equality proves histogram, merge order, and
+    segmentation all agree."""
+    from bigvectorbench_spark.operators import bpe
+    return (bpe.bpe_train_report(_docs_morph(spark, sf), num_merges=100)
+            .orderBy("source"))
+
+
 def q_ccnet_bins(spark, sf):
     """CCNet's per-language head/middle/tail split (Wenzek et al. 2020):
     lang_id buckets x bigram-LM fluency terciles, exact-rank form with
@@ -1901,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_data_mix": q_llm_data_mix,
         "temperature_sample": q_temperature_sample,
         "ccnet_bins": q_ccnet_bins,
+        "bpe_train": q_bpe_train,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
@@ -2248,6 +2287,89 @@ FROM documents
 """
 
 
+def _bpe_oracle() -> dict[str, str]:
+    """Independent BPE oracle: recompute the morph-augmented word
+    histogram in DuckDB, learn the merge table with a SECOND
+    implementation (naive recount + Sennrich-style apply-merges-in-order
+    segmentation, vs the module's GPT-2-style lowest-rank loop), and
+    embed the (word, n_pieces) map as SQL literals.  The SQL then
+    re-derives the augmented token stream and joins — so the distributed
+    histogram, the deterministic merge order, AND the segmentation
+    equivalence are all hash-checked."""
+    import os
+
+    path = f"{_ORACLE_SF_DIR}/documents.parquet"
+    if not os.path.exists(path):
+        import sys
+        print(f"[oracle] {path} missing: bpe_train degrades to rows-only",
+              file=sys.stderr, flush=True)
+        return {}
+    import duckdb
+
+    sfx = "(['', 'ing', 'ed', 'ly', 'er', 'est', 's', 'ness'])"
+    aug = (f"list_transform(range(1, len(tk) + 1), i -> "
+           f"tk[CAST(i AS INT)] || {sfx}[CAST((doc_id + i - 1) % 8 AS INT) + 1])")
+    con = duckdb.connect()
+    hist = con.execute(f"""
+WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM read_parquet('{path}')),
+a AS (SELECT unnest({aug}) AS w FROM tk)
+SELECT w, count(*) FROM a GROUP BY w ORDER BY w""").fetchall()
+    con.close()
+
+    def apply_merge(seq, pair):
+        a, b = pair
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        return out
+
+    vocab = {}
+    for w, c in hist:
+        s = tuple(w) + ("</w>",)
+        vocab[s] = vocab.get(s, 0) + c
+    merges = []
+    for _ in range(100):
+        cnt = {}
+        for s, c in vocab.items():
+            for j in range(len(s) - 1):
+                p = (s[j], s[j + 1])
+                cnt[p] = cnt.get(p, 0) + c
+        if not cnt:
+            break
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        merges.append(best)
+        nv = {}
+        for s, c in vocab.items():
+            t = tuple(apply_merge(list(s), best))
+            nv[t] = nv.get(t, 0) + c
+        vocab = nv
+
+    def segment(w):
+        seq = list(w) + ["</w>"]
+        for m in merges:
+            seq = apply_merge(seq, m)
+        return seq
+
+    vals = ", ".join(
+        "('" + w.replace("'", "''") + "', " + str(len(segment(w))) + ")"
+        for w, _c in hist)
+    return {"bpe_train": f"""
+WITH wmap(word, n_pieces) AS (VALUES {vals}),
+tk AS (SELECT doc_id, source, {_TOKENS} AS tk FROM documents),
+a AS (SELECT doc_id, source, unnest({aug}) AS word FROM tk),
+j AS (SELECT source, n_pieces FROM a JOIN wmap USING (word))
+SELECT source, count(*)::BIGINT AS n_tokens,
+  sum(n_pieces)::BIGINT AS n_pieces,
+  round(sum(n_pieces)::DOUBLE / count(*), 6) AS pieces_per_token
+FROM j GROUP BY source ORDER BY source
+"""}
+
+
 def oracle_sql() -> dict[str, str]:
     l2 = _L2.format(a="t.v", b="q.v")
     p = dd._MERSENNE
@@ -2257,7 +2379,7 @@ def oracle_sql() -> dict[str, str]:
         "[" + ", ".join(repr(float(x)) for x in row) + "]"
         for row in projection_matrix(64, 16, seed=1)
     ) + "]"
-    return _ann_oracles() | {
+    return _ann_oracles() | _bpe_oracle() | {
         "ivf_recall": _RECALL_GATE_SQL,
         "pq_recall": _RECALL_GATE_SQL,
         "srp_recall": _SRP_RECALL_SQL,

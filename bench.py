@@ -81,6 +81,7 @@ HEADLINE = [
     "llm_data_mix",
     "temperature_sample",
     "ccnet_bins",
+    "bpe_train",
     "bm25_topk",
     "top_terms_per_source",
     "token_stats",
