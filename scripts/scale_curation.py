@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from bigvectorbench_spark import get_spark
 from bigvectorbench_spark.functions import text as tx
 from bigvectorbench_spark.operators import curation as cur
+from bigvectorbench_spark.operators import bpe
 from bigvectorbench_spark.operators import dsir
 from bigvectorbench_spark.operators import lm
 from bigvectorbench_spark.operators import packing as pk
@@ -58,6 +59,7 @@ def reports(docs):
             pk.pack_blocks(docs, block_size=512), block_size=512),
         "lm_fluency": lm.lm_score_report(docs),
         "dsir_select": dsir.dsir_report(docs),
+        "bpe_train": bpe.bpe_train_report(docs, num_merges=100),
     }
 
 
