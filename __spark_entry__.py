@@ -1436,6 +1436,17 @@ def q_paragraph_dedup(spark, sf):
     return cur.paragraph_dedup_report(_docs_paras(spark, sf)).orderBy("source")
 
 
+def q_doc_chunks(spark, sf):
+    """Sliding-window document chunking (RAG / embedding-model context
+    preparation): 32-token windows, stride 24 (8-token overlap), short
+    tail chunk kept so every token is covered; per-source chunk
+    accounting.  Entirely row-local — one tokenizer pass, one transform,
+    one explode, the map-only 100 TB scan shape (c4_clean family)."""
+    from bigvectorbench_spark.operators import packing as pk
+    return (pk.chunk_report(_docs_wide(spark, sf), size=32, stride=24)
+            .orderBy("source"))
+
+
 _MORPH_SFX = ["", "ing", "ed", "ly", "er", "est", "s", "ness"]
 
 
@@ -1940,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "ccnet_bins": q_ccnet_bins,
         "bpe_train": q_bpe_train,
+        "doc_chunks": q_doc_chunks,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
@@ -3400,6 +3412,27 @@ SELECT s1.source, s1.n_docs, s1.n_c4_kept,
   s3.mean_weight
 FROM s1 LEFT JOIN s2 USING (source) LEFT JOIN s3 USING (source)
 ORDER BY source
+""",
+        # sliding-window chunking: same ceil/slice arithmetic, chunk text
+        # re-joined and length-accounted so the window content is checked
+        "doc_chunks": f"""
+WITH tk AS (SELECT doc_id, source, {_TOKENS} AS tk FROM documents),
+c AS (SELECT doc_id, source, tk,
+  CASE WHEN len(tk) <= 0 THEN 0
+       ELSE 1 + CAST(ceil(greatest(len(tk) - 32, 0) / 24.0) AS BIGINT)
+  END AS nc FROM tk),
+ch AS (SELECT doc_id, source,
+  unnest(list_transform(range(0, nc), i -> {{
+     'nt': len(tk[CAST(i*24 + 1 AS INT) : CAST(i*24 + 32 AS INT)]),
+     'nchars': length(array_to_string(
+         tk[CAST(i*24 + 1 AS INT) : CAST(i*24 + 32 AS INT)], ' '))}})) AS u
+  FROM c)
+SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs_chunked,
+  count(*)::BIGINT AS n_chunks,
+  sum(u.nt)::BIGINT AS n_chunk_tokens,
+  sum(CASE WHEN u.nt < 32 THEN 1 ELSE 0 END)::BIGINT AS n_short_chunks,
+  sum(u.nchars)::BIGINT AS chunk_chars
+FROM ch GROUP BY source ORDER BY source
 """,
         # CCNet binning: the corpus lang column x the lm_fluency oracle
         # CTEs, then the same deterministic rank -> integer-division cut

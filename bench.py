@@ -82,6 +82,7 @@ HEADLINE = [
     "temperature_sample",
     "ccnet_bins",
     "bpe_train",
+    "doc_chunks",
     "bm25_topk",
     "top_terms_per_source",
     "token_stats",

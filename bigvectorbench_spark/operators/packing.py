@@ -37,11 +37,13 @@ Scale notes:
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, functions as F
 
 from bigvectorbench_spark.functions import text as tx
 
-__all__ = ["pack_blocks", "block_manifest"]
+__all__ = ["pack_blocks", "block_manifest", "chunk_documents", "chunk_report"]
 
 
 def pack_blocks(
@@ -163,5 +165,81 @@ def block_manifest(
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum(hi - lo).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+# ------------------------------------------------------------- RAG chunking
+
+def chunk_documents(df: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", size: int = 64,
+                    stride: int = 48,
+                    extra_cols: Sequence[str] = ()) -> DataFrame:
+    """Sliding-window document chunking — the context-window preparation
+    step for embedding / RAG pipelines: split each document's token
+    stream into windows of ``size`` tokens advancing by ``stride``
+    (overlap = size - stride), with a final short chunk for the tail so
+    every token lands in >= 1 chunk.  Emits one row per chunk:
+
+      (doc_id, [extra...], chunk_id, start_tok, n_chunk_tokens, chunk_text)
+
+    chunk_id is 0-based within the document; start_tok is the 1-based
+    token offset.  Chunk count per doc: 1 + ceil(max(0, n - size) /
+    stride) for docs with n >= 1 tokens; empty docs emit no chunks.
+
+    Scale shape: entirely row-local (one tokenizer pass, one higher-order
+    transform, one explode) — a map-only scan like c4_clean; the chunk
+    stream is a generator output with no shuffle of its own.  Chunk text
+    re-joins token slices, so downstream embedding UDFs see clean
+    whitespace-normalized windows."""
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    tk = df.select(F.col(id_col), *[F.col(c) for c in extra_cols],
+                   tx.tokens(F.col(text_col)).alias("tk"))
+    n = F.size("tk")
+    n_chunks = F.when(
+        n <= 0, F.lit(0)
+    ).otherwise(
+        1 + F.ceil((F.greatest(n - size, F.lit(0))) / F.lit(stride))
+    ).cast("int")
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+                 ).otherwise(F.lit([]).cast("array<int>"))
+    chunks = F.transform(
+        idx,
+        lambda c: F.struct(
+            c.alias("chunk_id"),
+            (c * stride + 1).alias("start_tok"),
+            F.slice(F.col("tk"), c * stride + 1, size).alias("toks"),
+        ),
+    )
+    ex = tk.select(id_col, *extra_cols, F.explode(chunks).alias("ch"))
+    return ex.select(
+        id_col, *extra_cols,
+        F.col("ch.chunk_id").cast("int").alias("chunk_id"),
+        F.col("ch.start_tok").cast("int").alias("start_tok"),
+        F.size("ch.toks").cast("int").alias("n_chunk_tokens"),
+        F.array_join("ch.toks", " ").alias("chunk_text"),
+    )
+
+
+def chunk_report(df: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text", group_col: str = "source",
+                 size: int = 64, stride: int = 48) -> DataFrame:
+    """Per-group chunking accounting: chunk volume, token coverage
+    (tokens counted once per CHUNK, so overlap shows up as
+    chunk_tokens > doc tokens), short-tail counts, and chunk-text
+    character volume.  One map-side-combined rollup on the shuffle-free
+    chunk scan."""
+    ch = chunk_documents(df, id_col=id_col, text_col=text_col, size=size,
+                         stride=stride, extra_cols=(group_col,))
+    return (
+        ch.groupBy(group_col)
+        .agg(
+            F.countDistinct(id_col).cast("bigint").alias("n_docs_chunked"),
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("bigint").alias("n_chunk_tokens"),
+            F.sum((F.col("n_chunk_tokens") < size).cast("int"))
+            .cast("bigint").alias("n_short_chunks"),
+            F.sum(F.length("chunk_text")).cast("bigint").alias("chunk_chars"),
         )
     )

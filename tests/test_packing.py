@@ -86,3 +86,62 @@ def test_empty_and_single_doc(spark):
 def test_invalid_block_size(spark):
     with pytest.raises(ValueError):
         pk.pack_blocks(_docs(spark, ["a"]), block_size=0)
+
+
+# ------------------------------------------------------------- RAG chunking
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from bigvectorbench_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, ""), (3, "one two")],
+        "doc_id long, text string")
+    rows = [r.asDict() for r in chunk_documents(df, size=4, stride=3)
+            .orderBy("doc_id", "chunk_id").collect()]
+    assert [(r["doc_id"], r["chunk_id"], r["start_tok"], r["chunk_text"])
+            for r in rows] == [
+        (1, 0, 1, "w0 w1 w2 w3"),
+        (1, 1, 4, "w3 w4 w5 w6"),   # stride 3 -> one-token overlap
+        (1, 2, 7, "w6 w7 w8 w9"),
+        (3, 0, 1, "one two"),        # short doc: one short chunk
+    ]
+    # every token covered: last chunk reaches the end
+    assert rows[2]["start_tok"] + rows[2]["n_chunk_tokens"] - 1 == 10
+
+
+def test_chunk_documents_exact_fit_no_empty_tail(spark):
+    from bigvectorbench_spark.operators.packing import chunk_documents
+
+    # n == size -> exactly one chunk; n = size + stride -> two full chunks
+    df = spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(4))),
+         (2, " ".join(f"b{i}" for i in range(7)))],
+        "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, size=4, stride=3).collect():
+        got.setdefault(r["doc_id"], []).append(r["n_chunk_tokens"])
+    assert got[1] == [4]
+    assert sorted(got[2], reverse=True) == [4, 4]
+
+
+def test_chunk_report_totals(spark):
+    from bigvectorbench_spark.operators.packing import chunk_report
+
+    df = spark.createDataFrame(
+        [(1, "a", " ".join(f"w{i}" for i in range(10))), (2, "a", "")],
+        "doc_id long, source string, text string")
+    r = chunk_report(df, size=4, stride=3).collect()[0]
+    assert r["n_docs_chunked"] == 1  # the empty doc emits no chunks
+    assert r["n_chunks"] == 3
+    assert r["n_chunk_tokens"] == 12  # 10 tokens + 2 overlap repeats
+    assert r["n_short_chunks"] == 0
+
+
+def test_chunk_validation(spark):
+    from bigvectorbench_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(df, size=0, stride=3)
