@@ -1931,10 +1931,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "hnsw_scale_search": q_hnsw_scale_search,
         # new round 6, value-oracled (sweeps + pytest); enters the window
-        # in round 7 with the returning rotation set.  The six *-r6-late
-        # additions (pack_blocks, block_manifest, lm_fluency, semantic_dups,
-        # gopher_repetition, substring_rewrite) are likewise oracled at
-        # sf0.01 AND sf0.001 by scripts/check_oracle.py this round.
+        # in round 7 with the returning rotation set.  The fourteen
+        # r6-late additions (pack_blocks, block_manifest, lm_fluency,
+        # semantic_dups, gopher_repetition, substring_rewrite,
+        # c4_line_filter, paragraph_dedup, dsir_select, llm_data_mix,
+        # temperature_sample, ccnet_bins, bpe_train, doc_chunks) are
+        # likewise oracled at sf0.01 AND sf0.001 (and sf0.1) by
+        # scripts/check_oracle.py this round.
         "video_features": q_video_features,
         "bpe_token_stats": q_bpe_token_stats,
         "substring_spans": q_substring_spans,
