@@ -1436,6 +1436,25 @@ def q_paragraph_dedup(spark, sf):
     return cur.paragraph_dedup_report(_docs_paras(spark, sf)).orderBy("source")
 
 
+def q_incremental_dedup(spark, sf):
+    """Corpus-delta exact dedup (the periodic-crawl operation): a
+    Knuth-hash-selected 10% slice arrives as a NEW batch and dedups against the
+    existing corpus (distinct 16-byte keys — the only thing the corpus
+    contributes to the join) and within itself (keep-first by id), with
+    corpus-copy precedence so the three dispositions partition the
+    batch."""
+    from bigvectorbench_spark.operators import dedup as dd2
+    docs = _docs_wide(spark, sf)
+    # hash-select the batch: source is doc_id-modular in the generator,
+    # so a plain mod slice would hit only 2 of 20 sources
+    h = F.pmod(F.pmod(F.col("doc_id") * 2654435761, F.lit(4294967296)),
+               F.lit(10))
+    batch = docs.filter(h == 9)
+    corpus = docs.filter(h != 9)
+    return (dd2.incremental_dedup_report(batch, corpus)
+            .orderBy("source"))
+
+
 def q_doc_chunks(spark, sf):
     """Sliding-window document chunking (RAG / embedding-model context
     preparation): 32-token windows, stride 24 (8-token overlap), short
@@ -1955,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_bins": q_ccnet_bins,
         "bpe_train": q_bpe_train,
         "doc_chunks": q_doc_chunks,
+        "incremental_dedup": q_incremental_dedup,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
@@ -3415,6 +3435,28 @@ SELECT s1.source, s1.n_docs, s1.n_c4_kept,
   s3.mean_weight
 FROM s1 LEFT JOIN s2 USING (source) LEFT JOIN s3 USING (source)
 ORDER BY source
+""",
+        # corpus-delta dedup: same md5 content key, corpus-copy precedence
+        "incremental_dedup": f"""
+WITH d AS (SELECT doc_id, source,
+  md5(array_to_string({_TOKENS}, ' ')) AS k FROM documents),
+b AS (SELECT doc_id, source, k FROM d
+  WHERE ((doc_id * 2654435761) % 4294967296) % 10 = 9),
+seen AS (SELECT DISTINCT k FROM d
+  WHERE ((doc_id * 2654435761) % 4294967296) % 10 != 9),
+fb AS (SELECT k, min(doc_id) AS first_id FROM b GROUP BY k),
+s AS (SELECT b.source,
+  CASE WHEN seen.k IS NOT NULL THEN 'dup_vs_corpus'
+       WHEN b.doc_id != fb.first_id THEN 'dup_in_batch'
+       ELSE 'new' END AS status
+  FROM b LEFT JOIN seen ON b.k = seen.k JOIN fb ON b.k = fb.k)
+SELECT source, count(*)::BIGINT AS n_batch,
+  sum(CASE WHEN status = 'dup_vs_corpus' THEN 1 ELSE 0 END)::BIGINT
+      AS n_dup_vs_corpus,
+  sum(CASE WHEN status = 'dup_in_batch' THEN 1 ELSE 0 END)::BIGINT
+      AS n_dup_in_batch,
+  sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)::BIGINT AS n_new
+FROM s GROUP BY source ORDER BY source
 """,
         # sliding-window chunking: same ceil/slice arithmetic, chunk text
         # re-joined and length-accounted so the window content is checked

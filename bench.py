@@ -83,6 +83,7 @@ HEADLINE = [
     "ccnet_bins",
     "bpe_train",
     "doc_chunks",
+    "incremental_dedup",
     "bm25_topk",
     "top_terms_per_source",
     "token_stats",

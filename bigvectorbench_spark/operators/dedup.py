@@ -754,3 +754,55 @@ def canonical_docs(
         F.col("id").alias(id_col)
     )
     return docs.join(drops, id_col, "left_anti")
+
+
+# ------------------------------------------------------- incremental dedup
+
+
+def incremental_dedup_report(batch: DataFrame, corpus: DataFrame, *,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             group_col: str = "source") -> DataFrame:
+    """Corpus-delta exact dedup — the periodic-crawl operation: a NEW
+    batch arrives and must be deduplicated (a) against the EXISTING
+    corpus and (b) within itself, keeping the first occurrence by id.
+    One row per batch group:
+
+      (group, n_batch, n_dup_vs_corpus, n_dup_in_batch, n_new)
+
+    A batch doc duplicating BOTH (same key in the corpus and earlier in
+    the batch) counts as dup_vs_corpus — precedence matches what a loader
+    does (the corpus copy is the canonical one), so the three counts
+    partition the batch.
+
+    Scale shape: the corpus side reduces to DISTINCT text keys before
+    the join (a map-side-combined aggregation — the corpus is touched
+    once and only 16-byte keys move); the batch joins it on the key
+    (LEFT, null = unseen), and the within-batch keep-first is min(id)
+    per key over the batch only.  At 100 TB the distinct-key table is
+    the persisted dedup index a crawler maintains between runs; this
+    operator is the query that updates it."""
+    key = text_key(F.col(text_col))
+    b = batch.select(F.col(id_col), F.col(group_col), key.alias("k"))
+    seen = corpus.select(key.alias("k")).distinct()
+    first_in_batch = b.groupBy("k").agg(F.min(id_col).alias("first_id"))
+    j = (b.join(seen.withColumn("in_corpus", F.lit(True)), "k", "left")
+         .join(first_in_batch, "k"))
+    status = (
+        F.when(F.col("in_corpus").isNotNull(), F.lit("dup_vs_corpus"))
+        .when(F.col(id_col) != F.col("first_id"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+    )
+    return (
+        j.select(group_col, status.alias("status"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_batch"),
+            F.sum((F.col("status") == "dup_vs_corpus").cast("int"))
+            .cast("bigint").alias("n_dup_vs_corpus"),
+            F.sum((F.col("status") == "dup_in_batch").cast("int"))
+            .cast("bigint").alias("n_dup_in_batch"),
+            F.sum((F.col("status") == "new").cast("int")).cast("bigint")
+            .alias("n_new"),
+        )
+    )

@@ -274,3 +274,45 @@ def test_semantic_dup_pairs_gemm_matches_expr(vectors):
     for k in expr:
         assert gemm[k][0] == expr[k][0]
         assert abs(gemm[k][1] - expr[k][1]) < 1e-12
+
+
+# ---------------------------------------------------------- incremental dedup
+
+
+def test_incremental_dedup_dispositions(spark):
+    from bigvectorbench_spark.operators.dedup import incremental_dedup_report
+
+    corpus = spark.createDataFrame(
+        [(1, "a", "known document text"), (2, "a", "another old doc")],
+        "doc_id long, source string, text string")
+    batch = spark.createDataFrame(
+        [(10, "a", "known document text"),   # dup vs corpus
+         (11, "a", "fresh content one"),     # new
+         (12, "a", "repeated in batch"),     # new (first occurrence)
+         (13, "b", "repeated in batch"),     # dup in batch (id 12 first)
+         (14, "b", "Known   DOCUMENT text"), # dup vs corpus (normalized)
+         ],
+        "doc_id long, source string, text string")
+    out = {r["source"]: r
+           for r in incremental_dedup_report(batch, corpus).collect()}
+    assert out["a"]["n_batch"] == 3
+    assert out["a"]["n_dup_vs_corpus"] == 1
+    assert out["a"]["n_dup_in_batch"] == 0
+    assert out["a"]["n_new"] == 2
+    assert out["b"]["n_dup_vs_corpus"] == 1  # normalization-insensitive
+    assert out["b"]["n_dup_in_batch"] == 1
+    assert out["b"]["n_new"] == 0
+
+
+def test_incremental_dedup_corpus_precedence(spark):
+    """A batch doc that duplicates BOTH the corpus and an earlier batch
+    doc counts as dup_vs_corpus (the corpus copy is canonical)."""
+    from bigvectorbench_spark.operators.dedup import incremental_dedup_report
+
+    corpus = spark.createDataFrame(
+        [(1, "a", "shared text")], "doc_id long, source string, text string")
+    batch = spark.createDataFrame(
+        [(10, "a", "shared text"), (11, "a", "shared text")],
+        "doc_id long, source string, text string")
+    r = incremental_dedup_report(batch, corpus).collect()[0]
+    assert (r["n_dup_vs_corpus"], r["n_dup_in_batch"], r["n_new"]) == (2, 0, 0)
