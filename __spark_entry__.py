@@ -1436,6 +1436,50 @@ def q_paragraph_dedup(spark, sf):
     return cur.paragraph_dedup_report(_docs_paras(spark, sf)).orderBy("source")
 
 
+def q_hashed_embed_knn(spark, sf):
+    """documents -> vectors -> ANN entirely inside the engine: 64-d
+    feature-hashing embeddings (signed bucket counts — EXACT INTEGERS)
+    derived from the text column, then brute cosine top-10 from the
+    doc_id % 250 = 0 query docs.  The dot product and squared norms are
+    integer arithmetic; cosine is 4 IEEE ops (2 sqrt, 1 mul, 1 div) in
+    the same order both engines, so even the emitted distances
+    hash-match.  Plan: query embeddings broadcast, corpus scanned once,
+    WindowGroupLimit applies k before the rank shuffle (the knn_* plan
+    family)."""
+    from bigvectorbench_spark.functions import embed as em
+
+    # each stage MATERIALIZED in its own select: the d-wide embedding
+    # fold references the hash array once per component, and the norm
+    # references the vector — non-materialized inputs re-run every md5
+    # dim times (measured 19.1s -> 3.2s at sf0.1 for this query)
+    base = (_docs_wide(spark, sf)
+            .select("doc_id", tx.tokens(F.col("text")).alias("tk"))
+            .select("doc_id", em.token_hashes(F.col("tk")).alias("th"))
+            .select("doc_id", em.hashed_embedding(F.col("th")).alias("v"))
+            .withColumn(
+                "nsq",
+                F.aggregate("v", F.lit(0).cast("bigint"),
+                            lambda a, x: a + x * x))
+            .filter(F.col("nsq") > 0))
+    q = (base.filter(F.pmod(F.col("doc_id"), F.lit(250)) == 0)
+         .select(F.col("doc_id").alias("qid"), F.col("v").alias("qv"),
+                 F.col("nsq").alias("qn")))
+    t = base.select(F.col("doc_id").alias("id"), F.col("v").alias("tv"),
+                    F.col("nsq").alias("tn"))
+    dot = F.aggregate(F.zip_with("qv", "tv", lambda a, b: a * b),
+                      F.lit(0).cast("bigint"), lambda a, x: a + x)
+    joined = t.crossJoin(F.broadcast(q)).select(
+        "qid", "id",
+        (F.lit(1.0) - dot.cast("double")
+         / (F.sqrt(F.col("qn").cast("double"))
+            * F.sqrt(F.col("tn").cast("double")))).alias("d"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.col("d"), F.col("id"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("qid", "id", F.round("d", 6).alias("dist"), "rank"))
+
+
 def q_incremental_dedup(spark, sf):
     """Corpus-delta exact dedup (the periodic-crawl operation): a
     Knuth-hash-selected 10% slice arrives as a NEW batch and dedups against the
@@ -1975,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "doc_chunks": q_doc_chunks,
         "incremental_dedup": q_incremental_dedup,
+        "hashed_embed_knn": q_hashed_embed_knn,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
@@ -3435,6 +3480,29 @@ SELECT s1.source, s1.n_docs, s1.n_c4_kept,
   s3.mean_weight
 FROM s1 LEFT JOIN s2 USING (source) LEFT JOIN s3 USING (source)
 ORDER BY source
+""",
+        # feature-hashing embeddings: integer bucket-count vectors from
+        # the same md5-60bit token hash; cosine = 4 identically-ordered
+        # IEEE ops over exact integer dot/norms
+        "hashed_embed_knn": f"""
+WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+th AS (SELECT doc_id, {_TH} AS th FROM tk),
+v AS (SELECT doc_id, list_transform(range(0, 64), j ->
+   coalesce(list_sum(list_transform(th, h -> CASE WHEN h % 64 = j
+      THEN CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END
+      ELSE 0 END)), 0)) AS v FROM th),
+n AS (SELECT doc_id, v,
+   list_sum(list_transform(v, x -> x * x)) AS nsq FROM v),
+base AS (SELECT doc_id, v, nsq FROM n WHERE nsq > 0),
+q AS (SELECT doc_id AS qid, v AS qv, nsq AS qn FROM base
+      WHERE doc_id % 250 = 0),
+s AS (SELECT q.qid, b.doc_id AS id,
+   1.0 - list_sum(list_transform(list_zip(q.qv, b.v), p -> p[1] * p[2]))::DOUBLE
+       / (sqrt(q.qn::DOUBLE) * sqrt(b.nsq::DOUBLE)) AS d
+   FROM base b, q),
+r AS (SELECT qid, id, d,
+   row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank FROM s)
+SELECT qid, id, round(d, 6) AS dist, rank FROM r WHERE rank <= 10
 """,
         # corpus-delta dedup: same md5 content key, corpus-copy precedence
         "incremental_dedup": f"""

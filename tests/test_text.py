@@ -95,3 +95,60 @@ def test_bpe_token_count_splits_punctuation(spark):
     w = "plain words only here"
     assert (_eval(spark, tx.bpe_token_count(F.col("t")), w)
             == _eval(spark, tx.token_count(F.col("t")), w))
+
+
+# ------------------------------------------------------ feature-hash embedding
+
+
+def test_hashed_embedding_matches_python(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from bigvectorbench_spark.functions import embed as em
+    from bigvectorbench_spark.functions import text as tx
+
+    texts = ["the quick brown fox", "a a a b", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["v"] for r in df.select(
+        "doc_id", em.token_hashes(tx.tokens(F.col("text"))).alias("th"),
+    ).select(
+        "doc_id",
+        em.hashed_embedding(F.col("th"), dim=16).alias("v"),
+    ).collect()}
+
+    def py(text, d=16):
+        v = [0] * d
+        for w in text.lower().split():
+            h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            v[h % d] += 1 if (h // d) % 2 == 0 else -1
+        return v
+
+    for i, t in enumerate(texts):
+        assert got[i] == py(t), i
+
+
+def test_hashed_embedding_unit_norm_and_null(spark):
+    import math
+
+    from pyspark.sql import functions as F
+    from bigvectorbench_spark.functions import embed as em
+    from bigvectorbench_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [(1, "some words in here"), (2, "")], "doc_id long, text string")
+    rows = {r["doc_id"]: r["u"] for r in df.select(
+        "doc_id",
+        em.hashed_embedding_unit(em.token_hashes(tx.tokens(F.col("text")))).alias("u"),
+    ).collect()}
+    assert rows[2] is None  # empty doc -> NULL, no divide-by-zero
+    norm = math.sqrt(sum(x * x for x in rows[1]))
+    assert norm == pytest.approx(1.0, rel=1e-12)
+
+
+def test_hashed_embedding_power_of_two_guard(spark):
+    from pyspark.sql import functions as F
+    from bigvectorbench_spark.functions import embed as em
+
+    with pytest.raises(ValueError):
+        em.hashed_embedding(F.col("x"), dim=48)
