@@ -366,3 +366,31 @@ def test_temperature_sample_corpus_never_shuffles(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hashed_embed_knn_broadcasts_queries_and_limits_topk(spark):
+    """The derived-embedding kNN inherits the knn_* plan contract: query
+    embeddings broadcast (no corpus shuffle for the join) and the rank
+    filter applies before the window shuffle (WindowGroupLimit)."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q_hashed_embed_knn(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_incremental_dedup_joins_keys_only(spark):
+    """The corpus side reduces to DISTINCT 16-byte keys before the join;
+    no cartesian, no text column in any exchange."""
+    from bigvectorbench_spark.operators.dedup import incremental_dedup_report
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", f"text body number {i % 7}") for i in range(60)],
+        "doc_id bigint, source string, text string")
+    plan = plan_of(incremental_dedup_report(
+        docs.filter("doc_id % 10 = 9"), docs.filter("doc_id % 10 != 9")))
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
