@@ -129,6 +129,30 @@ HEADLINE = [
 ]
 
 
+
+def fit_headline_line(out: dict, timings: dict, budget: int = 1900) -> str:
+    """Shrink the contract line until it fits the driver's bounded
+    2000-char stdout tail (BENCH_r05 recorded `parsed: null` when a 6 KB
+    line got truncated from the front — the headline must fit WHOLE).
+    Tiers: 3 -> 2 -> 1 decimals per query, then drop the FASTEST queries
+    8 at a time (flap triage reads the slow ones; `q_omitted` records
+    the cut) — first needed at 95 queries, where even 1 dp is ~2,050
+    chars.  The full-precision per-run map is always on stderr's `runs`
+    line.  The headline total keeps 3 decimals throughout."""
+    line = json.dumps(out, separators=(",", ":"))
+    for ndp in (2, 1):
+        if len(line) <= budget:
+            break
+        out["queries"] = {k: round(v, ndp) for k, v in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    while len(line) > budget and out["queries"]:
+        keep = sorted(out["queries"], key=lambda q: -out["queries"][q])
+        out["queries"] = {q: out["queries"][q] for q in keep[:len(keep) - 8]}
+        out["q_omitted"] = len(timings) - len(out["queries"])
+        line = json.dumps(out, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -235,17 +259,7 @@ def main() -> None:
         # rounds see the failure even if they never read `errors`).
         out["value"] = None
         out["errors"] = errors
-    # Belt-and-braces for the tail window: progressively coarser per-query
-    # precision until the line fits (78 queries at 2 decimals is ~1,860
-    # chars — one more growth round would overflow without the 1-dp tier).
-    # The headline total keeps 3 decimals throughout.
-    line = json.dumps(out, separators=(",", ":"))
-    for ndp in (2, 1):
-        if len(line) <= 1900:
-            break
-        out["queries"] = {k: round(v, ndp) for k, v in timings.items()}
-        line = json.dumps(out, separators=(",", ":"))
-    print(line)
+    print(fit_headline_line(out, timings))
 
 
 if __name__ == "__main__":

@@ -53,3 +53,38 @@ def test_bench_stdout_fits_driver_tail_window(bench_env):
 
     # and never on stdout (the defect that truncated BENCH_r05)
     assert '"runs"' not in out.getvalue()
+
+
+def test_fit_headline_line_tiers():
+    """The contract line must fit the driver's 2000-char stdout tail at
+    any query count: precision tiers first, then slowest-kept trimming
+    with an explicit q_omitted marker."""
+    import json
+
+    import bench
+
+    timings = {f"query_name_{i:03d}": 0.001 + i * 0.037 for i in range(120)}
+    out = {"metric": "headline_queries_total_time", "value": 12.345,
+           "unit": "sec", "queries": dict(timings), "sf": 0.1}
+    line = bench.fit_headline_line(out, timings)
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["value"] == 12.345  # headline precision untouched
+    kept = parsed["queries"]
+    assert parsed["q_omitted"] == 120 - len(kept)
+    # the kept set is the SLOWEST queries
+    slowest = sorted(timings, key=lambda q: -timings[q])[:len(kept)]
+    assert set(kept) == set(slowest)
+
+
+def test_fit_headline_line_small_set_untouched():
+    import json
+
+    import bench
+
+    timings = {"a": 1.234, "b": 0.567}
+    out = {"metric": "headline_queries_total_time", "value": 1.801,
+           "unit": "sec", "queries": dict(timings), "sf": 0.1}
+    parsed = json.loads(bench.fit_headline_line(out, timings))
+    assert parsed["queries"] == {"a": 1.234, "b": 0.567}
+    assert "q_omitted" not in parsed
