@@ -1353,10 +1353,13 @@ def q_gopher_quality(spark, sf):
 def q_gopher_repetition(spark, sf):
     """The FULL Gopher repetition rule family (Rae et al. 2021 Table A1):
     top-2/3/4-gram and duplicate-5..10-gram character fractions, nine
-    rules per doc as sorted-array run-length folds — zero shuffles before
-    the per-source rollup.  Fractions are exact integer char masses over
-    one double division, compared unrounded to the published thresholds;
-    the oracle regenerates every n-gram statistic via unnest + groupBy."""
+    rules per doc, zero shuffles before the per-source rollup.  Runs the
+    default Arrow-batched numpy kernel (9× the codegen fold form at 500k
+    docs; bit-identical flags, pinned by test_gopher_arrow_matches_expr —
+    the expression fold remains the declared engine-portable shape).
+    Fractions are exact integer char masses over one double division,
+    compared unrounded to the published thresholds; the oracle regenerates
+    every n-gram statistic via unnest + groupBy."""
     from bigvectorbench_spark.operators import curation as cur
     return cur.gopher_repetition_report(_docs_wide(spark, sf)).orderBy("source")
 

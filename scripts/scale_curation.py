@@ -53,6 +53,8 @@ def reports(docs):
         "bpe_token_stats": docs.select(
             "doc_id", tx.bpe_token_count(F.col("text")).alias("n")),
         "gopher_repetition": cur.gopher_repetition_report(docs),
+        "gopher_repetition_expr": cur.gopher_repetition_report(
+            docs, method="expr"),
         "substring_rewrite": cur.substring_rewrite(docs),
         "pack_blocks": pk.pack_blocks(docs, block_size=512),
         "block_manifest": pk.block_manifest(

@@ -289,6 +289,27 @@ def test_gopher_repetition_report(spark):
     assert (_py_top(tk, 2) / tot > 0.20) == bool(t["n_fail_top2"])
 
 
+def test_gopher_arrow_matches_expr(spark):
+    """The vectorized numpy kernel (default) and the whole-stage-codegen
+    fold form (the declared oracle shape) emit bit-identical per-group
+    counts — including the edge shapes that stress the kernel's flat-array
+    bookkeeping: empty / whitespace-only / NULL text, single-token docs
+    (no windows at any n), tab/newline separators (Java-\\s split), and
+    multi-byte tokens (char length, not byte length)."""
+    rows = REP_TEXTS + [
+        (6, "u", None),
+        (7, "u", "   "),
+        (8, "u", "x\ty\nz  x y z x y z"),
+        (9, "u", "Ω λ Ω λ Ω λ Ω λ"),
+        (10, "u", "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = cur.gopher_repetition_report(df, method="arrow").orderBy("source")
+    e = cur.gopher_repetition_report(df, method="expr").orderBy("source")
+    assert a.columns == e.columns
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in e.collect()]
+
+
 # ------------------------------------------------- substring rewrite (apply)
 
 
