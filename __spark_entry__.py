@@ -1343,9 +1343,12 @@ def q_pii_scrub(spark, sf):
 def q_gopher_quality(spark, sf):
     """Gopher-style quality-filter breakdown per source: token-count
     bounds, mean-word-length bounds, stopword presence, and the
-    max-token-frequency repetition rule — the repetition rule computed
-    SHUFFLE-FREE via a sorted-array run-length fold (curation.
-    max_token_run) instead of the classical explode + two-shuffle groupBy."""
+    max-token-frequency repetition rule — shuffle-free up to the rollup.
+    Runs the default Arrow-batched kernel (5.5× the codegen-fold form at
+    500k docs, flags pinned identical by
+    test_gopher_quality_arrow_matches_expr); the expression form
+    (sorted-array run-length folds, curation.max_token_run) remains the
+    declared engine-portable shape."""
     from bigvectorbench_spark.operators import curation as cur
     return cur.gopher_quality_report(_docs_wide(spark, sf)).orderBy("source")
 

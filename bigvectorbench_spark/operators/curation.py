@@ -157,17 +157,86 @@ def gopher_flags(tk: Column,
     }
 
 
+def _gopher_quality_flags_arrow(df: DataFrame, *, text_col: str,
+                                group_col: str,
+                                stopwords: Sequence[str]) -> DataFrame:
+    """Arrow-batched kernel twin of ``gopher_flags``: same tokenization
+    (Java-\\s split, lowercased), token-run maxima counted on the token
+    STRINGS (as the expression path's string sort does — never on hashes,
+    which could merge colliding tokens), mean word length as an exact
+    integer sum over one double division (double addition of small ints is
+    exact, so this matches the fold's double accumulation bit-for-bit)."""
+    schema = (f"{group_col} string, fail_len int, fail_wordlen int, "
+              "fail_stop int, fail_rep int")
+    stopset = tuple(stopwords)
+
+    def gen(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            groups = pdf[group_col].tolist()
+            texts = pdf[text_col].tolist()
+            toks = _tokenize_docs(texts)
+            f_len, f_wl, f_stop, f_rep = [], [], [], []
+            for t, words in zip(texts, toks):
+                if t is None:
+                    # tokens(NULL) is NULL in the expression path: every
+                    # flag is NULL and the rollup sums skip the doc (it
+                    # still counts in n_docs) — mirror that exactly.
+                    f_len.append(None); f_wl.append(None)
+                    f_stop.append(None); f_rep.append(None)
+                    continue
+                n = len(words)
+                if n:
+                    counts = Counter(words)
+                    awl = sum(map(len, words)) / n
+                    rep = max(counts.values()) / n
+                    n_stop = sum(1 for s in stopset if s in counts)
+                else:
+                    awl, rep, n_stop = 0.0, 1.0, 0
+                f_len.append(int(n < GOPHER_MIN_TOKENS
+                                 or n > GOPHER_MAX_TOKENS))
+                f_wl.append(int(awl < GOPHER_MIN_AVG_WORD_LEN
+                                or awl > GOPHER_MAX_AVG_WORD_LEN))
+                f_stop.append(int(n_stop < GOPHER_MIN_STOPWORDS))
+                f_rep.append(int(rep > GOPHER_MAX_TOKEN_FREQ))
+            yield pd.DataFrame({
+                group_col: pd.Series(groups, dtype="object"),
+                "fail_len": pd.array(f_len, dtype="Int32"),
+                "fail_wordlen": pd.array(f_wl, dtype="Int32"),
+                "fail_stop": pd.array(f_stop, dtype="Int32"),
+                "fail_rep": pd.array(f_rep, dtype="Int32"),
+            })
+
+    return df.select(group_col, text_col).mapInPandas(gen, schema)
+
+
 def gopher_quality_report(df: DataFrame, *, text_col: str = "text",
-                          group_col: str = "source") -> DataFrame:
+                          group_col: str = "source",
+                          method: str = "arrow") -> DataFrame:
     """Per-group Gopher-filter breakdown: documents passing all rules and
-    independent per-rule failure counts (a doc can fail several)."""
-    tokenized = df.select(
-        F.col(group_col), tx.tokens(F.col(text_col)).alias("tk"))
-    flags = gopher_flags(F.col("tk"))
-    flagged = tokenized.select(
-        group_col,
-        *[v.cast("int").alias(k) for k, v in flags.items()],
-    )
+    independent per-rule failure counts (a doc can fail several).
+
+    ``method="arrow"`` (default) computes per-document flags in the
+    batched Python kernel; ``method="expr"`` keeps the whole-stage-codegen
+    higher-order folds — the engine-portable oracle shape.  Identical
+    flags either way (test_gopher_quality_arrow_matches_expr)."""
+    if method == "arrow":
+        flagged = _gopher_quality_flags_arrow(
+            df, text_col=text_col, group_col=group_col,
+            stopwords=tx.EN_STOPWORDS)
+    elif method == "expr":
+        tokenized = df.select(
+            F.col(group_col), tx.tokens(F.col(text_col)).alias("tk"))
+        flags = gopher_flags(F.col("tk"))
+        flagged = tokenized.select(
+            group_col,
+            *[v.cast("int").alias(k) for k, v in flags.items()],
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
     passed = (F.col("fail_len") + F.col("fail_wordlen")
               + F.col("fail_stop") + F.col("fail_rep")) == 0
     return (
@@ -329,8 +398,83 @@ def _gopher_repetition_flags_expr(df: DataFrame, *, text_col: str,
 
 # Java-regex \s (Spark's split pattern) is the ASCII class below; Python's
 # \s additionally matches \x1c-\x1f, \x85, \xa0 and the unicode spaces, so
-# the kernel must NOT use it — tokenization would diverge on such bytes.
+# the kernels must NOT use it — tokenization would diverge on such bytes.
 _JAVA_WS = "[ \t\n\x0b\f\r]+"
+
+
+def _tokenize_docs(texts):
+    """Worker-side twin of ``tx.tokens``: lowercased Java-\\s-split word
+    lists, one per document (NULL text → empty)."""
+    import re
+
+    split = re.compile(_JAVA_WS).split
+    return [[w for w in split((t or "").strip().lower()) if w]
+            for t in texts]
+
+
+def _hash_flat(toks, cache):
+    """Flatten per-doc token lists into (th, lens, doc_lens) int64 arrays —
+    the same 40-bit md5 token hashes and char lengths the expression path
+    materializes, one md5 per DISTINCT token via ``cache`` (worker-resident
+    across batches; Zipf token reuse makes hashing ~free)."""
+    import hashlib
+
+    import numpy as np
+
+    def tok_stats(word):
+        v = cache.get(word)
+        if v is None:
+            h = int(hashlib.md5(word.encode("utf-8")).hexdigest()[:15],
+                    16) & (_TH_MOD - 1)
+            v = (h, len(word))
+            cache[word] = v
+        return v
+
+    nb = len(toks)
+    th_parts, len_parts, doc_lens = [], [], np.empty(nb, np.int64)
+    for i, words in enumerate(toks):
+        doc_lens[i] = len(words)
+        if words:
+            stats = [tok_stats(w) for w in words]
+            th_parts.append(np.fromiter(
+                (s[0] for s in stats), np.int64, len(stats)))
+            len_parts.append(np.fromiter(
+                (s[1] for s in stats), np.int64, len(stats)))
+    th = np.concatenate(th_parts) if th_parts else np.empty(0, np.int64)
+    lens = np.concatenate(len_parts) if len_parts else np.empty(0, np.int64)
+    return th, lens, doc_lens
+
+
+def _window_ctx(doc_lens):
+    """Per-batch flat-position bookkeeping, computed ONCE and reused by
+    every window width: (doc_of_pos, rel position in doc, doc length at
+    each position)."""
+    import numpy as np
+
+    total = int(doc_lens.sum())
+    doc_starts = np.concatenate(([0], np.cumsum(doc_lens)))[:len(doc_lens)]
+    doc_of_pos = np.repeat(np.arange(len(doc_lens)), doc_lens)
+    rel = np.arange(total) - np.repeat(doc_starts, doc_lens)
+    return doc_of_pos, rel, np.repeat(doc_lens, doc_lens)
+
+
+def _window_starts(ctx, n):
+    """(starts, doc_of_window): flat positions where an n-token window fits
+    inside its document, and each window's document index."""
+    import numpy as np
+
+    doc_of_pos, rel, lpos = ctx
+    starts = np.flatnonzero(rel + n <= lpos)
+    return starts, doc_of_pos[starts]
+
+
+def _rolling_flat(th, starts, n):
+    """Vectorized rolling window hashes (the P=4093 / M=2^41 fold) for the
+    windows beginning at ``starts``."""
+    acc = th[starts]
+    for j in range(1, n):
+        acc = (acc * _ROLL_P + th[starts + j]) & (_ROLL_M - 1)
+    return acc
 
 
 def _gopher_repetition_flags_arrow(df: DataFrame, *, text_col: str,
@@ -353,62 +497,29 @@ def _gopher_repetition_flags_arrow(df: DataFrame, *, text_col: str,
     dup_items = sorted(GOPHER_DUP_NGRAM_MAX.items())
 
     def gen(batches):
-        import hashlib
-        import re
-
         import numpy as np
         import pandas as pd
 
-        split = re.compile(_JAVA_WS).split
         cache: dict[str, tuple[int, int]] = {}
-
-        def tok_stats(word: str) -> tuple[int, int]:
-            v = cache.get(word)
-            if v is None:
-                h = int(hashlib.md5(word.encode("utf-8")).hexdigest()[:15],
-                        16) & (_TH_MOD - 1)
-                v = (h, len(word))
-                cache[word] = v
-            return v
 
         for pdf in batches:
             groups = pdf[group_col].tolist()
-            texts = pdf[text_col].tolist()
-            nb = len(texts)
-            th_parts, len_parts, doc_lens = [], [], np.empty(nb, np.int64)
-            for i, t in enumerate(texts):
-                words = [w for w in split((t or "").strip().lower()) if w]
-                doc_lens[i] = len(words)
-                if words:
-                    stats = [tok_stats(w) for w in words]
-                    th_parts.append(np.fromiter(
-                        (s[0] for s in stats), np.int64, len(stats)))
-                    len_parts.append(np.fromiter(
-                        (s[1] for s in stats), np.int64, len(stats)))
-            th = (np.concatenate(th_parts) if th_parts
-                  else np.empty(0, np.int64))
-            lens = (np.concatenate(len_parts) if len_parts
-                    else np.empty(0, np.int64))
-            total = len(th)
+            toks = _tokenize_docs(pdf[text_col].tolist())
+            nb = len(toks)
+            th, lens, doc_lens = _hash_flat(toks, cache)
             doc_starts = np.concatenate(
                 ([0], np.cumsum(doc_lens)))[:nb]  # start offset per doc
-            doc_of_pos = np.repeat(np.arange(nb), doc_lens)
-            rel = np.arange(total) - np.repeat(doc_starts, doc_lens)
             cs = np.concatenate(([0], np.cumsum(lens)))
             tot = (cs[doc_starts + doc_lens] - cs[doc_starts]).astype(
                 np.float64)
             out = {group_col: pd.Series(groups, dtype="object")}
+            ctx = _window_ctx(doc_lens)
             for kind, items in (("top", top_items), ("dup", dup_items)):
                 for n, thr in items:
-                    # valid window start positions (window stays in-doc)
-                    starts = np.flatnonzero(
-                        rel <= np.repeat(doc_lens - n, doc_lens))
-                    acc = th[starts]
-                    for j in range(1, n):
-                        acc = (acc * _ROLL_P + th[starts + j]) & (_ROLL_M - 1)
+                    starts, wdoc = _window_starts(ctx, n)
+                    acc = _rolling_flat(th, starts, n)
                     cmass = cs[starts + n] - cs[starts]
                     packed = (acc << 22) | cmass
-                    wdoc = doc_of_pos[starts]
                     order = np.lexsort((packed, wdoc))
                     sp, sd = packed[order], wdoc[order]
                     rs = np.flatnonzero(np.r_[
@@ -540,7 +651,8 @@ def rolling_window_hashes(th: Column, n: int) -> Column:
 
 def decontaminate_report(df: DataFrame, *, id_col: str = "doc_id",
                          text_col: str = "text", group_col: str = "source",
-                         eval_mod: int = 97, ngram: int = 8) -> DataFrame:
+                         eval_mod: int = 97, ngram: int = 8,
+                         method: str = "expr") -> DataFrame:
     """Train/eval n-gram-overlap decontamination (the standard test-set
     contamination check): the eval split is the deterministic slice
     ``id % eval_mod = 0``; a train document is contaminated if it shares
@@ -548,8 +660,29 @@ def decontaminate_report(df: DataFrame, *, id_col: str = "doc_id",
 
     Scale shape: the eval inventory is FIXED SIZE (benchmarks don't grow
     with the corpus), so it is broadcast and the train side is scanned,
-    never shuffled — `explode` + broadcast LEFT SEMI join + per-doc
-    distinct + per-group rollup."""
+    never shuffled.  ``method="expr"`` (default, the oracle shape) probes
+    via `explode` + broadcast LEFT SEMI join + per-doc distinct;
+    ``method="arrow"`` collects the eval inventory to a sorted numpy
+    array at construction time (the fixed-size analog of the IVF/PQ/HNSW
+    index-build collects — an explicit envelope, ~1/eval_mod of the
+    corpus) and probes train windows with vectorized searchsorted inside
+    the batched kernel — no explode, no join, one boolean per document
+    out.  Identical results (test_decontaminate_arrow_matches_expr).
+
+    MEASURED: unlike the Gopher kernels, the arrow form does NOT win here
+    (500k Zipf docs: expr 7.8s, arrow 10.1s) — the expr path's probe is a
+    broadcast-hash semi join inside codegen, already optimal, and the
+    kernel re-pays Python tokenize+md5 plus an O(log|eval|) searchsorted
+    per window.  expr stays the default; the kernel is kept as the
+    measured counter-example (vectorizing only beats Catalyst when the
+    expression form is interpreter-bound HOF folds, not when it is a
+    join)."""
+    if method == "arrow":
+        return _decontaminate_report_arrow(
+            df, id_col=id_col, text_col=text_col, group_col=group_col,
+            eval_mod=eval_mod, ngram=ngram)
+    if method != "expr":
+        raise ValueError(f"unknown method {method!r}")
     tokenized = df.select(
         F.col(id_col), F.col(group_col),
         tx.tokens(F.col(text_col)).alias("tk"),
@@ -587,6 +720,66 @@ def decontaminate_report(df: DataFrame, *, id_col: str = "doc_id",
             F.count("*").cast("bigint").alias("n_train"),
             F.sum(F.coalesce("hit", F.lit(0))).cast("bigint")
             .alias("n_contaminated"),
+        )
+    )
+
+
+def _decontaminate_report_arrow(df: DataFrame, *, id_col: str,
+                                text_col: str, group_col: str,
+                                eval_mod: int, ngram: int) -> DataFrame:
+    """Kernel form of decontamination: the eval window-hash inventory is
+    collected once (sorted int64 array, broadcast), and each train batch
+    probes every window hash against it with searchsorted — emitting one
+    contaminated flag per document.  Shuffle account: the eval-side scan
+    reads ~1/eval_mod of the corpus; the train scan is map-only; the only
+    shuffle left is the per-group rollup (the expr form additionally
+    materializes the exploded window stream through a semi join and a
+    per-doc distinct)."""
+    import numpy as np
+
+    eval_rows = (
+        df.filter(F.col(id_col) % eval_mod == 0)
+        .select(tx.tokens(F.col(text_col)).alias("tk"))
+        .select(token_hashes(F.col("tk")).alias("th"))
+        .select(F.explode(
+            F.array_distinct(rolling_window_hashes(F.col("th"), ngram))
+        ).alias("wh"))
+        .distinct().collect()
+    )
+    ev = np.sort(np.fromiter((r["wh"] for r in eval_rows), np.int64,
+                             len(eval_rows)))
+    bc = df.sparkSession.sparkContext.broadcast(ev)
+    schema = f"{group_col} string, hit int"
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        evs = bc.value
+        cache: dict[str, tuple[int, int]] = {}
+        for pdf in batches:
+            groups = pdf[group_col].tolist()
+            toks = _tokenize_docs(pdf[text_col].tolist())
+            th, _, doc_lens = _hash_flat(toks, cache)
+            starts, wdoc = _window_starts(_window_ctx(doc_lens), ngram)
+            wh = _rolling_flat(th, starts, ngram)
+            hit_docs = np.zeros(len(toks), np.int32)
+            if len(wh) and len(evs):
+                idx = np.searchsorted(evs, wh)
+                idx[idx == len(evs)] = len(evs) - 1
+                hit_docs[np.unique(wdoc[evs[idx] == wh])] = 1
+            yield pd.DataFrame({
+                group_col: pd.Series(groups, dtype="object"),
+                "hit": hit_docs,
+            })
+
+    train = df.filter(F.col(id_col) % eval_mod != 0)
+    flagged = train.select(group_col, text_col).mapInPandas(gen, schema)
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_train"),
+            F.sum("hit").cast("bigint").alias("n_contaminated"),
         )
     )
 

@@ -47,6 +47,8 @@ def reports(docs):
     return {
         "pii_scrub": cur.pii_scrub_report(pii),
         "gopher_quality": cur.gopher_quality_report(docs),
+        "gopher_quality_expr": cur.gopher_quality_report(
+            docs, method="expr"),
         "decontaminate": cur.decontaminate_report(docs),
         "substring_dedup": cur.substring_dedup_report(docs),
         "domain_mix": cur.domain_mix_report(docs),

@@ -310,6 +310,51 @@ def test_gopher_arrow_matches_expr(spark):
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in e.collect()]
 
 
+def test_gopher_quality_arrow_matches_expr(spark):
+    """Kernel vs codegen-fold parity for the four base Gopher rules, on
+    docs that straddle each threshold: under/over token bounds, avg word
+    length at the boundary, stopword presence, repetition occupancy."""
+    rows = [
+        (0, "s", "the cat sat on the mat and then the cat sat again " * 6),
+        (1, "s", "aa " * 60),                       # no stopwords, awl 2.0
+        (2, "s", "ha ha ha ha ha ha ha ha"),        # rep 1.0, short
+        (3, "s", ""),
+        (4, "t", None),
+        (5, "t", "supercalifragilistic " * 55),     # awl > 10
+        (6, "t", " ".join(f"w{i}" for i in range(49)) + " the and"),  # 51 tk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = cur.gopher_quality_report(df, method="arrow").orderBy("source")
+    e = cur.gopher_quality_report(df, method="expr").orderBy("source")
+    assert a.columns == e.columns
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in e.collect()]
+
+
+def test_decontaminate_arrow_matches_expr(spark):
+    """searchsorted-kernel vs explode+semi-join parity: same contaminated
+    counts per group, including the no-contamination and the
+    empty-eval-inventory (no id % 97 == 0 in range) cases."""
+    run = " ".join(f"e{i}" for i in range(8))       # one 8-gram
+    rows = [(0, "s", f"eval doc with marker {run} end"),       # eval (0%97)
+            (1, "s", f"train sharing {run} yes"),              # contaminated
+            (2, "s", "train clean text " + " ".join(f"c{i}" for i in range(9))),
+            (3, "t", f"also has {run} inside padding words"),  # contaminated
+            (4, "t", "short"),                                 # no 8-gram
+            (5, "t", None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = cur.decontaminate_report(df, method="arrow").orderBy("source")
+    e = cur.decontaminate_report(df, method="expr").orderBy("source")
+    assert a.columns == e.columns
+    got = [tuple(r) for r in a.collect()]
+    assert got == [tuple(r) for r in e.collect()]
+    assert got == [("s", 2, 1), ("t", 3, 1)]
+    # empty eval inventory: ids shifted so none hit id % 97 == 0
+    df2 = df.withColumn("doc_id", F.col("doc_id") + 1)
+    a2 = cur.decontaminate_report(df2, method="arrow").orderBy("source")
+    e2 = cur.decontaminate_report(df2, method="expr").orderBy("source")
+    assert [tuple(r) for r in a2.collect()] == [tuple(r) for r in e2.collect()]
+
+
 # ------------------------------------------------- substring rewrite (apply)
 
 
