@@ -84,15 +84,33 @@ def main() -> None:
     spark = get_spark("scale-curation")
     spark.sparkContext.setLogLevel("ERROR")
     par = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     for d in sys.argv[1:]:
         docs = spark.read.parquet(f"{d}/documents.parquet").repartition(par)
         n = docs.count()
         out = {}
-        todo = dict(reports(docs))
-        todo.update(entry_reports(spark, d))
-        for name, df in todo.items():
+        # Build each query's DataFrame FRESH inside the timing loop
+        # (bench.py's protocol).  Building everything up-front registered
+        # q_llm_data_mix's persist() boundaries at build time, and every
+        # earlier query's clearCache() then silently unpersisted them —
+        # the composed pipeline ran all three timed runs uncached,
+        # recomputing the planted-lines fixture once per downstream
+        # reference (measured 241s vs 22s at 500k docs, a pure
+        # harness-ordering artifact).
+        names = list(reports(docs)) + ["c4_line_filter", "paragraph_dedup",
+                                       "llm_data_mix"]
+        if subset:
+            names = [q for q in names if q in set(subset.split(","))]
+        def build(name):
+            if name in ("c4_line_filter", "paragraph_dedup",
+                        "llm_data_mix"):
+                return entry_reports(spark, d)[name]
+            return reports(docs)[name]
+
+        for name in names:
             times = []
             for _ in range(RUNS):
+                df = build(name)
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
