@@ -110,9 +110,11 @@ def main() -> None:
         for name in names:
             times = []
             for _ in range(RUNS):
-                df = build(name)
+                # build INSIDE the timed window (bench.py's boundary):
+                # driver-side fits that run at plan-build time (bpe_train's
+                # histogram collect) are part of the query's cost.
                 t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
+                build(name).write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
             out[name] = round(min(times), 3)
