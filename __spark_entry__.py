@@ -1607,6 +1607,15 @@ def q_llm_data_mix(spark, sf):
     # DSIR distribution fit, the weight join, and the empties sweep).
     # At 100 TB these would be parquet checkpoints between jobs; locally
     # persist() plays that role (bench.py clears the cache per query).
+    # The boundaries are load-bearing, not advisory: executing this plan
+    # with the persists stripped re-runs every upstream stage once per
+    # downstream reference — the planted-lines construction alone is
+    # recomputed ~10x — measured 241s vs 22s at 500k Zipf docs.  That is
+    # exactly why the cluster-scale analog is a DURABLE checkpoint
+    # (parquet between jobs), not best-effort executor caching: at 100 TB
+    # an evicted cache silently turns a 3-stage pipeline into a ~10x
+    # recomputation storm, while a written boundary caps each stage at
+    # one materialization.
     lines = _docs_lines(spark, sf)
     c4 = cur.c4_clean(lines, extra_cols=("source",)).persist()
     s1 = c4.groupBy("source").agg(

@@ -34,49 +34,59 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def reports(docs):
-    pii = docs.withColumn(
-        "text",
-        F.concat(
-            F.col("text"),
-            F.when(F.col("doc_id") % 7 == 0,
-                   F.concat(F.lit(" contact user"),
-                            F.col("doc_id").cast("string"),
-                            F.lit("@example.com now"))).otherwise(F.lit("")),
-        ),
-    )
+    """Lazy builders: bpe_train_report and pack_blocks run driver-side
+    actions (histogram fit, bucket-offset collect) at CONSTRUCTION time,
+    so the dict must not construct every query just to serve one name —
+    each value is a zero-arg thunk built inside the timed window."""
+    def pii():
+        return docs.withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 7 == 0,
+                       F.concat(F.lit(" contact user"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("@example.com now"))
+                       ).otherwise(F.lit("")),
+            ),
+        )
+
     return {
-        "pii_scrub": cur.pii_scrub_report(pii),
-        "gopher_quality": cur.gopher_quality_report(docs),
-        "gopher_quality_expr": cur.gopher_quality_report(
+        "pii_scrub": lambda: cur.pii_scrub_report(pii()),
+        "gopher_quality": lambda: cur.gopher_quality_report(docs),
+        "gopher_quality_expr": lambda: cur.gopher_quality_report(
             docs, method="expr"),
-        "decontaminate": cur.decontaminate_report(docs),
-        "substring_dedup": cur.substring_dedup_report(docs),
-        "domain_mix": cur.domain_mix_report(docs),
-        "bpe_token_stats": docs.select(
+        "decontaminate": lambda: cur.decontaminate_report(docs),
+        "substring_dedup": lambda: cur.substring_dedup_report(docs),
+        "domain_mix": lambda: cur.domain_mix_report(docs),
+        "bpe_token_stats": lambda: docs.select(
             "doc_id", tx.bpe_token_count(F.col("text")).alias("n")),
-        "gopher_repetition": cur.gopher_repetition_report(docs),
-        "gopher_repetition_expr": cur.gopher_repetition_report(
+        "gopher_repetition": lambda: cur.gopher_repetition_report(docs),
+        "gopher_repetition_expr": lambda: cur.gopher_repetition_report(
             docs, method="expr"),
-        "substring_rewrite": cur.substring_rewrite(docs),
-        "pack_blocks": pk.pack_blocks(docs, block_size=512),
-        "block_manifest": pk.block_manifest(
+        "substring_rewrite": lambda: cur.substring_rewrite(docs),
+        "pack_blocks": lambda: pk.pack_blocks(docs, block_size=512),
+        "block_manifest": lambda: pk.block_manifest(
             pk.pack_blocks(docs, block_size=512), block_size=512),
-        "lm_fluency": lm.lm_score_report(docs),
-        "dsir_select": dsir.dsir_report(docs),
-        "bpe_train": bpe.bpe_train_report(docs, num_merges=100),
+        "lm_fluency": lambda: lm.lm_score_report(docs),
+        "dsir_select": lambda: dsir.dsir_report(docs),
+        "bpe_train": lambda: bpe.bpe_train_report(docs, num_merges=100),
     }
 
 
 def entry_reports(spark, d):
     """Stages whose line/paragraph structure is planted in-query by the
     entry module (the corpus text has no newlines): reuse the exact
-    headline constructions so the scale numbers measure the same plans."""
+    headline constructions so the scale numbers measure the same plans.
+    Lazy for the same reason as reports() — and so q_llm_data_mix's
+    persist() boundaries are registered inside the timed run, after the
+    previous run's clearCache()."""
     import __spark_entry__ as entry
 
     return {
-        "c4_line_filter": entry.q_c4_line_filter(spark, d),
-        "paragraph_dedup": entry.q_paragraph_dedup(spark, d),
-        "llm_data_mix": entry.q_llm_data_mix(spark, d),
+        "c4_line_filter": lambda: entry.q_c4_line_filter(spark, d),
+        "paragraph_dedup": lambda: entry.q_paragraph_dedup(spark, d),
+        "llm_data_mix": lambda: entry.q_llm_data_mix(spark, d),
     }
 
 
@@ -114,7 +124,7 @@ def main() -> None:
                 # driver-side fits that run at plan-build time (bpe_train's
                 # histogram collect) are part of the query's cost.
                 t0 = time.perf_counter()
-                build(name).write.format("noop").mode("overwrite").save()
+                build(name)().write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
             out[name] = round(min(times), 3)
