@@ -1780,6 +1780,18 @@ def q_block_manifest(spark, sf):
     return pk.block_manifest(packed, block_size=512)
 
 
+def q_training_shards(spark, sf):
+    """Deterministic training-shard scatter + per-shard balance manifest —
+    the last mile of the curation pipeline (WebDataset-style shard prep).
+    Assignment is a seeded md5-prefix hash-mod (a pure column function:
+    task retries and job re-runs land every doc in the SAME shard, which
+    rand() cannot guarantee), so the oracle recomputes it bit-for-bit.
+    Map-only assignment + one map-side-combined groupBy; ≤ n_shards rows
+    out regardless of corpus size."""
+    from bigvectorbench_spark.operators import packing as pk
+    return pk.shard_manifest(_docs_wide(spark, sf), n_shards=32, seed=42)
+
+
 def q_dedup_components(spark, sf):
     """Transitive closure of the near-dup pair list: connected components
     via iterative min-label propagation (one shuffle join per round).
@@ -2034,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "doc_chunks": q_doc_chunks,
         "incremental_dedup": q_incremental_dedup,
+        "training_shards": q_training_shards,
         "hashed_embed_knn": q_hashed_embed_knn,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
@@ -3297,6 +3310,19 @@ SELECT doc_id, n::BIGINT AS n_tokens, s AS start_off, (s + n)::BIGINT AS end_off
        (CASE WHEN n > 0 THEN (s + n - 1) // 512 - s // 512 + 1
              ELSE 0 END)::BIGINT AS n_blocks
 FROM c
+""",
+        # training_shards recomputes the seeded md5-prefix shard hash
+        # bit-for-bit (32-bit hex prefix → bigint, mod 32), so the hash
+        # check proves assignment parity, not just aggregate shape.
+        "training_shards": f"""
+WITH a AS (
+  SELECT doc_id, text, len({_TOKENS}) AS n,
+         (('0x' || substring(md5('42|' || doc_id::VARCHAR), 1, 8))::BIGINT
+          % 32)::INT AS shard
+  FROM documents)
+SELECT shard, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens,
+       sum(length(text))::BIGINT AS n_chars
+FROM a GROUP BY shard
 """,
         "block_manifest": f"""
 WITH tk AS (SELECT doc_id, len({_TOKENS}) AS n FROM documents),

@@ -84,6 +84,7 @@ HEADLINE = [
     "bpe_train",
     "doc_chunks",
     "incremental_dedup",
+    "training_shards",
     "hashed_embed_knn",
     "bm25_topk",
     "top_terms_per_source",

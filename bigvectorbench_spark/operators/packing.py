@@ -43,7 +43,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from bigvectorbench_spark.functions import text as tx
 
-__all__ = ["pack_blocks", "block_manifest", "chunk_documents", "chunk_report"]
+__all__ = ["pack_blocks", "block_manifest", "chunk_documents", "chunk_report",
+           "shard_assign", "shard_manifest"]
 
 
 def pack_blocks(
@@ -165,6 +166,57 @@ def block_manifest(
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum(hi - lo).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+# --------------------------------------------------------- training shards
+
+def shard_assign(df: DataFrame, *, n_shards: int = 32, seed: int = 42,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic pseudo-random training-shard assignment — the "last
+    mile" of a curation pipeline: scatter documents across ``n_shards``
+    output shards (WebDataset/TFRecord-style) so each shard is an unbiased
+    sample of the corpus and a loader can stream shards independently.
+
+    ``shard = int(md5(seed || '|' || id)[:8 hex], 16) % n_shards`` — a
+    seeded hash, not ``rand()``, so the assignment is a pure column
+    function: re-running the job, resuming after failure, or recomputing
+    a lost partition yields the SAME shard for every document (rand()
+    breaks exactly-once shard membership under task retry).  The 32-bit
+    hash prefix keeps the value in bigint range in every engine.
+
+    Scale shape: map-only (no shuffle here).  The actual shard WRITE is
+    ``out.repartition(n_shards, "shard").write.partitionBy("shard")`` —
+    one hash exchange on the shard key, each shard landing as one
+    contiguous partition; at 100 TB you'd raise n_shards to O(10k) so a
+    shard fits an executor and set maxRecordsPerFile for file sizing."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(int(seed))), F.lit("|"),
+                           F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("bigint")
+    return df.withColumn("shard", (h % n_shards).cast("int"))
+
+
+def shard_manifest(df: DataFrame, *, n_shards: int = 32, seed: int = 42,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-shard manifest for the assignment above: (shard, n_docs,
+    n_tokens, n_chars) — the balance sheet a training job reads to verify
+    no shard is pathologically over/under-weight before launch.  One
+    map-side-combined groupBy on the shard key; output is ≤ n_shards rows
+    regardless of corpus size."""
+    a = shard_assign(df, n_shards=n_shards, seed=seed, id_col=id_col)
+    return (
+        a.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(tx.token_count(F.col(text_col)).cast("bigint"))
+            .cast("bigint").alias("n_tokens"),
+            F.sum(F.length(text_col)).cast("bigint").alias("n_chars"),
         )
     )
 

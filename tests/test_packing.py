@@ -145,3 +145,43 @@ def test_chunk_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         chunk_documents(df, size=0, stride=3)
+
+
+def test_shard_assign_deterministic_and_total(spark):
+    from bigvectorbench_spark.operators.packing import shard_assign
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(200)],
+        "doc_id long, text string")
+    a = shard_assign(df, n_shards=8, seed=42)
+    rows = {r["doc_id"]: r["shard"] for r in a.collect()}
+    assert len(rows) == 200  # every doc exactly once
+    assert all(0 <= s < 8 for s in rows.values())
+    # deterministic: a second evaluation (and a fresh plan) agrees
+    again = {r["doc_id"]: r["shard"]
+             for r in shard_assign(df, n_shards=8, seed=42).collect()}
+    assert rows == again
+    # a different seed actually reshuffles membership
+    other = {r["doc_id"]: r["shard"]
+             for r in shard_assign(df, n_shards=8, seed=7).collect()}
+    assert rows != other
+    # known value pinned against the DuckDB twin expression:
+    # ('0x'||substring(md5('42|7'),1,8))::BIGINT = 1994382085; % 8 = 5
+    assert rows[7] == 1994382085 % 8
+
+
+def test_shard_manifest_balance_and_conservation(spark):
+    from bigvectorbench_spark.operators.packing import shard_manifest
+
+    n = 4000
+    df = spark.createDataFrame(
+        [(i, "w " * (1 + i % 5)) for i in range(n)],
+        "doc_id long, text string")
+    m = shard_manifest(df, n_shards=16, seed=42).collect()
+    assert len(m) == 16
+    assert sum(r["n_docs"] for r in m) == n
+    assert sum(r["n_tokens"] for r in m) == sum(1 + i % 5 for i in range(n))
+    # unbiased scatter: no shard is wildly over/under the n/16 mean
+    # (md5 is uniform; 3-sigma on Binomial(4000, 1/16) is ~±46)
+    mean = n / 16
+    assert all(abs(r["n_docs"] - mean) < 60 for r in m)
