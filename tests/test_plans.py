@@ -394,3 +394,22 @@ def test_incremental_dedup_joins_keys_only(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_shard_manifest_is_single_rollup_without_text(spark):
+    """Shard assignment is a pure column function (map-only); the manifest
+    adds exactly one hash exchange keyed on the shard id, and the
+    map-side partial aggregate means document TEXT never enters the
+    shuffle — the exchange carries <= n_shards * partitions tiny rows."""
+    from bigvectorbench_spark.operators.packing import shard_assign, shard_manifest
+
+    docs = spark.createDataFrame(
+        [(i, "some words here") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    assert "Exchange" not in plan_of(shard_assign(docs, n_shards=8))
+    plan = plan_of(shard_manifest(docs, n_shards=8))
+    assert plan.count("Exchange") <= 2  # hashpartitioning(shard) (+AQE read)
+    assert "partial" in plan.lower()  # map-side combine before the exchange
+    ex = plan[plan.index("Exchange"):]
+    assert "text" not in ex.split("\n")[0]  # shuffle key/schema excludes text

@@ -139,3 +139,26 @@ def test_lzf_roundtrip_property(payload):
     from bigvectorbench_spark.sources.lzf import lzf_compress, lzf_decompress
 
     assert lzf_decompress(lzf_compress(payload)) == payload
+
+
+@given(st.integers(min_value=1, max_value=64),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=8, deadline=None)
+def test_shard_assign_partition_property(spark, n_shards, seed):
+    """For ANY shard count and seed: every doc gets exactly one shard in
+    [0, n_shards), and the assignment is a function of (seed, id) only —
+    independent of row order and partitioning."""
+    from bigvectorbench_spark.operators.packing import shard_assign
+
+    ids = list(range(40))
+    fwd = spark.createDataFrame([(i, "t") for i in ids],
+                                "doc_id long, text string")
+    rev = spark.createDataFrame([(i, "t") for i in reversed(ids)],
+                                "doc_id long, text string").repartition(7)
+    a = {r["doc_id"]: r["shard"]
+         for r in shard_assign(fwd, n_shards=n_shards, seed=seed).collect()}
+    b = {r["doc_id"]: r["shard"]
+         for r in shard_assign(rev, n_shards=n_shards, seed=seed).collect()}
+    assert a == b
+    assert set(a) == set(ids)
+    assert all(0 <= s < n_shards for s in a.values())
