@@ -1780,6 +1780,19 @@ def q_block_manifest(spark, sf):
     return pk.block_manifest(packed, block_size=512)
 
 
+def q_epoch_mix(spark, sf):
+    """Fractional-epoch oversampling audit — the UPsampling complement of
+    domain_mix: each source runs 1.0/1.5/2.0/2.5 epochs (ppm factor from
+    its numeric suffix), a doc's extra copy decided by the deterministic
+    mix-hash Bernoulli, and the report returns exact integer counts
+    (n_docs, n_emitted, n_extra) per source.  The replication itself is a
+    map-only bounded explode (pytest pins the row stream); this audit
+    aggregates the pre-explode scan, so the oracle checks the copy-count
+    arithmetic bit-for-bit without materializing copies."""
+    from bigvectorbench_spark.operators import curation as cur
+    return cur.epoch_mix_report(_docs_wide(spark, sf))
+
+
 def q_training_shards(spark, sf):
     """Deterministic training-shard scatter + per-shard balance manifest —
     the last mile of the curation pipeline (WebDataset-style shard prep).
@@ -2047,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "incremental_dedup": q_incremental_dedup,
         "training_shards": q_training_shards,
+        "epoch_mix": q_epoch_mix,
         "hashed_embed_knn": q_hashed_embed_knn,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
@@ -3310,6 +3324,25 @@ SELECT doc_id, n::BIGINT AS n_tokens, s AS start_off, (s + n)::BIGINT AS end_off
        (CASE WHEN n > 0 THEN (s + n - 1) // 512 - s // 512 + 1
              ELSE 0 END)::BIGINT AS n_blocks
 FROM c
+""",
+        # epoch_mix recomputes the ppm epoch factor and the Knuth-hash
+        # Bernoulli in exact integer arithmetic — the same machinery the
+        # domain_mix oracle already mirrors, extended with the
+        # full-copies + fractional-extra split.
+        "epoch_mix": """
+WITH a AS (
+  SELECT source,
+         1000000 + (regexp_extract(source, '([0-9]+)$', 1)::BIGINT % 4)
+                   * 500000 AS epochs_ppm,
+         CASE WHEN ((doc_id * 2654435761) % 4294967296) % 1000000 <
+                   (1000000 + (regexp_extract(source, '([0-9]+)$', 1)::BIGINT
+                    % 4) * 500000) % 1000000
+              THEN 1 ELSE 0 END AS x
+  FROM documents)
+SELECT source, epochs_ppm::BIGINT AS epochs_ppm, count(*)::BIGINT AS n_docs,
+       sum(epochs_ppm // 1000000 + x)::BIGINT AS n_emitted,
+       sum(x)::BIGINT AS n_extra
+FROM a GROUP BY source, epochs_ppm
 """,
         # training_shards recomputes the seeded md5-prefix shard hash
         # bit-for-bit (32-bit hex prefix → bigint, mod 32), so the hash

@@ -85,6 +85,7 @@ HEADLINE = [
     "doc_chunks",
     "incremental_dedup",
     "training_shards",
+    "epoch_mix",
     "hashed_embed_knn",
     "bm25_topk",
     "top_terms_per_source",

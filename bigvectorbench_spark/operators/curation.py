@@ -957,6 +957,78 @@ def mix_hash_ppm(id_col: Column) -> Column:
                          F.lit(_MOD32)), F.lit(1_000_000))
 
 
+def _epochs_ppm(group_col: str) -> Column:
+    """Per-source epoch factor in parts-per-million, derived
+    deterministically from the source's numeric suffix (the same
+    convention as domain_mix's target_permille): (n mod 4) steps of half
+    an epoch above 1.0 → 1.0 / 1.5 / 2.0 / 2.5 epochs.  Integer ppm, so
+    every engine computes the identical factor with no float parsing."""
+    src_num = F.regexp_extract(F.col(group_col), r"([0-9]+)$", 1).cast("bigint")
+    return F.lit(1_000_000) + F.pmod(src_num, F.lit(4)) * F.lit(500_000)
+
+
+def epoch_oversample(df: DataFrame, *, id_col: str = "doc_id",
+                     group_col: str = "source",
+                     epochs_ppm: Column | None = None) -> DataFrame:
+    """Fractional-epoch UPsampling — the complement of domain_mix's
+    downsampling and the way LLaMA/DoReMi-style mixtures run
+    under-represented domains for >1 epoch: a source weighted e = 2.3
+    epochs emits ⌊e⌋ = 2 full copies of every document plus a third copy
+    for a deterministic 30% Bernoulli subset.  The Bernoulli draw is
+    ``mix_hash_ppm(id) < frac(e)·10⁶`` — a pure column function, so
+    re-runs, task retries, and appended corpora replicate the SAME
+    documents (rand() would resample per attempt and break exactly-once
+    loader semantics).
+
+    Output: input columns + ``epochs_ppm`` + ``copy_id`` (0-based; one
+    row per emitted copy — downstream global shuffle/sharding separates
+    the copies across training batches).  Docs whose copy count is 0
+    (epochs < 1 with a losing draw) emit no rows.
+
+    Scale shape: map-only — the per-row copy count is integer arithmetic
+    and the replication is a bounded generator (``explode`` of a
+    ≤⌈e⌉-element sequence); no shuffle, no join.  With per-source weights
+    from a table instead of an expression, the join side is ≤ n_sources
+    rows — broadcast."""
+    e = (epochs_ppm if epochs_ppm is not None
+         else _epochs_ppm(group_col)).cast("bigint")
+    full = (e / F.lit(1_000_000)).cast("bigint")
+    extra = (mix_hash_ppm(F.col(id_col)) <
+             F.pmod(e, F.lit(1_000_000))).cast("bigint")
+    n = (full + extra).alias("_n")
+    copies = F.when(n > 0, F.sequence(F.lit(0), (n - 1).cast("int"))
+                    ).otherwise(F.lit([]).cast("array<int>"))
+    return (
+        df.withColumn("epochs_ppm", e)
+        .withColumn("copy_id", F.explode(copies))
+    )
+
+
+def epoch_mix_report(df: DataFrame, *, id_col: str = "doc_id",
+                     group_col: str = "source",
+                     epochs_ppm: Column | None = None) -> DataFrame:
+    """Per-source accounting for the oversampling above: (source,
+    epochs_ppm, n_docs, n_emitted, n_extra) — all exact integers, so the
+    replication arithmetic is value-checkable bit-for-bit.  Computed on
+    the pre-explode scan (counts, not replicated rows): one map-side-
+    combined rollup, no data replication needed just to audit the mix."""
+    e = (epochs_ppm if epochs_ppm is not None
+         else _epochs_ppm(group_col)).cast("bigint")
+    full = (e / F.lit(1_000_000)).cast("bigint")
+    extra = (mix_hash_ppm(F.col(id_col)) <
+             F.pmod(e, F.lit(1_000_000))).cast("bigint")
+    scanned = df.select(F.col(group_col), e.alias("epochs_ppm"),
+                        (full + extra).alias("_n"), extra.alias("_x"))
+    return (
+        scanned.groupBy(group_col, "epochs_ppm")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_n").cast("bigint").alias("n_emitted"),
+            F.sum("_x").cast("bigint").alias("n_extra"),
+        )
+    )
+
+
 def temperature_sample_report(df: DataFrame, *, id_col: str = "doc_id",
                               group_col: str = "source",
                               sample_permille: int = 500) -> DataFrame:

@@ -71,6 +71,8 @@ def reports(docs):
         "lm_fluency": lambda: lm.lm_score_report(docs),
         "dsir_select": lambda: dsir.dsir_report(docs),
         "bpe_train": lambda: bpe.bpe_train_report(docs, num_merges=100),
+        "training_shards": lambda: pk.shard_manifest(docs, n_shards=32,
+                                                     seed=42),
     }
 
 

@@ -611,3 +611,60 @@ def test_temperature_sample_stable_under_append(spark):
     assert r2["a"]["p_ppm"] == r2["b"]["p_ppm"] == r2["c"]["p_ppm"]
     assert r1["a"]["p_ppm"] == r2["a"]["p_ppm"]
     assert r1["a"]["n_kept"] == r2["a"]["n_kept"]
+
+
+def test_epoch_oversample_row_stream(spark):
+    """The exploded copy stream matches the integer arithmetic exactly:
+    floor(e) copies per doc plus one more when the Knuth-hash ppm draw
+    beats frac(e); copy_id is 0-based and dense."""
+    from bigvectorbench_spark.operators.curation import epoch_oversample
+
+    rows = [(i, f"src{s}", "t") for i in range(60) for s in (0, 1, 2, 3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {}
+    for r in epoch_oversample(df).collect():
+        got.setdefault((r["doc_id"], r["source"]), []).append(r["copy_id"])
+    for (i, src), copies in got.items():
+        n = int(src[-1])
+        e = 1_000_000 + (n % 4) * 500_000
+        h = ((i * 2654435761) % 4294967296) % 1_000_000
+        want = e // 1_000_000 + (1 if h < e % 1_000_000 else 0)
+        assert sorted(copies) == list(range(want)), (i, src)
+    # every (doc, source) with >= 1 copy appears; here e >= 1.0 for all
+    assert len(got) == len(rows)
+
+
+def test_epoch_oversample_zero_copy_docs_drop(spark):
+    """epochs < 1: losing docs emit no rows, winners exactly one."""
+    from pyspark.sql import functions as F
+    from bigvectorbench_spark.operators.curation import epoch_oversample
+
+    df = spark.createDataFrame([(i, "s", "t") for i in range(1000)],
+                               "doc_id long, source string, text string")
+    out = epoch_oversample(df, epochs_ppm=F.lit(250_000)).collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids))  # at most one copy each
+    assert all(r["copy_id"] == 0 for r in out)
+    assert 0 < len(ids) < 1000  # a proper subset kept
+    want = {i for i in range(1000)
+            if ((i * 2654435761) % 4294967296) % 1_000_000 < 250_000}
+    assert set(ids) == want
+
+
+def test_epoch_mix_report_matches_stream(spark):
+    """The pre-explode audit equals counts taken over the materialized
+    copy stream — the report never replicates rows to count them."""
+    from bigvectorbench_spark.operators.curation import (
+        epoch_mix_report, epoch_oversample)
+
+    rows = [(i, f"src{i % 4}", "t") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    rep = {r["source"]: r for r in epoch_mix_report(df).collect()}
+    stream = epoch_oversample(df).collect()
+    for src, r in rep.items():
+        emitted = [x for x in stream if x["source"] == src]
+        assert r["n_emitted"] == len(emitted)
+        assert r["n_docs"] == 50
+        full = r["epochs_ppm"] // 1_000_000
+        assert r["n_extra"] == sum(
+            1 for x in emitted if x["copy_id"] == full)

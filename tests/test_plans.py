@@ -413,3 +413,19 @@ def test_shard_manifest_is_single_rollup_without_text(spark):
     assert "partial" in plan.lower()  # map-side combine before the exchange
     ex = plan[plan.index("Exchange"):]
     assert "text" not in ex.split("\n")[0]  # shuffle key/schema excludes text
+
+
+def test_epoch_oversample_is_map_only(spark):
+    """Replication is a bounded generator over a pure column function —
+    no shuffle, no join; the audit adds exactly one rollup exchange."""
+    from bigvectorbench_spark.operators.curation import (
+        epoch_mix_report, epoch_oversample)
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", "words") for i in range(30)],
+        "doc_id bigint, source string, text string",
+    )
+    assert "Exchange" not in plan_of(epoch_oversample(docs))
+    plan = plan_of(epoch_mix_report(docs))
+    assert plan.count("Exchange") <= 2  # hashpartitioning (+AQE read)
+    assert "partial" in plan.lower()
