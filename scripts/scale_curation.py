@@ -73,6 +73,7 @@ def reports(docs):
         "bpe_train": lambda: bpe.bpe_train_report(docs, num_merges=100),
         "training_shards": lambda: pk.shard_manifest(docs, n_shards=32,
                                                      seed=42),
+        "epoch_mix": lambda: cur.epoch_mix_report(docs),
     }
 
 
