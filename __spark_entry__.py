@@ -1793,6 +1793,38 @@ def q_epoch_mix(spark, sf):
     return cur.epoch_mix_report(_docs_wide(spark, sf))
 
 
+def q_mix_shards(spark, sf):
+    """Composed mixture-to-loader step: fractional-epoch oversampling
+    materialized as a copy stream, each (doc, copy) scattered to a shard
+    by the seeded hash on the COMBINED key — so the extra copies of an
+    upweighted document land in different shards (a loader never sees
+    the same doc twice in one shard pass), which is the property that
+    distinguishes this from sharding then replicating.  Per-shard
+    manifest: emitted rows, distinct docs, token mass.  Tokens are
+    counted once per document BEFORE the explode (the copy stream
+    carries a precomputed n_tok long, not re-tokenized text).  Plan:
+    map-only explode -> one shard-keyed rollup; the distinct-doc count
+    is the only two-phase aggregate."""
+    from bigvectorbench_spark.operators import curation as cur
+    from bigvectorbench_spark.operators import packing as pk
+    from bigvectorbench_spark.functions import text as tx
+
+    docs = _docs_wide(spark, sf).select(
+        "doc_id", "source",
+        tx.token_count(F.col("text")).cast("bigint").alias("n_tok"))
+    over = cur.epoch_oversample(docs)
+    keyed = over.withColumn(
+        "_sid", F.concat(F.col("doc_id").cast("string"), F.lit("#"),
+                         F.col("copy_id").cast("string")))
+    a = pk.shard_assign(keyed, n_shards=16, seed=42, id_col="_sid")
+    return (
+        a.groupBy("shard")
+        .agg(F.count("*").cast("bigint").alias("n_rows"),
+             F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+             F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+
+
 def q_training_shards(spark, sf):
     """Deterministic training-shard scatter + per-shard balance manifest —
     the last mile of the curation pipeline (WebDataset-style shard prep).
@@ -2061,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "training_shards": q_training_shards,
         "epoch_mix": q_epoch_mix,
+        "mix_shards": q_mix_shards,
         "hashed_embed_knn": q_hashed_embed_knn,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
@@ -3343,6 +3376,30 @@ SELECT source, epochs_ppm::BIGINT AS epochs_ppm, count(*)::BIGINT AS n_docs,
        sum(epochs_ppm // 1000000 + x)::BIGINT AS n_emitted,
        sum(x)::BIGINT AS n_extra
 FROM a GROUP BY source, epochs_ppm
+""",
+        # mix_shards materializes the oversampled copy stream (unnest ==
+        # explode) and recomputes the combined-key shard hash, so the
+        # hash check proves copy-level scatter parity end to end.
+        "mix_shards": f"""
+WITH t AS (SELECT doc_id, source, len({_TOKENS}) AS n FROM documents),
+e AS (SELECT doc_id, n,
+        1000000 + (regexp_extract(source, '([0-9]+)$', 1)::BIGINT % 4)
+                  * 500000 AS ep,
+        ((doc_id * 2654435761) % 4294967296) % 1000000 AS h
+      FROM t),
+c AS (SELECT doc_id, n,
+        ep // 1000000 + CASE WHEN h < ep % 1000000 THEN 1 ELSE 0 END AS nc
+      FROM e),
+x AS (SELECT doc_id, n, unnest(range(0, nc)) AS copy_id FROM c),
+s AS (SELECT doc_id, n,
+        (('0x' || substring(md5('42|' || doc_id::VARCHAR || '#'
+                                 || copy_id::VARCHAR), 1, 8))::BIGINT
+         % 16)::INT AS shard
+      FROM x)
+SELECT shard, count(*)::BIGINT AS n_rows,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       sum(n)::BIGINT AS n_tokens
+FROM s GROUP BY shard
 """,
         # training_shards recomputes the seeded md5-prefix shard hash
         # bit-for-bit (32-bit hex prefix → bigint, mod 32), so the hash

@@ -86,6 +86,7 @@ HEADLINE = [
     "incremental_dedup",
     "training_shards",
     "epoch_mix",
+    "mix_shards",
     "hashed_embed_knn",
     "bm25_topk",
     "top_terms_per_source",

@@ -185,3 +185,30 @@ def test_shard_manifest_balance_and_conservation(spark):
     # (md5 is uniform; 3-sigma on Binomial(4000, 1/16) is ~±46)
     mean = n / 16
     assert all(abs(r["n_docs"] - mean) < 60 for r in m)
+
+
+def test_mix_shards_separates_copies(spark):
+    """Copies of an upweighted doc are sharded by the COMBINED (doc,
+    copy) key: collision rate across a doc's copies tracks 1/n_shards,
+    not 1.0 (sharding-then-replicating would collide always).  The
+    manifest conserves the emitted row count exactly."""
+    from pyspark.sql import functions as F
+    from bigvectorbench_spark.operators.curation import epoch_oversample
+    from bigvectorbench_spark.operators.packing import shard_assign
+
+    docs = spark.createDataFrame(
+        [(i, "src2", 5) for i in range(500)],  # src2 -> 2.0 epochs
+        "doc_id long, source string, n_tok long")
+    over = epoch_oversample(docs)
+    keyed = over.withColumn(
+        "_sid", F.concat(F.col("doc_id").cast("string"), F.lit("#"),
+                         F.col("copy_id").cast("string")))
+    a = shard_assign(keyed, n_shards=16, seed=42, id_col="_sid")
+    by_doc = {}
+    for r in a.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r["shard"])
+    assert all(len(v) == 2 for v in by_doc.values())  # exactly 2.0 epochs
+    collide = sum(1 for v in by_doc.values() if v[0] == v[1]) / len(by_doc)
+    assert collide < 0.2  # ~1/16 expected; 1.0 would mean copies collocate
+    m = a.groupBy("shard").count().collect()
+    assert sum(r["count"] for r in m) == 1000
