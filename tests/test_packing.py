@@ -212,3 +212,44 @@ def test_mix_shards_separates_copies(spark):
     assert collide < 0.2  # ~1/16 expected; 1.0 would mean copies collocate
     m = a.groupBy("shard").count().collect()
     assert sum(r["count"] for r in m) == 1000
+
+
+def test_write_shards_layout_and_order(spark, tmp_path):
+    """The materialized layout is the loader contract: one shard=<k>/
+    directory per shard, every row in the right directory, rows inside
+    each shard file in order_key order, and the whole corpus conserved.
+    Re-writing reproduces the identical assignment and order."""
+    import pyarrow.parquet as pq_
+    from bigvectorbench_spark.operators.packing import (
+        shard_assign, write_shards)
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(300)],
+        "doc_id long, text string")
+    out = str(tmp_path / "shards")
+    write_shards(df, out, n_shards=8, seed=42)
+
+    dirs = sorted(p.name for p in (tmp_path / "shards").iterdir()
+                  if p.name.startswith("shard="))
+    assert dirs == [f"shard={k}" for k in range(8)]
+    want = {r["doc_id"]: r["shard"]
+            for r in shard_assign(df, n_shards=8, seed=42).collect()}
+    seen = {}
+    for d in dirs:
+        k = int(d.split("=")[1])
+        for f in (tmp_path / "shards" / d).glob("*.parquet"):
+            t = pq_.read_table(str(f)).to_pydict()
+            keys = t["order_key"]
+            assert keys == sorted(keys)  # within-file deterministic order
+            for i in t["doc_id"]:
+                assert want[i] == k
+                seen[i] = k
+    assert len(seen) == 300
+
+    # byte-level reproducibility of the layout decision: second write,
+    # same assignment and same per-shard order keys
+    out2 = str(tmp_path / "shards2")
+    write_shards(df, out2, n_shards=8, seed=42)
+    a = spark.read.parquet(out).select("doc_id", "shard", "order_key")
+    b = spark.read.parquet(out2).select("doc_id", "shard", "order_key")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
