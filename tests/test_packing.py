@@ -253,3 +253,30 @@ def test_write_shards_layout_and_order(spark, tmp_path):
     a = spark.read.parquet(out).select("doc_id", "shard", "order_key")
     b = spark.read.parquet(out2).select("doc_id", "shard", "order_key")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_write_shards_incremental_append(spark, tmp_path):
+    """Because assignment is a pure function of (seed, id), an appended
+    batch extends the SAME layout: old files untouched, new docs land in
+    their hash-designated shard dirs, and the merged read equals a
+    from-scratch write of the union."""
+    from bigvectorbench_spark.operators.packing import write_shards
+
+    a = spark.createDataFrame([(i, f"t{i}") for i in range(100)],
+                              "doc_id long, text string")
+    b = spark.createDataFrame([(i, f"t{i}") for i in range(100, 160)],
+                              "doc_id long, text string")
+    out = str(tmp_path / "s")
+    write_shards(a, out, n_shards=4, seed=42)
+    before = {str(p) for p in (tmp_path / "s").rglob("*.parquet")}
+    write_shards(b, out, n_shards=4, seed=42, mode="append")
+    after = {str(p) for p in (tmp_path / "s").rglob("*.parquet")}
+    assert before <= after  # append never rewrites existing shard files
+
+    ref = str(tmp_path / "ref")
+    write_shards(a.unionByName(b), ref, n_shards=4, seed=42)
+    got = sorted(map(tuple, spark.read.parquet(out)
+                 .select("doc_id", "shard", "order_key").collect()))
+    want = sorted(map(tuple, spark.read.parquet(ref)
+                  .select("doc_id", "shard", "order_key").collect()))
+    assert got == want

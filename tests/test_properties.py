@@ -162,3 +162,25 @@ def test_shard_assign_partition_property(spark, n_shards, seed):
     assert a == b
     assert set(a) == set(ids)
     assert all(0 <= s < n_shards for s in a.values())
+
+
+@given(st.integers(min_value=0, max_value=3_500_000),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=8, deadline=None)
+def test_epoch_oversample_copy_count_property(spark, ppm, _seed):
+    """For ANY epochs factor (including < 1 epoch): every document emits
+    exactly floor(e) or ceil(e) copies, the emitted total equals the
+    per-doc integer arithmetic, and copy_ids are dense from 0."""
+    from pyspark.sql import functions as F
+    from bigvectorbench_spark.operators.curation import epoch_oversample
+
+    df = spark.createDataFrame([(i, "s") for i in range(30)],
+                               "doc_id long, source string")
+    got = {}
+    for r in epoch_oversample(df, epochs_ppm=F.lit(ppm)).collect():
+        got.setdefault(r["doc_id"], []).append(r["copy_id"])
+    full, frac = ppm // 1_000_000, ppm % 1_000_000
+    for i in range(30):
+        h = ((i * 2654435761) % 4294967296) % 1_000_000
+        want = full + (1 if h < frac else 0)
+        assert sorted(got.get(i, [])) == list(range(want))
