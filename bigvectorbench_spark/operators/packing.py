@@ -223,7 +223,8 @@ def shard_manifest(df: DataFrame, *, n_shards: int = 32, seed: int = 42,
 
 def write_shards(df: DataFrame, path: str, *, n_shards: int = 32,
                  seed: int = 42, id_col: str = "doc_id",
-                 mode: str = "overwrite") -> None:
+                 mode: str = "overwrite",
+                 max_records_per_file: int | None = None) -> None:
     """Materialize the shard scatter as the loader-facing layout: one
     ``shard=<k>/`` parquet directory per shard, rows within each shard in
     a deterministic pseudo-random order (the seeded "o"-namespaced hash
@@ -244,12 +245,18 @@ def write_shards(df: DataFrame, path: str, *, n_shards: int = 32,
             F.md5(F.concat(F.lit(f"o{int(seed)}|"),
                            F.col(id_col).cast("string"))), 1, 8),
         16, 10).cast("bigint")
-    (
+    w = (
         a.withColumn("order_key", okey)
         .repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "order_key")
-        .write.mode(mode).partitionBy("shard").parquet(path)
+        .write.mode(mode)
     )
+    if max_records_per_file is not None:
+        # Splits a shard into order-contiguous files of bounded row count
+        # (the writer cuts the sorted task stream in order, so file k
+        # holds the shard's k-th order_key range).
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.partitionBy("shard").parquet(path)
 
 
 # ------------------------------------------------------------- RAG chunking

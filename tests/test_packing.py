@@ -280,3 +280,27 @@ def test_write_shards_incremental_append(spark, tmp_path):
     want = sorted(map(tuple, spark.read.parquet(ref)
                   .select("doc_id", "shard", "order_key").collect()))
     assert got == want
+
+
+def test_write_shards_max_records_per_file(spark, tmp_path):
+    """File sizing: each shard splits into order-contiguous files of at
+    most N rows, and the multi-file shard still reads back complete and
+    identically ordered per file."""
+    import pyarrow.parquet as pq_
+    from bigvectorbench_spark.operators.packing import write_shards
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(400)],
+                               "doc_id long, text string")
+    out = str(tmp_path / "s")
+    write_shards(df, out, n_shards=4, seed=42, max_records_per_file=30)
+    total = 0
+    for d in (tmp_path / "s").glob("shard=*"):
+        files = sorted(d.glob("*.parquet"))
+        assert len(files) >= 2  # ~100 rows/shard at 30/file must split
+        for f in files:
+            t = pq_.read_table(str(f))
+            assert t.num_rows <= 30
+            keys = t.column("order_key").to_pylist()
+            assert keys == sorted(keys)
+            total += t.num_rows
+    assert total == 400
