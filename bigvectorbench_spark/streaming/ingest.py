@@ -194,3 +194,64 @@ def streaming_pii_scrub(
                   .cast("int")).cast("bigint").alias("n_docs_with_pii"),
         )
     )
+
+
+def append_shard_batch(batch_df: DataFrame, batch_id: int, path: str, *,
+                       n_shards: int = 32, seed: int = 42,
+                       id_col: str = "doc_id") -> None:
+    """Idempotent micro-batch shard append: the batch is shard-assigned
+    with the SAME seeded hash as ``packing.write_shards`` (so shard
+    membership is consistent across batches and with any earlier bulk
+    write-then-stream handoff), ordered within shard, and written under
+    ``batch=<id>/shard=<k>/`` via DYNAMIC partition overwrite.  A
+    replayed batch — foreachBatch re-runs its last batch after a crash —
+    OVERWRITES its own ``batch=<id>`` partitions instead of appending
+    duplicates: exactly-once file-sink semantics without a transaction
+    log, because the batch id IS the partition key.  Loaders read
+    ``path`` recursively; the shard column spans batches."""
+    from bigvectorbench_spark.operators.packing import shard_assign
+
+    spark = batch_df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        a = shard_assign(batch_df, n_shards=n_shards, seed=seed,
+                         id_col=id_col)
+        okey = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"o{int(seed)}|"),
+                               F.col(id_col).cast("string"))), 1, 8),
+            16, 10).cast("bigint")
+        (
+            a.withColumn("order_key", okey)
+            .withColumn("batch", F.lit(int(batch_id)).cast("long"))
+            .repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", "order_key")
+            .write.mode("overwrite").partitionBy("batch", "shard")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, old)
+
+
+def stream_append_shards(stream: DataFrame, path: str,
+                         checkpoint_path: str, *, n_shards: int = 32,
+                         seed: int = 42, id_col: str = "doc_id",
+                         await_termination: bool = True):
+    """Streaming ingestion into the training-shard layout: every
+    micro-batch lands via ``append_shard_batch`` (idempotent replay —
+    see there), checkpointed so a restart resumes at the next batch.
+    ``availableNow`` drains the backlog and stops, the pattern tests and
+    backfills use; drop the trigger for continuous tailing."""
+    q = (
+        stream.writeStream
+        .foreachBatch(lambda b, i: append_shard_batch(
+            b, i, path, n_shards=n_shards, seed=seed, id_col=id_col))
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
