@@ -1793,6 +1793,19 @@ def q_epoch_mix(spark, sf):
     return cur.epoch_mix_report(_docs_wide(spark, sf))
 
 
+def q_lsh_dedup(spark, sf):
+    """Pairless LSH dedup — every MinHash band bucket elects its min id
+    as canonical; a doc drops iff any of its buckets elects a smaller
+    id.  No pair list is materialized, so cost is linear in docs x bands
+    no matter how dense the duplicate structure — the formulation that
+    survived the 5M-doc corpus where the exact pair operators exhausted
+    heap then disk (SCALING.md).  Same portable md5-60bit signature
+    math as minhash_dups, so the oracle recomputes the buckets and the
+    election bit-for-bit."""
+    docs = load_table(spark, sf, "documents")
+    return dd.lsh_dedup_report(docs, hash="md5")
+
+
 def q_mix_shards(spark, sf):
     """Composed mixture-to-loader step: fractional-epoch oversampling
     materialized as a copy stream, each (doc, copy) scattered to a shard
@@ -2094,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         "epoch_mix": q_epoch_mix,
         "mix_shards": q_mix_shards,
+        "lsh_dedup": q_lsh_dedup,
         "hashed_embed_knn": q_hashed_embed_knn,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
@@ -3010,6 +3024,32 @@ v AS (SELECT c.id_a, c.id_b,
              (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
       FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y ON y.doc_id = c.id_b)
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM v WHERE jaccard >= 0.5
+""",
+        # lsh_dedup: the same signature/band pipeline as minhash_dups,
+        # but instead of emitting pairs, each (band, bucket) elects
+        # min(doc_id) and a doc keeps iff it wins every bucket it
+        # occupies.  Docs too short to shingle have no bands -> kept.
+        "lsh_dedup": f"""
+WITH tk AS (SELECT doc_id, source, {_TOKENS} AS tk FROM documents),
+sh AS (SELECT doc_id, list_transform({_SHINGLES}, x -> {_PHASH.format(x='x')}) AS s
+       FROM tk WHERE len(tk) >= 3),
+sig AS (SELECT doc_id, list_transform({perms}::BIGINT[][], ab ->
+            list_min(list_transform(s, h -> (ab[1] * (h % {p}) + ab[2]) % {p}))) AS sig
+        FROM sh),
+bands AS (SELECT doc_id, t.b AS band,
+                 array_to_string(sig[(t.b*4 + 1):(t.b*4 + 4)], ',') AS bucket
+          FROM sig CROSS JOIN unnest(range(0, 16)) AS t(b)),
+mins AS (SELECT band, bucket, min(doc_id) AS m FROM bands
+         GROUP BY band, bucket),
+keep AS (SELECT b.doc_id, min(m.m) AS keeper
+         FROM bands b JOIN mins m USING (band, bucket) GROUP BY b.doc_id)
+SELECT t.source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN k.keeper IS NULL OR k.keeper = t.doc_id
+                THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN k.keeper IS NOT NULL AND k.keeper != t.doc_id
+                THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+FROM tk t LEFT JOIN keep k ON t.doc_id = k.doc_id
+GROUP BY t.source
 """,
         # SimHash: per-token portable hashes → per-bit majority votes →
         # 60-bit signature → 4 × 16-bit bands (pigeonhole complete for

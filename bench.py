@@ -87,6 +87,7 @@ HEADLINE = [
     "training_shards",
     "epoch_mix",
     "mix_shards",
+    "lsh_dedup",
     "hashed_embed_knn",
     "bm25_topk",
     "top_terms_per_source",

@@ -226,6 +226,15 @@ def minhash_sets(
     params = np.array(_perm_params(num_perm, seed), dtype=np.int64)
     bc = sets_df.sparkSession.sparkContext.broadcast(params)
 
+    # Per-chunk shingle budget: the permuted-hash matrix H is
+    # (shingles, num_perm) int64 — unchunked, a 10k-doc Arrow batch of
+    # ~128-shingle documents makes H ~650 MB with two more temporaries
+    # behind it, and 32 concurrent tasks turned that into allocator
+    # thrash (measured 27x/decade on the 500k Zipf corpus — superlinear
+    # purely from memory pressure).  64k shingles cap H at 32 MB/task;
+    # results are bit-identical (chunks split on document boundaries).
+    _CHUNK = 1 << 16
+
     def kernel(batches):
         ab = bc.value
         a, b = ab[:, 0], ab[:, 1]
@@ -239,13 +248,23 @@ def minhash_sets(
             offsets = np.concatenate([[0], np.cumsum(counts)])
             flat = lv.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
             sigs = np.full((n, len(a)), _MERSENNE, dtype=np.int64)
-            if len(flat):
-                hm = flat % _MERSENNE  # numpy % matches pmod (non-negative)
-                H = (hm[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-                starts = np.minimum(offsets[:-1], len(flat) - 1)
-                red = np.minimum.reduceat(H, starts, axis=0)
-                nonempty = counts > 0
-                sigs[nonempty] = red[nonempty]
+            lo = 0  # first doc of the current chunk
+            while lo < n:
+                hi = lo + 1
+                while hi < n and offsets[hi + 1] - offsets[lo] <= _CHUNK:
+                    hi += 1
+                seg = flat[offsets[lo]:offsets[hi]]
+                if len(seg):
+                    hm = seg % _MERSENNE  # numpy % matches pmod (>= 0)
+                    H = hm[:, None] * a[None, :]
+                    H += b[None, :]
+                    H %= _MERSENNE
+                    starts = np.minimum(offsets[lo:hi] - offsets[lo],
+                                        len(seg) - 1)
+                    red = np.minimum.reduceat(H, starts, axis=0)
+                    seg_counts = counts[lo:hi]
+                    sigs[lo:hi][seg_counts > 0] = red[seg_counts > 0]
+                lo = hi
             yield pa.RecordBatch.from_pydict({
                 "id": pa.array(ids, pa.int64()),
                 "sig": pa.FixedSizeListArray.from_arrays(
@@ -314,6 +333,95 @@ def minhash_lsh_pairs(
     if not verify:
         return cand.withColumn("jaccard", F.lit(None).cast("double"))
     return _verify_jaccard(cand, sets_df).filter(F.col("jaccard") >= threshold)
+
+
+def lsh_dedup_report(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 1,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """PAIRLESS near-dup dedup — the formulation that survives where pair
+    lists cannot: every LSH band bucket elects its minimum id as the
+    canonical copy, and a document is dropped iff ANY of its buckets
+    elects a smaller id.  No candidate pair is ever materialized, so the
+    cost is linear in (docs x bands) REGARDLESS of how dense the
+    near-dup structure is.
+
+    Why this exists alongside ``minhash_lsh_pairs``/``ngram_jaccard_pairs``:
+    on corpora where loose-threshold similarity is DENSE, the pair set
+    itself is quadratic — measured on a 5M-doc/4 GB iid-Zipf corpus at
+    t=0.5, exact PPJoin exhausted a 32 GB heap, then a widened-shuffle
+    retry wrote >60 GB of candidate spill before exhausting the disk,
+    and MinHash banding fared no better (387s at 500k docs vs PPJoin's
+    55s, still pair-bound).  The output volume was the bottleneck, not
+    the algorithm, so the scale answer changes the FORMULATION: elect
+    keepers per bucket (2 fixed-width shuffles, ≤ docs x bands rows) and
+    never emit pairs.  Tighter thresholds / real web corpora keep the
+    exact pair operators viable — this is the loose-threshold/production
+    path (the form industrial LLM dedup pipelines run).
+
+    Approximation contract: drop decisions come from band collisions
+    (same recall knobs as banding: num_perm/bands), with NO exact-Jaccard
+    verification — a colliding band is treated as a duplicate vote.  The
+    keep-set differs from transitive-component dedup only in linkage
+    depth (bucket-hop vs full closure).  Docs too short to shingle
+    (< shingle_n tokens) are always kept.
+
+    Output: (group, n_docs, n_kept, n_dropped) exact integers."""
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
+    rows_per_band = num_perm // bands
+
+    # _shingle_sets already drops docs with < shingle_n tokens (and does
+    # it on token count, NOT size(sh) — a size(sh) filter would be pushed
+    # below the projection with the shingle expression substituted in,
+    # re-running the pipeline per row; see _shingle_sets).
+    sets_df = _shingle_sets(_widen(df), id_col, text_col, shingle_n, hash=hash)
+    sig = minhash_sets(sets_df, num_perm=num_perm, seed=seed)
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(",", *[
+                    F.element_at("sig", band * rows_per_band + r + 1)
+                    .cast("string")
+                    for r in range(rows_per_band)
+                ]))
+                for band in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    # two fixed-width shuffles: (band, bucket) -> min id, then id -> min
+    # keeper across the doc's buckets.  kept <=> the doc IS its own
+    # keeper in every bucket it occupies.
+    mins = banded.groupBy("band", "bucket").agg(F.min("id").alias("m"))
+    keeper = (
+        banded.join(mins, ["band", "bucket"])
+        .groupBy("id")
+        .agg(F.min("m").alias("keeper"))
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(group_col))
+    return (
+        base.join(keeper, "id", "left")
+        .select(
+            group_col,
+            F.coalesce(F.col("keeper") == F.col("id"), F.lit(True))
+            .cast("int").alias("kept"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            (F.count("*") - F.sum("kept")).cast("bigint").alias("n_dropped"),
+        )
+    )
 
 
 # -------------------------------------------------------------------- SimHash

@@ -21,6 +21,18 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.shuffle.partitions": "32",
+    # Shuffle WIDTH is the memory knob at corpus scale: 32 reducers cap
+    # per-task input at data/32, and at a 5M-doc/4 GB-text corpus the
+    # PPJoin shingle rollup put ~600 MB of aggregation state in every
+    # reducer and exhausted the execution pool
+    # (UNABLE_TO_ACQUIRE_MEMORY).  Starting wide and letting AQE
+    # coalesce bounds per-task state — but it is NOT free at small
+    # scale: measured +45-85% on the multi-stage PPJoin at sf0.1
+    # (2.6s → 3.8s at 64, 4.9s at 256 initial partitions), so the
+    # default stays at the core count and big-corpus jobs turn the
+    # env knob instead (a 100 TB cluster job runs thousands here).
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum":
+        os.environ.get("SPARK_GRAFT_INITIAL_SHUFFLE", "32"),
     # ARRAY<FLOAT> vectors decode fastest with the vectorized reader.
     "spark.sql.parquet.enableVectorizedReader": "true",
     # Queries are broadcast by design; keep the threshold generous so the
@@ -43,7 +55,15 @@ _DEFAULTS = {
     # cheap size() filter on the materialized column instead (curation.py).
     "spark.sql.optimizer.excludedRules":
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    "spark.driver.memory": "8g",
+    # In local mode the driver JVM IS the executor: all local[N] task
+    # threads share this one heap, so size it like a cluster would size N
+    # cores of executors (~1 GB/core; a 4-core/4 GB executor is the
+    # standard shape), not like a cluster driver.  The old 8g default
+    # (256 MB/core at local[32]) OOMed the PPJoin shingle stages on a
+    # 5M-doc/4 GB-text corpus that a per-core-realistic heap absorbs —
+    # artificial scarcity, not a plan defect.  SPARK_GRAFT_DRIVER_MEM
+    # overrides for smaller machines.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
 }
 
 

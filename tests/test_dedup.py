@@ -316,3 +316,54 @@ def test_incremental_dedup_corpus_precedence(spark):
         "doc_id long, source string, text string")
     r = incremental_dedup_report(batch, corpus).collect()[0]
     assert (r["n_dup_vs_corpus"], r["n_dup_in_batch"], r["n_new"]) == (2, 0, 0)
+
+
+def test_lsh_dedup_report_matches_pair_semantics(spark):
+    """Internal consistency with the pair operator: a doc is dropped iff
+    it appears as the LARGER id of at least one unverified band-collision
+    candidate — the bucket-min election is exactly 'loses to a smaller id
+    in some shared bucket'."""
+    from bigvectorbench_spark.operators.dedup import (
+        lsh_dedup_report, minhash_lsh_pairs)
+
+    rows = []
+    for i in range(60):
+        base = f"sentence number {i % 20} about topic {i % 20} repeated here"
+        rows.append((i, "src0" if i % 2 == 0 else "src1", base))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    cand = minhash_lsh_pairs(df, verify=False, hash="md5")
+    losers = {r["id_b"] for r in cand.collect()}
+    rep = {r["source"]: r for r in lsh_dedup_report(df, hash="md5").collect()}
+    want_dropped = {
+        "src0": sum(1 for i in losers if i % 2 == 0),
+        "src1": sum(1 for i in losers if i % 2 == 1),
+    }
+    for src, r in rep.items():
+        assert r["n_dropped"] == want_dropped[src]
+        assert r["n_kept"] + r["n_dropped"] == r["n_docs"] == 30
+
+
+def test_lsh_dedup_report_short_docs_always_kept(spark):
+    from bigvectorbench_spark.operators.dedup import lsh_dedup_report
+
+    df = spark.createDataFrame(
+        [(1, "s", "too short"), (2, "s", "also short"),
+         (3, "s", "a real document with plenty of words to shingle")],
+        "doc_id long, source string, text string")
+    r = lsh_dedup_report(df, hash="md5").collect()[0]
+    assert (r["n_docs"], r["n_kept"], r["n_dropped"]) == (3, 3, 0)
+
+
+def test_lsh_dedup_report_exact_copies_keep_one(spark):
+    from bigvectorbench_spark.operators.dedup import lsh_dedup_report
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(i, "s", text) for i in range(10)] +
+        [(100, "s", "an entirely different document about other things "
+                    "with no overlap whatsoever in its shingle sets")],
+        "doc_id long, source string, text string")
+    r = lsh_dedup_report(df, hash="md5").collect()[0]
+    # identical docs share every bucket -> only doc 0 wins; the distinct
+    # doc shares no bucket and survives
+    assert (r["n_docs"], r["n_kept"], r["n_dropped"]) == (11, 2, 9)

@@ -429,3 +429,22 @@ def test_epoch_oversample_is_map_only(spark):
     plan = plan_of(epoch_mix_report(docs))
     assert plan.count("Exchange") <= 2  # hashpartitioning (+AQE read)
     assert "partial" in plan.lower()
+
+
+def test_lsh_dedup_report_never_materializes_pairs(spark):
+    """The scale property that motivates the operator: no candidate-pair
+    self-join — no join condition on id < id, no pair distinct.  Both
+    aggregations carry fixed-width (band, bucket, id) rows."""
+    from bigvectorbench_spark.operators.dedup import lsh_dedup_report
+
+    docs = spark.createDataFrame(
+        [(i, "s", f"many words document number {i} with several tokens")
+         for i in range(40)],
+        "doc_id bigint, source string, text string",
+    )
+    plan = plan_of(lsh_dedup_report(docs))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+    # the pair operators join banded-with-banded on a.id < b.id, which
+    # prints as an id-to-id '<' comparison; the pairless form has none
+    assert " < id#" not in plan
