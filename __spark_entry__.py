@@ -1838,6 +1838,52 @@ def q_mix_shards(spark, sf):
     )
 
 
+def q_corpus_curation_scale(spark, sf):
+    """corpus_curation's production-scale twin: the SAME quality gate,
+    disposition precedence, and (source, lang) accounting, with the dup
+    stage swapped from exact-pair components to the pairless LSH
+    bucket-min election (q_lsh_dedup) — the formulation that completes
+    the 5M-doc corpus where exact pair generation exhausts heap then
+    disk (SCALING.md).  Dup semantics differ only in linkage: bucket-hop
+    election vs transitive closure over verified Jaccard pairs; both
+    drop non-canonical members and keep the minimum id."""
+    from bigvectorbench_spark.functions import text as tx
+    docs = _docs_wide(spark, sf)
+    drops = (dd.lsh_keepers(docs, hash="md5")
+             .filter(F.col("keeper") != F.col("id"))
+             .select(F.col("id").alias("doc_id"), F.lit(True).alias("is_dup")))
+    scored = (
+        docs.join(drops, "doc_id", "left")
+        .withColumn("tk", tx.tokens(F.col("text")))
+        .withColumn("quality_raw",
+                    tx.quality_score_from_tokens(F.col("tk"), F.col("text")))
+        .withColumn("quality", F.round(F.col("quality_raw"), 6))
+        .withColumn("status",
+                    F.when(F.col("is_dup"), F.lit("dup"))
+                    .when(F.col("quality_raw") < 0.8, F.lit("low_quality"))
+                    .otherwise(F.lit("kept")))
+    )
+    kept = F.col("status") == "kept"
+    qdec = F.col("quality").cast("decimal(18,6)")
+    return (
+        scored.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("status") == "dup", 1).otherwise(0))
+             .cast("bigint").alias("n_dropped_dup"),
+            F.sum(F.when(F.col("status") == "low_quality", 1).otherwise(0))
+             .cast("bigint").alias("n_dropped_quality"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.size("tk")).otherwise(0))
+             .cast("bigint").alias("tokens_kept"),
+            F.when(F.sum(F.when(kept, 1).otherwise(0)) > 0,
+                   F.round(F.sum(F.when(kept, qdec)).cast("double")
+                           / F.sum(F.when(kept, 1).otherwise(0)), 6))
+             .cast("double").alias("mean_kept_quality"),
+        )
+    )
+
+
 def q_training_shards(spark, sf):
     """Deterministic training-shard scatter + per-shard balance manifest —
     the last mile of the curation pipeline (WebDataset-style shard prep).
@@ -2108,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_mix": q_epoch_mix,
         "mix_shards": q_mix_shards,
         "lsh_dedup": q_lsh_dedup,
+        "corpus_curation_scale": q_corpus_curation_scale,
         "hashed_embed_knn": q_hashed_embed_knn,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
@@ -3050,6 +3097,63 @@ SELECT t.source, count(*)::BIGINT AS n_docs,
                 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
 FROM tk t LEFT JOIN keep k ON t.doc_id = k.doc_id
 GROUP BY t.source
+""",
+        # corpus_curation_scale: the lsh_dedup election CTEs feeding the
+        # corpus_curation quality/rollup CTEs — dup stage swapped, all
+        # downstream arithmetic identical (unrounded threshold, DECIMAL
+        # mean).
+        "corpus_curation_scale": f"""
+WITH tk AS (SELECT doc_id, source, lang, text, {_TOKENS} AS tk FROM documents),
+sh AS (SELECT doc_id, list_transform({_SHINGLES}, x -> {_PHASH.format(x='x')}) AS s
+       FROM tk WHERE len(tk) >= 3),
+sig AS (SELECT doc_id, list_transform({perms}::BIGINT[][], ab ->
+            list_min(list_transform(s, h -> (ab[1] * (h % {p}) + ab[2]) % {p}))) AS sig
+        FROM sh),
+bands AS (SELECT doc_id, t.b AS band,
+                 array_to_string(sig[(t.b*4 + 1):(t.b*4 + 4)], ',') AS bucket
+          FROM sig CROSS JOIN unnest(range(0, 16)) AS t(b)),
+mins AS (SELECT band, bucket, min(doc_id) AS m FROM bands
+         GROUP BY band, bucket),
+keep AS (SELECT b.doc_id, min(m.m) AS keeper
+         FROM bands b JOIN mins m USING (band, bucket) GROUP BY b.doc_id),
+drops AS (SELECT doc_id AS id FROM keep WHERE keeper != doc_id),
+feat AS (SELECT doc_id, len(tk) AS ntok,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(tk, w -> length(w)))::DOUBLE / len(tk) END AS awl,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE len(list_filter(tk, w -> list_contains(
+                       ['the','and','of','to','is','a','in','that'], w)))::DOUBLE / len(tk) END AS swr,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END AS pr,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text) END AS dr
+      FROM tk),
+q AS (SELECT doc_id, ntok,
+             0.3 * least(ntok::DOUBLE / 64.0, 1.0)
+                 + 0.2 * (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.3 END)
+                 + 0.2 * least(swr * 4.0, 1.0)
+                 + 0.3 * greatest(1.0 - (pr + dr) * 2.0, 0.0) AS quality_raw,
+             round(0.3 * least(ntok::DOUBLE / 64.0, 1.0)
+                 + 0.2 * (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.3 END)
+                 + 0.2 * least(swr * 4.0, 1.0)
+                 + 0.3 * greatest(1.0 - (pr + dr) * 2.0, 0.0), 6) AS quality
+      FROM feat),
+st AS (SELECT t.source, t.lang, q.ntok, q.quality,
+              CASE WHEN t.doc_id IN (SELECT id FROM drops) THEN 'dup'
+                   WHEN q.quality_raw < 0.8 THEN 'low_quality'
+                   ELSE 'kept' END AS status
+       FROM tk t JOIN q ON t.doc_id = q.doc_id)
+SELECT source, lang, count(*) AS n_docs,
+       sum(CASE WHEN status = 'dup' THEN 1 ELSE 0 END)::BIGINT AS n_dropped_dup,
+       sum(CASE WHEN status = 'low_quality' THEN 1 ELSE 0 END)::BIGINT AS n_dropped_quality,
+       sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN status = 'kept' THEN ntok ELSE 0 END)::BIGINT AS tokens_kept,
+       CASE WHEN sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) > 0
+            THEN round(sum(CASE WHEN status = 'kept'
+                                THEN quality::DECIMAL(18,6) END)::DOUBLE
+                       / sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END), 6)
+       END::DOUBLE AS mean_kept_quality
+FROM st GROUP BY source, lang
 """,
         # SimHash: per-token portable hashes → per-bit majority votes →
         # 60-bit signature → 4 × 16-bit bands (pigeonhole complete for

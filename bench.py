@@ -88,6 +88,7 @@ HEADLINE = [
     "epoch_mix",
     "mix_shards",
     "lsh_dedup",
+    "corpus_curation_scale",
     "hashed_embed_knn",
     "bm25_topk",
     "top_terms_per_source",

@@ -335,6 +335,55 @@ def minhash_lsh_pairs(
     return _verify_jaccard(cand, sets_df).filter(F.col("jaccard") >= threshold)
 
 
+def lsh_keepers(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 1,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """(id, keeper): the bucket-min election behind ``lsh_dedup_report``
+    — keeper = min id over the doc's band buckets (= the doc itself iff
+    it wins every bucket).  Docs too short to shingle are absent.  Two
+    fixed-width shuffles, no pairs; see lsh_dedup_report for the why."""
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
+    rows_per_band = num_perm // bands
+
+    # _shingle_sets already drops docs with < shingle_n tokens (and does
+    # it on token count, NOT size(sh) — a size(sh) filter would be pushed
+    # below the projection with the shingle expression substituted in,
+    # re-running the pipeline per row; see _shingle_sets).
+    sets_df = _shingle_sets(_widen(df), id_col, text_col, shingle_n, hash=hash)
+    sig = minhash_sets(sets_df, num_perm=num_perm, seed=seed)
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.concat_ws(",", *[
+                    F.element_at("sig", band * rows_per_band + r + 1)
+                    .cast("string")
+                    for r in range(rows_per_band)
+                ]))
+                for band in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    # two fixed-width shuffles: (band, bucket) -> min id, then id -> min
+    # keeper across the doc's buckets.  kept <=> the doc IS its own
+    # keeper in every bucket it occupies.
+    mins = banded.groupBy("band", "bucket").agg(F.min("id").alias("m"))
+    return (
+        banded.join(mins, ["band", "bucket"])
+        .groupBy("id")
+        .agg(F.min("m").alias("keeper"))
+    )
+
+
 def lsh_dedup_report(
     df: DataFrame,
     *,
@@ -375,38 +424,9 @@ def lsh_dedup_report(
     (< shingle_n tokens) are always kept.
 
     Output: (group, n_docs, n_kept, n_dropped) exact integers."""
-    if num_perm % bands != 0:
-        raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
-    rows_per_band = num_perm // bands
-
-    # _shingle_sets already drops docs with < shingle_n tokens (and does
-    # it on token count, NOT size(sh) — a size(sh) filter would be pushed
-    # below the projection with the shingle expression substituted in,
-    # re-running the pipeline per row; see _shingle_sets).
-    sets_df = _shingle_sets(_widen(df), id_col, text_col, shingle_n, hash=hash)
-    sig = minhash_sets(sets_df, num_perm=num_perm, seed=seed)
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(F.concat_ws(",", *[
-                    F.element_at("sig", band * rows_per_band + r + 1)
-                    .cast("string")
-                    for r in range(rows_per_band)
-                ]))
-                for band in range(bands)
-            ])
-        ).alias("band", "bucket"),
-    )
-    # two fixed-width shuffles: (band, bucket) -> min id, then id -> min
-    # keeper across the doc's buckets.  kept <=> the doc IS its own
-    # keeper in every bucket it occupies.
-    mins = banded.groupBy("band", "bucket").agg(F.min("id").alias("m"))
-    keeper = (
-        banded.join(mins, ["band", "bucket"])
-        .groupBy("id")
-        .agg(F.min("m").alias("keeper"))
-    )
+    keeper = lsh_keepers(df, id_col=id_col, text_col=text_col,
+                         shingle_n=shingle_n, num_perm=num_perm,
+                         bands=bands, seed=seed, hash=hash)
     base = df.select(F.col(id_col).alias("id"), F.col(group_col))
     return (
         base.join(keeper, "id", "left")
