@@ -126,6 +126,19 @@ def test_embedding_dups_gemm_matches_brute(vectors):
         assert abs(gemm[k] - brute[k]) < 1e-12
 
 
+def test_embedding_dups_exact_forms_refuse_at_scale(vectors, monkeypatch):
+    """Both exact all-pairs forms fail fast past the scale envelope and the
+    message points at the SRP path (VERDICT r6 #1 — the brute form used to
+    launch the quadratic theta-join unguarded)."""
+    import pytest
+
+    V, df = vectors
+    monkeypatch.setattr(dd, "ALL_PAIRS_MAX_ROWS", len(V) - 1)
+    for method in ("brute", "gemm"):
+        with pytest.raises(ValueError, match="srp"):
+            dd.embedding_dup_pairs(df, threshold=0.98, method=method)
+
+
 def test_embedding_dups_srp_no_false_positives(vectors):
     V, df = vectors
     exact = _cos_pairs(V, 0.98)
