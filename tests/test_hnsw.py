@@ -152,3 +152,34 @@ def test_search_work_sublinear_in_shard_size(data):
     # 800 rows / 4 shards at ef=8: the beam touches well under half of
     # each shard (measured ~0.2); brute force touches all of it
     assert total_evals < 0.5 * brute_evals
+
+
+def test_auto_ef_calibration():
+    """ef='auto' reproduces the measured constant-recall ladder (SCALING.md:
+    shard 2,500 → 48, shard 25,000 → 384) and floors at exact-search width
+    on the oracle-scale shards."""
+    from bigvectorbench_spark.operators.hnsw import auto_ef
+
+    assert auto_ef(2_500, k=10) == 48
+    assert auto_ef(25_000, k=10) == 384
+    assert auto_ef(62, k=10) == 24          # oracle corpus: 24 >= shard → exact
+    assert auto_ef(100, k=50) == 100        # 2k floor dominates tiny shards
+    # monotone in shard size
+    vals = [auto_ef(n) for n in (100, 1_000, 10_000, 100_000, 1_000_000)]
+    assert vals == sorted(vals)
+
+
+def test_auto_ef_search_exact_on_small_shards(data):
+    """With ef='auto', shards smaller than the 24-beam floor are searched
+    exactly (ef ≥ shard size visits every reachable node) — the serving
+    default keeps the oracle-scale exactness property.  800 rows over 40
+    shards = 20 rows/shard < 24."""
+    train, queries, _ = data
+    shards = build_hnsw_shards(train, m=4, ef_construction=32,
+                               num_shards=40, seed=3)
+    q = queries.limit(8)
+    approx = hnsw_search(shards, q, k=5, ef="auto")
+    exact = knn(train, q, k=5, method="expr")
+    a = {(r["qid"], r["id"]) for r in approx.collect()}
+    b = {(r["qid"], r["id"]) for r in exact.collect()}
+    assert a == b
