@@ -257,14 +257,16 @@ def _queries_block(spark, sf, n_rows, target=100):
 
 def q_hnsw_scale_search(spark, sf):
     """§2.7 HNSW at the SERVING-SCALE configuration: 8 executor-aligned
-    shards, beam ef=24 ≪ shard size, search served from the persisted
-    index artifact (load_or_build_hnsw — built once, the M2 build/search
-    cost split; reference milvus/module.py:662-686).  Fixed ~100-query
-    block (traffic-shaped, not corpus-shaped).  Approximate by design →
+    shards, beam ef='auto' (per-shard adaptive width, hnsw.auto_ef — holds
+    recall ≈0.885 as shards grow where fixed ef=24 decayed to 0.44; r6 ask
+    #4), search served from the persisted index artifact
+    (load_or_build_hnsw — built once, the M2 build/search cost split;
+    reference milvus/module.py:662-686).  Fixed ~100-query block
+    (traffic-shaped, not corpus-shaped).  Approximate by design →
     rows-only correctness here; the recall at this exact configuration is
     driver-gated by ``hnsw_scale_recall`` and the per-decade search work
-    is measured in SCALING.md (dist_evals/query grows ~log n while brute
-    force grows ~n)."""
+    is measured in SCALING.md (work FRACTION of brute falls 0.20 → 0.136
+    per decade at constant recall)."""
     from bigvectorbench_spark.operators.hnsw import hnsw_search
 
     shards, n = _hnsw_scale_index(spark, sf)
@@ -275,7 +277,7 @@ def q_hnsw_scale_search(spark, sf):
 
 def q_hnsw_scale_recall(spark, sf):
     """Driver-visible recall gate for the serving-scale HNSW config —
-    same contract as ``q_hnsw_recall`` but at the 8-fixed-shard / ef=24
+    same contract as ``q_hnsw_recall`` but at the 8-fixed-shard / ef='auto'
     configuration ``q_hnsw_scale_search`` serves (VERDICT r5 ask #2:
     "hnsw_recall recalibrated at the large-shard config").  Calibrated at
     the oracle sf (scripts/calibrate_gates.py): on the clamped 500-row
@@ -290,13 +292,13 @@ def q_hnsw_scale_recall(spark, sf):
     ≤ 500, identical to the oracle's count(embeddings) <= 500."""
     from bigvectorbench_spark.operators.hnsw import hnsw_search
 
-    # Off-oracle floor 0.7/0.3: at sf1 (2500-row shards) the fixed-ef=24
-    # config genuinely measures mean 0.80 / min 0.40 (scripts/
-    # scale_hnsw.py — recall at fixed beam width falls with shard size,
-    # the published HNSW behavior; SCALING.md reports the ef sweep that
-    # buys it back).  The floor is defect-only: a broken build/beam lands
-    # far below it, the legitimate large-shard recall tail does not.
-    mean_thr, min_thr = _gate(sf, tight=(0.95, 0.8), floor=(0.7, 0.3))
+    # Off-oracle floor 0.8/0.35 (raised from 0.7/0.3 with round 7's
+    # adaptive ef — VERDICT r6 ask #4): with ef='auto' the measured recall
+    # holds ~0.885 mean / ≥0.5 min at BOTH the 20k and 200k fixtures
+    # (scripts/scale_hnsw.py, SCALING.md third table) instead of decaying
+    # with shard size, so the defect floor tightens.  Still defect-only:
+    # a broken build/beam lands far below it.
+    mean_thr, min_thr = _gate(sf, tight=(0.95, 0.8), floor=(0.8, 0.35))
     shards, n_rows = _hnsw_scale_index(spark, sf)
     t = _train(spark, sf)
     q = _queries_block(spark, sf, n_rows)
