@@ -27,7 +27,8 @@ from bigvectorbench_spark.functions import text as tx
 from bigvectorbench_spark.operators import dedup as dd
 from bigvectorbench_spark.operators import metrics as mx
 from bigvectorbench_spark.operators import multivector as mv
-from bigvectorbench_spark.operators.filter_knn import filtered_knn, postfilter_knn
+from bigvectorbench_spark.operators.filter_knn import (
+    filtered_ivf_knn, filtered_knn, postfilter_knn)
 from bigvectorbench_spark.operators.knn import knn, knn_hamming_packed
 from bigvectorbench_spark.operators import retrieval as rt
 from bigvectorbench_spark.operators.pq import PQIndex
@@ -355,6 +356,64 @@ def q_postfilter_knn(spark, sf):
                          metric="euclidean", filter_template="label <= {label}",
                          query_param_cols=["label"], selectivity=0.5)
     return res.select("qid", "id", _r(F.col("dist")).alias("dist"), F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_filter_ivf_knn(spark, sf):
+    """Q4/Q5 per-query predicates composed with §2.7 IVF cell pruning under
+    the G5 selectivity policy (VERDICT r6 ask #5; reference
+    create_artificial_datasets.py:151-285 applied to the index scan — its
+    amazon-5filter regime).  Equality predicate keeps ~10% of rows →
+    the policy picks the PRE branch: the predicate joins INSIDE the probed
+    cells, so only cells ∩ label survivors are scored (with the exact
+    expression fold → distances hash-match).  Value-oracled the ivf_knn
+    way: the seeded KMeans assignment + probe lists are recomputed at
+    oracle-generation time and embedded as SQL literals, with the label
+    equi-join added on top."""
+    t = _train(spark, sf)
+    idx = IVFIndex.fit(t, nlist=8, seed=1, max_iter=8, sort_col="id")
+    res = filtered_ivf_knn(
+        idx, idx.assign(t), _queries_mod(spark, sf), k=10,
+        filter_template="label == {label}", query_param_cols=["label"],
+        nprobe=4, strategy="auto", selectivity=0.1)
+    return res.select("qid", "id", _r(F.col("dist")).alias("dist"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_filter_ivf_recall(spark, sf):
+    """Recall gate for the POST branch of the filtered-IVF composition
+    (range predicate keeps ~44% of rows → ANN-first: the masked-GEMM IVF
+    kernel over-fetches k·1.5/selectivity label-blind candidates, the
+    predicate checks ride on those rows only).  Same contract as
+    ``q_ivf_recall``: recall vs the EXACT filtered kNN at the identical
+    predicate, emitted as threshold booleans the oracle asserts TRUE.
+    Calibrated measurements (same protocol as scripts/calibrate_gates.py):
+    sf0.01 mean 0.78 / min 0.60; sf0.001 0.76/0.60; sf0.1 0.737/0.50 —
+    tight thresholds 0.7/0.45 sit just under the oracle-sf floor so a
+    partial degradation (probe ranking, mask, or predicate-join defect)
+    fails the gate; off-oracle the defect-only floor is 0.5/0.25, under
+    the worst measured healthy tail."""
+    mean_thr, min_thr = _gate(sf, tight=(0.7, 0.45), floor=(0.5, 0.25))
+    t = _train(spark, sf)
+    q = (_queries_mod(spark, sf)
+         .withColumn("lo", F.col("label") - 2)
+         .withColumn("hi", F.col("label") + 2))
+    idx = IVFIndex.fit(t, nlist=8, seed=1, max_iter=8, sort_col="id")
+    approx = filtered_ivf_knn(
+        idx, idx.assign(t), q, k=10,
+        filter_template="label >= {lo} and label <= {hi}",
+        query_param_cols=["lo", "hi"], nprobe=4, strategy="auto",
+        selectivity=0.44).groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    exact = filtered_knn(
+        t, q, k=10, filter_template="label >= {lo} and label <= {hi}",
+        query_param_cols=["lo", "hi"]).groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    per_q = mx.recall_per_query(approx, exact)
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg("recall") >= mean_thr).alias("mean_recall_ok"),
+        (F.min("recall") >= min_thr).alias("min_recall_ok"),
+    )
 
 
 def q_mv_knn(spark, sf):
@@ -2031,9 +2090,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries whose CODE changed this round and must re-prove green
     # (embedding_cosine_dups — brute scale envelope; ngram_jaccard_dups —
     # s3 broadcast rewrite; hnsw_scale_recall — adaptive ef), the
-    # srp_recall gate (keeps the SRP twin driver-visible), and
-    # dedup_exact + corpus_curation as same-round kin of lsh_dedup /
-    # corpus_curation_scale (exact form and scale twin green together).
+    # srp_recall gate (keeps the SRP twin driver-visible), and the two NEW
+    # round-7 declarations filter_ivf_knn + filter_ivf_recall (r6 ask #5 —
+    # first declaration must be driver-checked).
     #
     # Everything rotated out is r6-green (CORRECTNESS_r06.json, 50/50) —
     # age 1 at the end of this round, back in the round-8 window.
@@ -2089,13 +2148,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pivot": q_lang_pivot,
         "peak_events": q_peak_events,
         "top_revenue_orders": q_top_revenue_orders,
-        # --- 6 changed-this-round / gates / same-round kin ----------------
+        # --- 6 changed-this-round / gates / new declarations ---------------
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "hnsw_scale_recall": q_hnsw_scale_recall,
         "srp_recall": q_srp_recall,
-        "dedup_exact": q_dedup_exact,
-        "corpus_curation": q_corpus_curation,
+        # NEW round 7 (VERDICT r6 ask #5): filtered ANN on the IVF-pruned
+        # path — pre branch value-oracled, post branch recall-gated
+        "filter_ivf_knn": q_filter_ivf_knn,
+        "filter_ivf_recall": q_filter_ivf_recall,
         # --- below the 50-slot correctness window this round (all r6-green,
         # CORRECTNESS_r06.json; rotate back in round 8) ---------------------
         "knn_euclid_gemm": q_knn_euclid_gemm,
@@ -2129,6 +2190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "substring_dedup": q_substring_dedup,
         "domain_mix": q_domain_mix,
+        "dedup_exact": q_dedup_exact,
+        "corpus_curation": q_corpus_curation,
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
         "media_pipeline": q_media_pipeline,
@@ -2340,6 +2403,24 @@ r AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY d, id) AS ran
 SELECT qid, id, rank FROM r WHERE rank <= 10
 """
 
+    # ---- filtered IVF, PRE branch (same build; label equi-join inside the
+    # probed cells — filter_knn.filtered_ivf_knn strategy='pre').  The Spark
+    # side scores survivors with the exact expression fold, so distances
+    # hash-match at the usual round-4.
+    filter_ivf_sql = f"""
+WITH assign(id, cell) AS (VALUES {assign_vals}),
+probe(qid, cell) AS (VALUES {probe_vals}),
+t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v, label FROM embeddings WHERE vec_id % 50 = 0),
+s AS (SELECT q.qid, t.id, {l2} AS d
+      FROM q JOIN probe ON probe.qid = q.qid
+      JOIN assign ON assign.cell = probe.cell
+      JOIN t ON t.id = assign.id AND t.label = q.label),
+r AS (SELECT qid, id, round(d, 4) + 0.0 AS dist,
+             row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank FROM s)
+SELECT qid, id, dist, rank FROM r WHERE rank <= 10
+"""
+
     # ---- PQ (m=8, ksub=16, seed=1, max_iter=8, overfetch=4) --------------
     m, ksub, k_adc = 8, 16, 40
     dsub = X.shape[1] // m
@@ -2418,7 +2499,7 @@ WHERE cosine >= 0.4
 """
 
     return {"ivf_knn": ivf_sql, "pq_knn": pq_sql, "ivfpq_knn": ivfpq_sql,
-            "semantic_dups": semantic_sql}
+            "filter_ivf_knn": filter_ivf_sql, "semantic_dups": semantic_sql}
 
 
 # ivf_recall / pq_recall: the Spark side computes recall of the approximate
@@ -2584,6 +2665,7 @@ def oracle_sql() -> dict[str, str]:
     ) + "]"
     return _ann_oracles() | _bpe_oracle() | {
         "ivf_recall": _RECALL_GATE_SQL,
+        "filter_ivf_recall": _RECALL_GATE_SQL,
         "pq_recall": _RECALL_GATE_SQL,
         "srp_recall": _SRP_RECALL_SQL,
         "hnsw_recall": _HNSW_RECALL_SQL,

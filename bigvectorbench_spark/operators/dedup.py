@@ -115,6 +115,57 @@ def _verify_jaccard(cand: DataFrame, sets_df: DataFrame) -> DataFrame:
     )
 
 
+def _hot_order_prefix(
+    sets_df: DataFrame,
+    freq: DataFrame,
+    threshold: float,
+    max_shingle_freq: Optional[int],
+    max_hot_shingles: int,
+) -> DataFrame:
+    """(id, shingle) prefix entries via the broadcast-hot global order (see
+    ``ngram_jaccard_pairs`` freq_order='hot').  One vocabulary-bounded
+    shuffle (the freq rollup, already computed), one bounded driver collect
+    (top ``max_hot_shingles`` by frequency), zero per-occurrence joins."""
+    hot_rows = (freq.orderBy(F.desc("freq"), "shingle")
+                .limit(max_hot_shingles).collect())
+    if (max_shingle_freq is not None and len(hot_rows) == max_hot_shingles
+            and hot_rows[-1]["freq"] > max_shingle_freq):
+        # the degenerate-shingle drop list must be fully inside the hot head
+        # or dropped shingles would silently re-enter candidate generation
+        raise ValueError(
+            f"more than {max_hot_shingles} shingles exceed "
+            f"max_shingle_freq={max_shingle_freq}; raise max_hot_shingles")
+    hotmap = {r["shingle"]: r["freq"] for r in hot_rows}
+    bc = sets_df.sparkSession.sparkContext.broadcast(hotmap)
+    thr, max_f = float(threshold), max_shingle_freq
+
+    def _prefix(batches):
+        import math as _math
+
+        import pyarrow as pa
+
+        hm = bc.value
+        for batch in batches:
+            ids_out, sh_out = [], []
+            ids = batch.column("id").to_pylist()
+            shs = batch.column("sh").to_pylist()
+            for did, sh in zip(ids, shs):
+                if max_f is not None:
+                    sh = [s for s in sh if hm.get(s, 1) <= max_f]
+                if not sh:
+                    continue
+                sh.sort(key=lambda s: (hm.get(s, 1), s))
+                plen = len(sh) - _math.ceil(thr * len(sh)) + 1
+                ids_out.extend([did] * plen)
+                sh_out.extend(sh[:plen])
+            if ids_out:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids_out, pa.int64()), pa.array(sh_out, pa.int64())],
+                    ["id", "shingle"])
+
+    return sets_df.mapInArrow(_prefix, "id bigint, shingle bigint")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,
@@ -123,6 +174,8 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: Optional[int] = None,
+    freq_order: str = "hot",
+    max_hot_shingles: int = 2_000_000,
 ) -> DataFrame:
     """All document pairs with n-gram-shingle Jaccard ≥ threshold — EXACT,
     via prefix filtering (the PPJoin family): order each document's shingles
@@ -138,30 +191,55 @@ def ngram_jaccard_pairs(
     ``max_shingle_freq`` additionally drops degenerate shingles from
     *candidate generation* entirely (still verified exactly, so precision is
     unaffected; only recall of pathological boilerplate pairs is).
+
+    ``freq_order`` picks how the global rarest-first order is realized
+    (VERDICT r6 ask #7 — the s3 stage residual):
+
+    - ``"hot"`` (default, the scale path): only the ``max_hot_shingles``
+      hottest shingles carry their exact frequency, broadcast as a plain
+      dict; every other shingle is "cold" (freq 1, ties broken by hash).
+      Ordering + prefix extraction then run ROW-LOCALLY in one Arrow
+      kernel — the per-occurrence freq join-back shuffle and the
+      re-assembly groupBy (the two stages measured growing 4.5×/decade on
+      Zipf text) disappear entirely.  Candidate completeness is untouched:
+      the prefix theorem needs only a CONSISTENT global total order, and
+      (capped_freq, shingle) is one; ordering precision among genuinely
+      rare shingles is noise, while the hot head — the part that controls
+      candidate volume — is exact.
+    - ``"exact"``: the original two-shuffle realization (kept for A/B and
+      the stage-attribution script).
+
     Output: (id_a, id_b, jaccard) with id_a < id_b."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0,1], got {threshold}")
+    if freq_order not in ("hot", "exact"):
+        raise ValueError(f"unknown freq_order {freq_order!r}")
     sets_df = _shingle_sets(_widen(df), id_col, text_col, n).cache()
 
     inv = sets_df.select("id", F.explode("sh").alias("shingle"))
     freq = inv.groupBy("shingle").agg(F.count("*").alias("freq"))
-    if max_shingle_freq is not None:
-        freq = freq.filter(F.col("freq") <= max_shingle_freq)
-    ordered = (
-        inv.join(freq, "shingle")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list(F.struct("freq", "shingle"))).alias("os"))
-        .select(
-            "id",
-            F.transform("os", lambda s: s["shingle"]).alias("ordered_sh"),
+
+    if freq_order == "hot":
+        prefix = _hot_order_prefix(sets_df, freq, threshold,
+                                   max_shingle_freq, max_hot_shingles)
+    else:
+        if max_shingle_freq is not None:
+            freq = freq.filter(F.col("freq") <= max_shingle_freq)
+        ordered = (
+            inv.join(freq, "shingle")
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_list(F.struct("freq", "shingle"))).alias("os"))
+            .select(
+                "id",
+                F.transform("os", lambda s: s["shingle"]).alias("ordered_sh"),
+            )
         )
-    )
-    # prefix length for Jaccard t:  |A| - ceil(t*|A|) + 1
-    sz = F.size("ordered_sh")
-    plen = sz - F.ceil(sz * F.lit(float(threshold))).cast("int") + 1
-    prefix = ordered.select(
-        "id", F.explode(F.slice("ordered_sh", 1, plen)).alias("shingle")
-    )
+        # prefix length for Jaccard t:  |A| - ceil(t*|A|) + 1
+        sz = F.size("ordered_sh")
+        plen = sz - F.ceil(sz * F.lit(float(threshold))).cast("int") + 1
+        prefix = ordered.select(
+            "id", F.explode(F.slice("ordered_sh", 1, plen)).alias("shingle")
+        )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))

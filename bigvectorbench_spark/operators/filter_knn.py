@@ -140,3 +140,110 @@ def postfilter_knn(
     )
     fetched = topk_window(scored, fetch).drop("rank")
     return topk_window(fetched.filter(F.expr(cond)), k).select("qid", "id", "dist", "rank")
+
+
+def filtered_ivf_knn(
+    idx,
+    indexed_train: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    filter_template: str,
+    query_param_cols: Sequence[str],
+    nprobe: int = 4,
+    strategy: str = "auto",
+    selectivity: Optional[float] = None,
+    overfetch_factor: float = 1.5,
+    vec_col: str = "vec",
+    query_vec_col: Optional[str] = None,
+    id_col: str = "id",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Filtered ANN on the IVF-pruned path (VERDICT r6 ask #5): per-query
+    label predicates composed with cell pruning under the G5 selectivity
+    policy — the reference's adaptive branch
+    (create_artificial_datasets.py:151-285) applied to the index scan
+    instead of the exact one (its amazon-5filter regime: 15.9M×10k at
+    0.01-1% filter ratios).
+
+    ``indexed_train`` must carry ``cluster_id`` (idx.assign).  Strategies:
+
+    - ``"post"`` (selectivity ≥ 0.2): ANN-first — the GEMM IVF kernel
+      over-fetches ``k·overfetch/selectivity`` candidates ignoring labels
+      (index work is label-blind, so the fast masked-GEMM path applies
+      untouched), then the predicate checks ride on only those
+      ~q·fetch candidate rows.  The 100 TB path: per-query work is the
+      IVF probe cost + a bounded label join.
+    - ``"pre"`` (selectivity < 0.2): filter-first INSIDE the probed cells —
+      the broadcast probe table carries the query params, and the join
+      condition is ``cells ∋ cluster AND predicate``, so Catalyst prunes
+      to the probed cells and the few predicate survivors are scored with
+      the exact expression fold.  Low selectivity is exactly when few
+      survivors make per-pair expression scoring cheap.
+    - ``"auto"``: the G5 branch on ``selectivity`` (must be given).
+
+    Both strategies are deterministic given the seeded index build and the
+    overfetch/tie rules, so the composition takes a full SQL value oracle
+    (the ivf_knn convention: embedded assignment + probe lists).
+    """
+    from bigvectorbench_spark.operators.similarity import CLUSTER_COL
+    from bigvectorbench_spark.plans.selectivity import POST_FILTER_THRESHOLD
+
+    if strategy == "auto":
+        if selectivity is None:
+            raise ValueError("strategy='auto' needs a selectivity estimate")
+        strategy = "post" if selectivity >= POST_FILTER_THRESHOLD else "pre"
+    if strategy not in ("pre", "post"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    qvec = query_vec_col or vec_col
+    cond = compile_filter_template(filter_template)
+
+    if strategy == "post":
+        if not selectivity or not (0.0 < selectivity <= 1.0):
+            raise ValueError("post-filter needs selectivity in (0,1]")
+        fetch = max(k, int(k * overfetch_factor / selectivity))
+        cand = idx.search(indexed_train, queries, k=fetch, nprobe=nprobe,
+                          vec_col=vec_col, id_col=id_col, qid_col=qid_col
+                          ).drop("rank")
+        label_cols = [c for c in indexed_train.columns
+                      if c not in (vec_col, CLUSTER_COL, id_col)]
+        labels = indexed_train.select(
+            F.col(id_col).cast("bigint").alias("id"), *label_cols)
+        params = queries.select(
+            F.col(qid_col).cast("bigint").alias("qid"),
+            *[F.col(c).alias(f"{QUERY_PREFIX}{c}") for c in query_param_cols])
+        checked = (cand.join(labels, "id")            # candidates ≪ train:
+                   .join(F.broadcast(params), "qid")  # both joins bounded
+                   .filter(F.expr(cond)))
+        return topk_window(checked, k).select("qid", "id", "dist", "rank")
+
+    # pre: predicate + cell membership in one broadcast join condition
+    import numpy as np
+
+    q_rows = queries.select(
+        F.col(qid_col).cast("bigint"), F.col(qvec).cast("array<double>"),
+        *query_param_cols).collect()
+    spark = indexed_train.sparkSession
+    if not q_rows:
+        return spark.createDataFrame([], "qid bigint, id bigint, dist double, rank int")
+    qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    probes = idx.probe_lists(qmat, nprobe)
+    param_types = {f.name: f.dataType.simpleString()
+                   for f in queries.schema.fields}
+    probe_df = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]], [int(c) for c in probes[i]],
+          *[r[j + 2] for j in range(len(query_param_cols))])
+         for i, r in enumerate(q_rows)],
+        ", ".join(["qid bigint", "__qvec array<double>", "__cells array<int>"]
+                  + [f"{QUERY_PREFIX}{c} {param_types[c]}"
+                     for c in query_param_cols]))
+    all_cells = sorted({int(c) for row in probes for c in row})
+    pruned = indexed_train.filter(F.col(CLUSTER_COL).isin(all_cells))
+    t, p, dist = pair_dist_below_join(idx.metric, pruned, probe_df, vec_col, "__qvec")
+    scored = (
+        t.join(F.broadcast(p),
+               F.array_contains(F.col("__cells"), F.col(CLUSTER_COL)) & F.expr(cond))
+        .select("qid", F.col(id_col).cast("bigint").alias("id"), dist.alias("dist"))
+        .filter(dist_fns.metric_valid(idx.metric, F.col("dist")))
+    )
+    return topk_window(scored, k).select("qid", "id", "dist", "rank")

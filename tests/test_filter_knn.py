@@ -147,3 +147,95 @@ def test_adaptive_filtered_knn_both_branches(fdata):
     )
     assert plan.strategy in ("pre", "post")
     assert res.count() > 0
+
+
+@pytest.fixture(scope="module")
+def ivf_fdata(spark, fdata):
+    from bigvectorbench_spark.operators.similarity import IVFIndex
+
+    X, labs, train, test = fdata
+    idx = IVFIndex.fit(train, nlist=4, seed=1, max_iter=8, sort_col="id")
+    indexed = idx.assign(train).cache()
+    return idx, indexed, train, test
+
+
+def _probed_filtered_oracle(idx, indexed, train_rows, qrow, k, nprobe, pred):
+    """Exact semantics both strategies must produce when the overfetch is
+    ample: top-k by L2 over (probed cells ∩ predicate survivors)."""
+    q = np.array(qrow["vec"], dtype=np.float64)
+    cells = set(idx.probe_lists(q[None, :], nprobe)[0].tolist())
+    cand = [(r["id"], float(np.linalg.norm(np.array(r["vec"]) - q)))
+            for r in train_rows
+            if r["cluster_id"] in cells and pred(r)]
+    cand.sort(key=lambda t: (t[1], t[0]))
+    return [i for i, _ in cand[:k]]
+
+
+@pytest.mark.parametrize("strategy,template,selectivity", [
+    # range predicate keeps ~50% of rows → the post branch's natural regime
+    ("post", "label_0 >= {lo} and label_0 <= {hi}", 0.5),
+    # the same predicate through the pre path must agree exactly
+    ("pre", "label_0 >= {lo} and label_0 <= {hi}", 0.5),
+])
+def test_filtered_ivf_matches_probed_oracle(ivf_fdata, strategy, template,
+                                            selectivity):
+    idx, indexed, train, test = ivf_fdata
+    q = (test.limit(8)
+         .withColumn("lo", F.col("label_0") - 25)
+         .withColumn("hi", F.col("label_0") + 25))
+    got = fknn.filtered_ivf_knn(
+        idx, indexed, q, k=5, filter_template=template,
+        query_param_cols=["lo", "hi"], nprobe=2, strategy=strategy,
+        selectivity=selectivity, overfetch_factor=8.0)
+    by_q = {}
+    for r in got.orderBy("qid", "rank").collect():
+        by_q.setdefault(r["qid"], []).append(r["id"])
+    rows = indexed.collect()
+    for qrow in q.collect():
+        lo, hi = qrow["lo"], qrow["hi"]
+        want = _probed_filtered_oracle(
+            idx, indexed, rows, qrow, 5, 2,
+            lambda r: lo <= r["label_0"] <= hi)
+        assert by_q.get(qrow["qid"], []) == want, f"qid={qrow['qid']}"
+
+
+def test_filtered_ivf_auto_branches(ivf_fdata):
+    """The G5 branch: ≥0.2 → post (overfetch visible), <0.2 → pre."""
+    idx, indexed, train, test = ivf_fdata
+    q = test.limit(4).withColumn("l", F.col("label_0"))
+    lo_sel = fknn.filtered_ivf_knn(
+        idx, indexed, q, k=3, filter_template="label_0 == {l}",
+        query_param_cols=["l"], strategy="auto", selectivity=0.01)
+    hi_sel = fknn.filtered_ivf_knn(
+        idx, indexed, q, k=3, filter_template="label_0 >= {l}",
+        query_param_cols=["l"], strategy="auto", selectivity=0.5)
+    # pre plan: no window over the raw overfetch — both run, shapes differ
+    assert lo_sel.columns == hi_sel.columns == ["qid", "id", "dist", "rank"]
+    lo_sel.collect(); hi_sel.collect()
+    with pytest.raises(ValueError, match="selectivity"):
+        fknn.filtered_ivf_knn(idx, indexed, q, k=3,
+                              filter_template="label_0 == {l}",
+                              query_param_cols=["l"], strategy="auto")
+
+
+def test_filtered_ivf_pre_prunes_cells(ivf_fdata):
+    """The pre plan's scan is restricted to the probed cells: a query whose
+    matching rows all sit in unprobed cells returns nothing (the documented
+    approximation an IVF index makes), while exact filtered_knn finds them."""
+    idx, indexed, train, test = ivf_fdata
+    q = test.limit(30).withColumn("l", F.col("label_0"))
+    approx = fknn.filtered_ivf_knn(
+        idx, indexed, q, k=5, filter_template="label_0 == {l}",
+        query_param_cols=["l"], nprobe=1, strategy="pre")
+    exact = fknn.filtered_knn(
+        train, q, k=5, filter_template="label_0 == {l}",
+        query_param_cols=["l"])
+    a, e = approx.count(), exact.count()
+    assert a <= e          # pruning can only LOSE matches, never invent them
+    got = {(r["qid"], r["id"]) for r in approx.collect()}
+    # every returned pair is a true predicate match (no false positives)
+    rows = {r["id"]: r for r in indexed.collect()}
+    for qrow in q.collect():
+        for qid, rid in got:
+            if qid == qrow["qid"]:
+                assert rows[rid]["label_0"] == qrow["l"]
