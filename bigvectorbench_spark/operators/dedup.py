@@ -124,17 +124,44 @@ def _hot_order_prefix(
 ) -> DataFrame:
     """(id, shingle) prefix entries via the broadcast-hot global order (see
     ``ngram_jaccard_pairs`` freq_order='hot').  One vocabulary-bounded
-    shuffle (the freq rollup, already computed), one bounded driver collect
-    (top ``max_hot_shingles`` by frequency), zero per-occurrence joins."""
-    hot_rows = (freq.orderBy(F.desc("freq"), "shingle")
-                .limit(max_hot_shingles).collect())
-    if (max_shingle_freq is not None and len(hot_rows) == max_hot_shingles
-            and hot_rows[-1]["freq"] > max_shingle_freq):
-        # the degenerate-shingle drop list must be fully inside the hot head
-        # or dropped shingles would silently re-enter candidate generation
-        raise ValueError(
-            f"more than {max_hot_shingles} shingles exceed "
-            f"max_shingle_freq={max_shingle_freq}; raise max_hot_shingles")
+    shuffle (the freq rollup, already computed), one bounded driver collect,
+    zero per-occurrence joins.
+
+    The hot head is selected by a FREQUENCY-HISTOGRAM cut, not by a global
+    sort-limit: ``orderBy().limit(n).collect()`` ships each task's local
+    top-n to the driver — 32 partitions × 2M rows blew
+    spark.driver.maxResultSize at 500k Zipf docs.  One bounded aggregate
+    (distinct frequency values ≪ vocabulary) picks the smallest cut
+    frequency whose survivor count fits ``max_hot_shingles``; the final
+    collect is genuinely bounded.  Ordering among sub-cut shingles falls
+    back to (1, hash) — still one consistent global total order, so
+    candidate completeness is untouched; only candidate volume can grow,
+    bounded by the cut frequency itself (a non-hot shingle's inverted list
+    has < cut entries)."""
+    freq = freq.persist()
+    try:
+        hist = sorted(
+            ((r["freq"], r["n"]) for r in
+             freq.groupBy("freq").agg(F.count("*").alias("n")).collect()),
+            reverse=True)
+        f_cut, running = 2, 0
+        for f, n_at_f in hist:           # hottest first; stop above the cap
+            if f < 2 or running + n_at_f > max_hot_shingles:
+                break
+            running += n_at_f
+            f_cut = f
+        if running == 0:
+            f_cut = (hist[0][0] + 1) if hist else 2   # head empty: all cold
+        if max_shingle_freq is not None and f_cut > max_shingle_freq + 1:
+            # the degenerate-shingle drop list must be fully inside the hot
+            # head or dropped shingles would silently re-enter candidates
+            raise ValueError(
+                f"hot head at cut frequency {f_cut} cannot cover the "
+                f"max_shingle_freq={max_shingle_freq} drop list; raise "
+                f"max_hot_shingles")
+        hot_rows = freq.filter(F.col("freq") >= f_cut).collect()
+    finally:
+        freq.unpersist()
     hotmap = {r["shingle"]: r["freq"] for r in hot_rows}
     bc = sets_df.sparkSession.sparkContext.broadcast(hotmap)
     thr, max_f = float(threshold), max_shingle_freq

@@ -179,3 +179,45 @@ def test_run_definition_sq8(spark, small_ds):
     r = hz.run_definition(spark, hz.Definition("sq8", "fx", 10), tr, te)
     assert r.mean_recall >= 0.9
     assert r.qps > 0
+
+
+def test_random_filter_ratio_hits_requested_selectivity(spark):
+    """The ratio-parameterized generator (reference
+    create_artificial_datasets.py:286-520 analog): realized per-query
+    selectivity concentrates on the request, for one and for composed
+    filters (the multi-filter case multiplies per-filter factors)."""
+    from pyspark.sql import functions as F
+    from bigvectorbench_spark.operators.filter_knn import (
+        compile_filter_template, QUERY_PREFIX)
+
+    for n_filters, ratio in ((1, 0.1), (2, 0.04)):
+        train, test, template, param_cols = fx.random_filter_ratio(
+            spark, n=4_000, d=8, n_filters=n_filters, max_labels=1_000,
+            ratio=ratio, m_test=200, seed=3)
+        cond = compile_filter_template(template)
+        qp = test.select("qid", *[F.col(c).alias(f"{QUERY_PREFIX}{c}")
+                                  for c in param_cols])
+        n_train = train.count()
+        got = (train.crossJoin(F.broadcast(qp)).filter(F.expr(cond))
+               .groupBy("qid").count()
+               .agg(F.avg(F.col("count") / n_train)).collect()[0][0])
+        assert got == pytest.approx(ratio, rel=0.30), (n_filters, ratio, got)
+
+
+def test_random_filter_ratio_template_runs_through_filtered_knn(spark):
+    from bigvectorbench_spark.operators.filter_knn import filtered_knn
+
+    train, test, template, param_cols = fx.random_filter_ratio(
+        spark, n=2_000, d=8, n_filters=1, max_labels=100, ratio=0.2,
+        m_test=50, seed=5)
+    gt = filtered_knn(train, test.limit(10), k=5,
+                      filter_template=template, query_param_cols=param_cols)
+    rows = gt.collect()
+    assert rows and set(gt.columns) == {"qid", "id", "dist", "rank"}
+    # every returned neighbor satisfies its query's range predicate
+    labels = {r["id"]: r["label_0"] for r in train.collect()}
+    bounds = {r["qid"]: (r["label_l_0"], r["label_r_0"])
+              for r in test.limit(10).collect()}
+    for r in rows:
+        lo, hi = bounds[r["qid"]]
+        assert lo <= labels[r["id"]] <= hi
