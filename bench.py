@@ -36,6 +36,8 @@ HEADLINE = [
     "filter_knn_eq",
     "filter_knn_range",
     "postfilter_knn",
+    "filter_ivf_knn",
+    "filter_ivf_recall",
     "mv_knn",
     "mv_knn_fused",
     "mm_knn",
