@@ -141,8 +141,9 @@ def _run_hnsw():
     def _search(shards, queries, count, qargs):
         from bigvectorbench_spark.operators.hnsw import hnsw_search
 
+        ef = qargs.get("ef", 64)
         return hnsw_search(shards, queries, k=count,
-                           ef=int(qargs.get("ef", 64)))
+                           ef="auto" if ef == "auto" else int(ef))
 
     return _build, _search
 

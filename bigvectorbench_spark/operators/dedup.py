@@ -201,8 +201,9 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: Optional[int] = None,
-    freq_order: str = "hot",
+    freq_order: str = "auto",
     max_hot_shingles: int = 2_000_000,
+    hot_min_docs: int = 100_000,
 ) -> DataFrame:
     """All document pairs with n-gram-shingle Jaccard ≥ threshold — EXACT,
     via prefix filtering (the PPJoin family): order each document's shingles
@@ -222,7 +223,7 @@ def ngram_jaccard_pairs(
     ``freq_order`` picks how the global rarest-first order is realized
     (VERDICT r6 ask #7 — the s3 stage residual):
 
-    - ``"hot"`` (default, the scale path): only the ``max_hot_shingles``
+    - ``"hot"`` (the scale path): only the ``max_hot_shingles``
       hottest shingles carry their exact frequency, broadcast as a plain
       dict; every other shingle is "cold" (freq 1, ties broken by hash).
       Ordering + prefix extraction then run ROW-LOCALLY in one Arrow
@@ -235,13 +236,22 @@ def ngram_jaccard_pairs(
       candidate volume — is exact.
     - ``"exact"``: the original two-shuffle realization (kept for A/B and
       the stage-attribution script).
+    - ``"auto"`` (default): exact below ``hot_min_docs`` documents, hot
+      above — measured crossover: the hot path's fixed overhead (histogram
+      aggregate + head collect + broadcast) costs +60% at 2k docs, reaches
+      parity at 50k, and wins 1.8× at 500k (SCALE_NGRAM_HOT_r7.json); the
+      one extra count() is a narrow cached-input job.
 
+    Either order produces the IDENTICAL verified pair set (prefix
+    completeness needs only a consistent global total order).
     Output: (id_a, id_b, jaccard) with id_a < id_b."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0,1], got {threshold}")
-    if freq_order not in ("hot", "exact"):
+    if freq_order not in ("hot", "exact", "auto"):
         raise ValueError(f"unknown freq_order {freq_order!r}")
     sets_df = _shingle_sets(_widen(df), id_col, text_col, n).cache()
+    if freq_order == "auto":
+        freq_order = "hot" if sets_df.count() >= hot_min_docs else "exact"
 
     inv = sets_df.select("id", F.explode("sh").alias("shingle"))
     freq = inv.groupBy("shingle").agg(F.count("*").alias("freq"))

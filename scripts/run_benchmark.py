@@ -30,7 +30,7 @@ GRIDS = {
     "flat-gemm": dict(build_grid=None, query_grid=None),
     "ivf": dict(build_grid={"nlist": [8, 16]}, query_grid={"nprobe": [1, 2, 4, 8]}),
     "hnsw": dict(build_grid={"M": [8], "efConstruction": [64]},
-                 query_grid={"ef": [16, 64, 256]}),
+                 query_grid={"ef": [16, 64, 256, "auto"]}),
     # reference IVF_PQ / IVF_SQ8 grids (milvus/config.yml:40-75 expanded by
     # definitions.py:240-304): m/nbits build-time, nprobe query-time
     "pq": dict(build_grid={"m": [4, 8], "nbits": [6, 8]},
