@@ -31,6 +31,7 @@ from bigvectorbench_spark.operators.filter_knn import (
     filtered_ivf_knn, filtered_knn, postfilter_knn)
 from bigvectorbench_spark.operators.knn import knn, knn_hamming_packed
 from bigvectorbench_spark.operators import retrieval as rt
+from bigvectorbench_spark.operators.bq import BQIndex
 from bigvectorbench_spark.operators.pq import PQIndex
 from bigvectorbench_spark.operators.similarity import IVFIndex
 from bigvectorbench_spark.sources.tables import load_table
@@ -518,6 +519,56 @@ def q_jl_knn(spark, sf):
     res = knn(proj, q, k=10, method="expr")
     return res.select("qid", "id", _r(F.col("dist")).alias("dist"),
                       F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_bq_knn(spark, sf):
+    """§2.7 BQ (binary quantization): every dimension collapses to one sign
+    bit around its learned per-dimension mean, the packed 64-bit words are
+    scanned with XOR+popcount (1/64th the read width of the float column,
+    pure whole-stage codegen), and the hamming pre-rank's k·overfetch
+    survivors are re-ranked exactly.  The reference carries binary codes as
+    a first-class point type (datasets.py:348-352 point_type='bit'); BQ is
+    the float→binary compression every production store added on top.
+    Value-oracled: the deterministic driver-side fit (float64 mean over the
+    id-sorted sample) and the integer hamming candidate selection are
+    recomputed at oracle-generation time and the candidate sets embedded as
+    literals; the refine uses the expression L2 fold on both engines, so
+    distances hash-match (the pq_knn convention)."""
+    t = _train(spark, sf)
+    idx = BQIndex.fit(t, sort_col="id")
+    codes = idx.encode(t, keep=["id"])
+    res = idx.search(codes, _queries_mod(spark, sf), k=10,
+                     refine_train=t, overfetch=4)
+    return res.select("qid", "id", _r(F.col("dist")).alias("dist"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_bq_recall(spark, sf):
+    """Closes the BQ oracle self-reference the same way ivf_recall/pq_recall
+    do: recall of the BQ hamming-prerank+refine path against the EXACT kNN,
+    both computed in Spark, emitted as oracle-asserted threshold booleans.
+    Measured at sf0.01: mean 0.68 / min 0.4 (1-bit/dim codes, overfetch=4);
+    tight thresholds 0.6/0.3 sit just under that floor so a partial
+    packing/threshold degradation fails the gate, not only a cratering bug.
+    Off the oracle sf the gate relaxes to a defect-only floor 0.35/0.05:
+    measured at sf0.1 the same path yields mean 0.465 / min 0.1 — recall at
+    a fixed 1-bit/dim budget genuinely falls as corpus density grows (the
+    same published behavior pq_recall documents), so the floor sits under
+    the healthy-at-scale tail."""
+    mean_thr, min_thr = _gate(sf, tight=(0.6, 0.3), floor=(0.35, 0.05))
+    t, q = _train(spark, sf), _queries_mod(spark, sf)
+    idx = BQIndex.fit(t, sort_col="id")
+    approx = idx.search(idx.encode(t, keep=["id"]), q, k=10,
+                        refine_train=t, overfetch=4).groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    exact = knn(t, q, k=10, method="expr").groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    per_q = mx.recall_per_query(approx, exact)
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg("recall") >= mean_thr).alias("mean_recall_ok"),
+        (F.min("recall") >= min_thr).alias("min_recall_ok"),
+    )
 
 
 def q_ivf_recall(spark, sf):
@@ -2173,6 +2224,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_knn": q_pq_knn,
         "ivf_recall": q_ivf_recall,
         "pq_recall": q_pq_recall,
+        # NEW this session (below-window: the 50 slots above are spoken for
+        # by the r6-late rotation + age-2 boundary; sweep-oracled at
+        # sf0.001/0.01, rotate into the round-8 window)
+        "bq_knn": q_bq_knn,
+        "bq_recall": q_bq_recall,
         "sketch_bounds": q_sketch_bounds,
         "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
         "recall_summary": q_recall_summary,
@@ -2498,8 +2554,22 @@ SELECT id_a, id_b, cluster_id, round(cosine, 6) AS cosine FROM p
 WHERE cosine >= 0.4
 """
 
+    # ---- BQ (mean thresholds, overfetch=4 → 40 hamming candidates) -------
+    # Identical arithmetic to BQIndex: float64 mean over the id-sorted
+    # matrix, bit = (x > mean), integer hamming, (hamming, id) lexsort.
+    means = X.mean(axis=0)
+    bits = X > means[None, :]
+    qbits = bits[qmask]
+    bq_pairs = []
+    for qi, q in enumerate(qids_):
+        ham = (bits != qbits[qi][None, :]).sum(axis=1)
+        top = ids[np.lexsort((ids, ham))[:40]]
+        bq_pairs.extend(f"({int(q)},{int(i)})" for i in top)
+    bq_sql = _cand_sql(", ".join(bq_pairs))
+
     return {"ivf_knn": ivf_sql, "pq_knn": pq_sql, "ivfpq_knn": ivfpq_sql,
-            "filter_ivf_knn": filter_ivf_sql, "semantic_dups": semantic_sql}
+            "filter_ivf_knn": filter_ivf_sql, "semantic_dups": semantic_sql,
+            "bq_knn": bq_sql}
 
 
 # ivf_recall / pq_recall: the Spark side computes recall of the approximate
@@ -2667,6 +2737,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall": _RECALL_GATE_SQL,
         "filter_ivf_recall": _RECALL_GATE_SQL,
         "pq_recall": _RECALL_GATE_SQL,
+        "bq_recall": _RECALL_GATE_SQL,
         "srp_recall": _SRP_RECALL_SQL,
         "hnsw_recall": _HNSW_RECALL_SQL,
         "hnsw_scale_recall": _HNSW_SCALE_RECALL_SQL,

@@ -48,6 +48,8 @@ HEADLINE = [
     "ivf_knn",
     "pq_knn",
     "ivfpq_knn",
+    "bq_knn",
+    "bq_recall",
     "ivf_recall",
     "pq_recall",
     "srp_recall",

@@ -227,6 +227,27 @@ def _run_sq8():
     return _build, _search
 
 
+def _run_bq():
+    """Binary quantization: build knob center (mean thresholds vs raw sign
+    bits), query knob overfetch (hamming pre-rank width before the exact
+    refine).  1 bit/dim codes — the narrowest scan in the family grid."""
+    def _build(train, args):
+        from bigvectorbench_spark.operators.bq import BQIndex
+
+        idx = BQIndex.fit(train, center=bool(args.get("center", True)),
+                          sort_col="id")
+        codes = idx.encode(train, keep=["id"]).cache()
+        codes.count()  # materialize: encode cost belongs to build_time
+        return idx, codes, train
+
+    def _search(art, queries, count, qargs):
+        idx, codes, train = art
+        return idx.search(codes, queries, k=count, refine_train=train,
+                          overfetch=int(qargs.get("overfetch", 4)))
+
+    return _build, _search
+
+
 ALGORITHMS: dict[str, Callable] = {
     "flat-expr": lambda: _run_flat("expr"),
     "flat-gemm": lambda: _run_flat("gemm"),
@@ -235,6 +256,7 @@ ALGORITHMS: dict[str, Callable] = {
     "pq": _run_pq,
     "ivfpq": _run_ivfpq,
     "sq8": _run_sq8,
+    "bq": _run_bq,
 }
 
 

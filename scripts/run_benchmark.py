@@ -38,6 +38,10 @@ GRIDS = {
     "ivfpq": dict(build_grid={"nlist": [8, 16], "m": [4], "nbits": [8]},
                   query_grid={"nprobe": [1, 2, 4, 8]}),
     "sq8": dict(build_grid=None, query_grid=None),
+    # binary quantization: center build-time, overfetch query-time (the
+    # BIN_* family analog over float data, operators/bq.py)
+    "bq": dict(build_grid={"center": [True, False]},
+               query_grid={"overfetch": [2, 4, 8]}),
 }
 
 

@@ -181,6 +181,24 @@ def test_run_definition_sq8(spark, small_ds):
     assert r.qps > 0
 
 
+def test_run_definition_bq_grid(spark, small_ds):
+    """BQ cell: recall monotone in overfetch (wider hamming pre-rank feeds
+    the same exact refine), and the refined path does real work on blob
+    data at 1 bit/dim."""
+    tr, te = small_ds
+    defs = hz.expand_definitions(
+        "bq", "fx", 10, build_grid={"center": [True]},
+        query_grid={"overfetch": [2, 8]})
+    assert [d.label for d in defs] == [
+        "bq(center=True)[overfetch=2]", "bq(center=True)[overfetch=8]"]
+    by_label = {d.label: hz.run_definition(spark, d, tr, te) for d in defs}
+    lo = by_label["bq(center=True)[overfetch=2]"]
+    hi = by_label["bq(center=True)[overfetch=8]"]
+    assert lo.mean_recall <= hi.mean_recall
+    assert hi.mean_recall >= 0.6
+    assert hi.qps > 0 and hi.build_time > 0
+
+
 def test_random_filter_ratio_hits_requested_selectivity(spark):
     """The ratio-parameterized generator (reference
     create_artificial_datasets.py:286-520 analog): realized per-query
