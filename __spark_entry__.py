@@ -2105,6 +2105,30 @@ def q_top_terms_per_source(spark, sf):
     return rt.top_terms(_docs_wide(spark, sf), group_col="source", n=10)
 
 
+def q_retrieval_eval(spark, sf):
+    """Ranked-list quality of the BM25 run — recall@10 / MRR@10 / nDCG@10
+    per query against deterministic lexical-overlap qrels (rel = number of
+    the query's 3 terms present in the doc).  This is the metrics half a
+    retrieval/RAG pipeline adds on top of the reference's set-recall
+    scoring (plotting/metrics.py): same engine-stability discipline as
+    bm25_topk itself — integer gains × shared literal discounts, 9-dp
+    per-term rounding, DECIMAL accumulation, 6-dp final ratios — so every
+    metric value hash-matches the DuckDB recomputation."""
+    docs = _docs_wide(spark, sf)
+    queries = load_table(spark, sf, "documents").filter("doc_id % 100 = 0").select(
+        F.col("doc_id").alias("qid"),
+        F.slice(F.array_sort(F.array_distinct(tx.tokens(F.col("text")))), 1, 3).alias("terms"),
+    )
+    # One corpus tokenize serves the run, the qrels and the corpus stats
+    # (persisted stage boundary, the corpus_curation discipline).
+    post = rt.postings(docs).persist()
+    run = rt.bm25_topk(docs, queries, k=10, post=post,
+                       stats=rt.stats_from_postings(post)).select(
+        "qid", "doc_id", "rank")
+    qrels = rt.term_overlap_qrels(docs, queries, post=post)
+    return rt.retrieval_eval(run, qrels, k=10)
+
+
 def q_doc_fingerprints(spark, sf):
     """Winnowing fingerprints with the portable md5-derived 60-bit hash,
     so the fingerprint values themselves oracle-check (the xxhash64 fast
@@ -2229,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sf0.001/0.01, rotate into the round-8 window)
         "bq_knn": q_bq_knn,
         "bq_recall": q_bq_recall,
+        "retrieval_eval": q_retrieval_eval,
         "sketch_bounds": q_sketch_bounds,
         "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
         "recall_summary": q_recall_summary,
@@ -2281,6 +2306,17 @@ _SHINGLES = (
     "list_distinct(list_transform(range(1, greatest(len(tk)-1, 1)), "
     "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))"
 )
+
+
+def _ndcg_w_literal(k: int = 10) -> str:
+    """The nDCG rank-discount literals, shared verbatim with the Spark
+    operator (retrieval.ndcg_weights) so neither engine's log2 is in play."""
+    from bigvectorbench_spark.operators.retrieval import ndcg_weights
+
+    return "[" + ", ".join(repr(w) for w in ndcg_weights(k)) + "]"
+
+
+_NDCG_W = _ndcg_w_literal(10)
 
 
 def _knn_oracle(*, where_q: str, dist: str, join: str = "CROSS JOIN", cond: str = "",
@@ -3410,6 +3446,66 @@ r AS (SELECT qid, doc_id, score,
              row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
       FROM agg)
 SELECT qid, doc_id, score, rank FROM r WHERE rank <= 10
+""",
+        # retrieval_eval: the full bm25 pipeline re-derived, then qrels
+        # (distinct-term overlap counts on the same semi-joined postings)
+        # and the three ranked-list metrics.  The nDCG discount weights are
+        # the SAME Python-computed literals the Spark operator folds in
+        # (retrieval.ndcg_weights), so no engine's log2 enters either plan;
+        # gains/discount products round to 9 dp and accumulate in DECIMAL
+        # exactly as retrieval_eval does.
+        "retrieval_eval": f"""
+WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+d AS (SELECT doc_id, tk, len(tk) AS dl FROM tk),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM d),
+q AS (SELECT doc_id AS qid, list_sort(list_distinct(tk))[1:3] AS terms FROM tk
+      WHERE doc_id % 100 = 0),
+qt AS (SELECT DISTINCT qid, unnest(terms) AS term FROM q),
+post AS (SELECT doc_id, dl, unnest(tk) AS term FROM d),
+tfs AS (SELECT term, doc_id, dl, count(*) AS tf FROM post GROUP BY term, doc_id, dl),
+hits AS (SELECT t.* FROM tfs t WHERE term IN (SELECT term FROM qt)),
+dfr AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+sc AS (SELECT qt.qid, h.doc_id,
+              round(ln(1.0 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5)) *
+                    (h.tf::DOUBLE * (1.2 + 1.0)) /
+                    (h.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * h.dl::DOUBLE / s.avgdl)),
+                    9)::DECIMAL(28,10) AS term_score
+       FROM hits h JOIN qt ON h.term = qt.term
+       JOIN dfr ON h.term = dfr.term CROSS JOIN stats s),
+agg AS (SELECT qid, doc_id, CAST(round(sum(term_score), 6) AS DOUBLE) AS score
+        FROM sc GROUP BY qid, doc_id),
+r AS (SELECT qid, doc_id,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+      FROM agg),
+wt AS (SELECT {_NDCG_W} AS wl),
+qr AS (SELECT qt.qid, h.doc_id, count(*)::INT AS rel
+       FROM hits h JOIN qt ON h.term = qt.term GROUP BY qt.qid, h.doc_id),
+ret AS (SELECT r.qid, r.doc_id, r.rank, coalesce(qr.rel, 0) AS rel
+        FROM r LEFT JOIN qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+        WHERE r.rank <= 10),
+perq AS (SELECT qid, count(*) AS n_retrieved,
+                sum(CAST(round((power(2.0, rel) - 1.0) * wl[rank], 9)
+                         AS DECIMAL(28,10))) AS dcg,
+                sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+                min(CASE WHEN rel > 0 THEN rank END) AS frank
+         FROM ret CROSS JOIN wt GROUP BY qid),
+ideal AS (SELECT qid, sum(CAST(round((power(2.0, rel) - 1.0) * wl[irank], 9)
+                              AS DECIMAL(28,10))) AS idcg
+          FROM (SELECT qid, doc_id, rel,
+                       row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS irank
+                FROM qr) CROSS JOIN wt
+          WHERE irank <= 10 GROUP BY qid),
+nrel AS (SELECT qid, count(*) AS n_relevant FROM qr GROUP BY qid)
+SELECT p.qid, p.n_retrieved, coalesce(n.n_relevant, 0) AS n_relevant,
+       CASE WHEN coalesce(n.n_relevant, 0) > 0
+            THEN round(p.hits::DOUBLE / n.n_relevant::DOUBLE, 6) ELSE 0.0
+       END AS recall_at_10,
+       CASE WHEN p.frank IS NOT NULL
+            THEN round(1.0 / p.frank::DOUBLE, 6) ELSE 0.0 END AS mrr_at_10,
+       CASE WHEN i.idcg IS NOT NULL AND i.idcg > 0
+            THEN round(p.dcg::DOUBLE / i.idcg::DOUBLE, 6) ELSE 0.0
+       END AS ndcg_at_10
+FROM perq p LEFT JOIN nrel n USING (qid) LEFT JOIN ideal i USING (qid)
 """,
         "top_terms_per_source": f"""
 WITH tk AS (SELECT source, {_TOKENS} AS tk FROM documents),

@@ -95,6 +95,7 @@ HEADLINE = [
     "corpus_curation_scale",
     "hashed_embed_knn",
     "bm25_topk",
+    "retrieval_eval",
     "top_terms_per_source",
     "token_stats",
     "quality_scores",

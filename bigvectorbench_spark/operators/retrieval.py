@@ -63,6 +63,16 @@ def corpus_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     )
 
 
+def stats_from_postings(post: DataFrame) -> DataFrame:
+    """corpus_stats recomputed from a postings frame (no second tokenize):
+    each document contributes one (doc_id, dl) row after the distinct."""
+    dl = post.select("doc_id", "dl").distinct()
+    return dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -74,6 +84,8 @@ def bm25_topk(
     text_col: str = "text",
     qid_col: str = "qid",
     terms_col: str = "terms",
+    post: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k: for each query (a bag of terms), the ``k`` highest-scoring
     documents. Returns (qid, doc_id, score, rank).
@@ -86,8 +98,13 @@ def bm25_topk(
     total is independent of addition order (and of which engine computes
     it); the final score is rounded to 6 dp *before* ranking so ordering is
     also engine-stable. Duplicate query terms count once (set semantics).
+
+    ``post`` / ``stats``: pass a precomputed (persisted) postings frame and
+    corpus-stats row to share the corpus tokenization with other consumers
+    (qrels, evaluation) — one scan instead of one per operator.
     """
-    post = postings(docs, id_col=id_col, text_col=text_col)
+    if post is None:
+        post = postings(docs, id_col=id_col, text_col=text_col)
     qterms = queries.select(
         F.col(qid_col).alias("qid"), F.explode(terms_col).alias("term")
     ).distinct()
@@ -96,7 +113,8 @@ def bm25_topk(
     # Only postings for query terms ever leave the scan stage.
     hits = post.join(F.broadcast(uniq_terms), "term")
     docfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
-    stats = corpus_stats(docs, text_col=text_col)
+    if stats is None:
+        stats = corpus_stats(docs, text_col=text_col)
 
     scored = (
         hits.join(F.broadcast(qterms), "term")
@@ -140,4 +158,135 @@ def top_terms(
         counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= n)
         .select(F.col("grp").alias(group_col), "term", "n_occurrences", "rank")
+    )
+
+
+# --------------------------------------------------------------- evaluation
+
+def ndcg_weights(k: int) -> list[float]:
+    """Rank-discount table for nDCG@k: w_r = round(1/log2(r+1), 9).
+
+    Computed once in Python and used as LITERALS on every engine (Spark
+    expression, DuckDB oracle, numpy test oracle), so no engine's log2
+    enters the scored plan — the metric arithmetic is (exact integer gain)
+    × (shared literal weight), rounded per term and summed in DECIMAL, the
+    same engine-stability discipline bm25_topk uses for its scores."""
+    import math
+
+    return [round(1.0 / math.log2(r + 1), 9) for r in range(1, k + 1)]
+
+
+def retrieval_eval(
+    results: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int = 10,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query ranking quality of a retrieval run: recall@k, MRR@k and
+    nDCG@k against graded relevance judgments ("qrels", TREC vocabulary).
+
+    The reference's metrics pipeline scores vector runs with set-recall
+    (plotting/metrics.py knn/epsilon); a retrieval/RAG corpus pipeline
+    additionally needs the ranked-list metrics this operator adds.  Inputs:
+    ``results`` (qid, doc_id, rank) — any ranked run (bm25_topk, an ANN
+    search with ranks, …) — and ``qrels`` (qid, doc_id, rel) with integer
+    grades, rel > 0 meaning relevant.  Output one row per qid appearing in
+    ``results``: (qid, n_retrieved, n_relevant, recall_at_k, mrr_at_k,
+    ndcg_at_k).
+
+    Engine-stable by construction: gains are exact integers (2^rel − 1,
+    exact in double for grades ≤ 62), discounts are the shared
+    ``ndcg_weights`` literals, per-rank terms round to 9 dp and accumulate
+    in DECIMAL(28,10) (order-free), and each final ratio rounds to 6 dp.
+    Queries with no relevant documents emit 0.0 metrics (not NULL).
+
+    Scale: qrels carry only rel > 0 rows (judgment lists, bounded per
+    query); every join is an equi-join on (qid, doc_id) or qid, and the
+    per-query aggregates shuffle k-bounded rows — nothing is O(corpus).
+    """
+    warr = F.array(*[F.lit(w) for w in ndcg_weights(k)])
+    rels = qrels.filter(F.col(rel_col) > 0).select(
+        F.col(qid_col).alias("qid"), F.col(id_col).alias("doc_id"),
+        F.col(rel_col).cast("long").alias("_rel"))
+    res = results.filter(F.col(rank_col) <= k).select(
+        F.col(qid_col).alias("qid"), F.col(id_col).alias("doc_id"),
+        F.col(rank_col).cast("int").alias("_rank"))
+
+    def _term(rel, rank):
+        # 2^rel is exactly representable in double for rel ≤ 62, so the
+        # integer gain is exact on every engine (grades are small ints).
+        gain = F.pow(F.lit(2.0), rel.cast("double")) - F.lit(1.0)
+        return F.round(gain * F.element_at(warr, rank), 9).cast("decimal(28,10)")
+
+    j = res.join(rels, ["qid", "doc_id"], "left").withColumn(
+        "_rel", F.coalesce("_rel", F.lit(0)))
+    per_q = j.groupBy("qid").agg(
+        F.count("*").alias("n_retrieved"),
+        F.sum(_term(F.col("_rel"), F.col("_rank"))).alias("_dcg"),
+        F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0)).alias("_hits"),
+        F.min(F.when(F.col("_rel") > 0, F.col("_rank"))).alias("_frank"),
+    )
+    iw = Window.partitionBy("qid").orderBy(F.col("_rel").desc(), F.col("doc_id"))
+    ideal = (
+        rels.withColumn("_irank", F.row_number().over(iw))
+        .filter(F.col("_irank") <= k)
+        .groupBy("qid")
+        .agg(F.sum(_term(F.col("_rel"), F.col("_irank"))).alias("_idcg"),
+             F.count("*").alias("_ideal_n"))
+    )
+    nrel = rels.groupBy("qid").agg(F.count("*").alias("n_relevant"))
+    out = (
+        per_q.join(nrel, "qid", "left").join(ideal.drop("_ideal_n"), "qid", "left")
+        .withColumn("n_relevant", F.coalesce("n_relevant", F.lit(0)))
+    )
+    zero = F.lit(0.0)
+    return out.select(
+        "qid", "n_retrieved", "n_relevant",
+        F.when(F.col("n_relevant") > 0,
+               F.round(F.col("_hits").cast("double") /
+                       F.col("n_relevant").cast("double"), 6))
+        .otherwise(zero).alias(f"recall_at_{k}"),
+        F.when(F.col("_frank").isNotNull(),
+               F.round(F.lit(1.0) / F.col("_frank").cast("double"), 6))
+        .otherwise(zero).alias(f"mrr_at_{k}"),
+        F.when(F.col("_idcg").isNotNull() & (F.col("_idcg") > 0),
+               F.round(F.col("_dcg").cast("double") /
+                       F.col("_idcg").cast("double"), 6))
+        .otherwise(zero).alias(f"ndcg_at_{k}"),
+    )
+
+
+def term_overlap_qrels(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    terms_col: str = "terms",
+    post: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic graded judgments for the synthetic corpus: rel(q, d) =
+    number of q's (distinct) terms present in d's token set — the standard
+    lexical-overlap grading used when no human judgments exist.  Emits only
+    rel > 0 rows: (qid, doc_id, rel).
+
+    Same plan shape as bm25_topk's candidate stage: postings are semi-joined
+    against the broadcast query-term set before anything aggregates, so the
+    work is O(matching postings).  ``post``: share a precomputed postings
+    frame (one corpus tokenize serves run + qrels + stats)."""
+    if post is None:
+        post = postings(docs, id_col=id_col, text_col=text_col)
+    post = post.select("term", "doc_id")
+    qterms = queries.select(
+        F.col(qid_col).alias("qid"), F.explode(terms_col).alias("term")
+    ).distinct()
+    return (
+        post.join(F.broadcast(qterms), "term")
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").cast("int").alias("rel"))
     )

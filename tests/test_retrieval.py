@@ -89,3 +89,103 @@ def test_postings_and_stats(docs):
     stats = rt.corpus_stats(docs).collect()[0]
     assert stats["n_docs"] == 6
     assert stats["avgdl"] == pytest.approx((9 + 9 + 6 + 6 + 7 + 7) / 6)
+
+
+def _eval_py(results, qrels, k=10):
+    """Independent python recomputation of retrieval_eval (same rounding)."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    W = [round(1.0 / math.log2(r + 1), 9) for r in range(1, k + 1)]
+    rel = {(q, d): g for q, d, g in qrels if g > 0}
+    by_q = defaultdict(list)
+    for q, d, r in results:
+        if r <= k:
+            by_q[q].append((r, d))
+    rels_by_q = defaultdict(list)
+    for (q, d), g in rel.items():
+        rels_by_q[q].append((g, d))
+    out = {}
+    for q, rows in by_q.items():
+        dcg = Decimal(0)
+        hits, frank = 0, None
+        for r, d in rows:
+            g = rel.get((q, d), 0)
+            dcg += Decimal(str(round(float((1 << g) - 1) * W[r - 1], 9)))
+            if g > 0:
+                hits += 1
+                frank = r if frank is None else min(frank, r)
+        ideal = sorted(rels_by_q[q], key=lambda t: (-t[0], t[1]))[:k]
+        idcg = Decimal(0)
+        for i, (g, _) in enumerate(ideal):
+            idcg += Decimal(str(round(float((1 << g) - 1) * W[i], 9)))
+        n_rel = len(rels_by_q[q])
+        out[q] = (
+            len(rows), n_rel,
+            round(hits / n_rel, 6) if n_rel else 0.0,
+            round(1.0 / frank, 6) if frank else 0.0,
+            round(float(dcg) / float(idcg), 6) if idcg > 0 else 0.0,
+        )
+    return out
+
+
+def test_retrieval_eval_matches_python(spark):
+    results = [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+               (2, 20, 1), (2, 21, 2),
+               (3, 30, 1), (3, 31, 2)]          # q3: nothing relevant
+    qrels = [(1, 10, 3), (1, 12, 1), (1, 99, 2),  # one miss (99 not retrieved)
+             (2, 21, 2), (2, 22, 1), (2, 23, 1)]
+    rdf = spark.createDataFrame(results, "qid bigint, doc_id bigint, rank bigint")
+    qdf = spark.createDataFrame(qrels, "qid bigint, doc_id bigint, rel int")
+    got = {r["qid"]: (r["n_retrieved"], r["n_relevant"], r["recall_at_10"],
+                      r["mrr_at_10"], r["ndcg_at_10"])
+           for r in rt.retrieval_eval(rdf, qdf, k=10).collect()}
+    want = _eval_py(results, qrels, k=10)
+    assert got == want
+    # spot semantics: q1 found 2 of 3 relevant, first at rank 1
+    assert got[1][2] == pytest.approx(round(2 / 3, 6))
+    assert got[1][3] == 1.0
+    # q3 has no judged-relevant docs at all -> all-zero metrics, not NULL
+    assert got[3] == (2, 0, 0.0, 0.0, 0.0)
+
+
+def test_retrieval_eval_perfect_ranking_is_1(spark):
+    """Retrieving exactly the relevant docs in ideal (grade-desc) order is
+    nDCG = recall = MRR = 1."""
+    qrels = [(7, 1, 3), (7, 2, 2), (7, 3, 1)]
+    results = [(7, 1, 1), (7, 2, 2), (7, 3, 3)]
+    r = rt.retrieval_eval(
+        spark.createDataFrame(results, "qid bigint, doc_id bigint, rank bigint"),
+        spark.createDataFrame(qrels, "qid bigint, doc_id bigint, rel int"),
+        k=3).collect()[0]
+    assert (r["recall_at_3"], r["mrr_at_3"], r["ndcg_at_3"]) == (1.0, 1.0, 1.0)
+
+
+def test_retrieval_eval_rank_cut_and_extra_qrels(spark):
+    """Rows past rank k are ignored; qrels beyond k cap the ideal at k."""
+    qrels = [(5, d, 1) for d in range(20)]       # 20 relevant
+    results = [(5, d, d + 1) for d in range(15)]  # 15 retrieved, all relevant
+    r = rt.retrieval_eval(
+        spark.createDataFrame(results, "qid bigint, doc_id bigint, rank bigint"),
+        spark.createDataFrame(qrels, "qid bigint, doc_id bigint, rel int"),
+        k=10).collect()[0]
+    assert r["n_retrieved"] == 10
+    assert r["recall_at_10"] == pytest.approx(0.5)   # 10 of 20
+    assert r["ndcg_at_10"] == 1.0                    # uniform grades, ideal order
+
+
+def test_term_overlap_qrels_counts_distinct_terms(spark, docs):
+    queries = spark.createDataFrame(
+        [(100, ["quick", "the", "zzz-nowhere"])], "qid bigint, terms array<string>")
+    got = {(r["qid"], r["doc_id"]): r["rel"]
+           for r in rt.term_overlap_qrels(docs, queries).collect()}
+    post = {}
+    for r in rt.postings(docs).collect():
+        post.setdefault(r["doc_id"], set()).add(r["term"])
+    want = {}
+    for d, terms in post.items():
+        g = len({"quick", "the"} & terms)
+        if g:
+            want[(100, d)] = g
+    assert got == want
