@@ -50,6 +50,8 @@ HEADLINE = [
     "ivfpq_knn",
     "bq_knn",
     "bq_recall",
+    "opq_knn",
+    "opq_recall",
     "ivf_recall",
     "pq_recall",
     "srp_recall",

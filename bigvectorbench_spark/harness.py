@@ -227,6 +227,30 @@ def _run_sq8():
     return _build, _search
 
 
+def _run_opq():
+    """OPQ: build knobs m/nbits/iters (rotation alternations; iters=0 is
+    plain PQ), query knob overfetch — the PQ grid with the learned
+    rotation in front."""
+    def _build(train, args):
+        from bigvectorbench_spark.operators.opq import OPQIndex
+
+        idx = OPQIndex.fit(train, m=int(args.get("m", 8)),
+                           ksub=1 << int(args.get("nbits", 8)),
+                           iters=int(args.get("iters", 3)), seed=1)
+        encoded = idx.encode(train).select("id", "codes").cache()
+        encoded.count()
+        return idx, encoded, train
+
+    def _search(art, queries, count, qargs):
+        idx, encoded, train = art
+        over = int(qargs.get("overfetch", 1))
+        return idx.search(encoded, queries, k=count,
+                          refine_train=train if over > 1 else None,
+                          overfetch=over)
+
+    return _build, _search
+
+
 def _run_bq():
     """Binary quantization: build knob center (mean thresholds vs raw sign
     bits), query knob overfetch (hamming pre-rank width before the exact
@@ -257,6 +281,7 @@ ALGORITHMS: dict[str, Callable] = {
     "ivfpq": _run_ivfpq,
     "sq8": _run_sq8,
     "bq": _run_bq,
+    "opq": _run_opq,
 }
 
 

@@ -30,9 +30,13 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
 from bigvectorbench_spark.functions import distance as dx
-from bigvectorbench_spark.operators.knn import topk_window
+from bigvectorbench_spark.operators.knn import MAX_BROADCAST_QUERIES, topk_window
 
 _OUT_SCHEMA = "qid bigint, id bigint, dist double, rank int"
+
+#: byte-wise popcount table for the Arrow kernel (numpy<2 has no
+#: bitwise_count ufunc); uint16 so the gather result sums without overflow.
+_POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
 
 #: fit() collects one float64 row-mean sample to the driver; keep it bounded
 #: the same way IVFIndex.fit bounds its kmeans sample.
@@ -66,6 +70,26 @@ def pack_thresholds(vec: Column, thresholds: list[float]) -> Column:
         ]
         words.append(reduce(lambda a, b: a.bitwiseOR(b), bits))
     return F.array(*words)
+
+
+def pack_np(X: np.ndarray, thresholds: list[float]) -> np.ndarray:
+    """The numpy twin of ``pack_thresholds``: identical bit layout
+    (64 dims/word, first dim at the chunk's highest bit), identical
+    comparison arithmetic (float64 value > float64 threshold), returned as
+    int64 words.  Used to pack collected query blocks for the Arrow kernel
+    and by external recomputations (the oracle generator)."""
+    X = np.asarray(X, dtype=np.float64)
+    thr = np.asarray(thresholds, dtype=np.float64)
+    d = len(thresholds)
+    bits = X > thr[None, :]
+    n_words = (d + 63) // 64
+    out = np.zeros((len(X), n_words), dtype=np.uint64)
+    for i in range(d):
+        word = i // 64
+        chunk = min(64, d - word * 64)
+        shift = chunk - 1 - (i - word * 64)
+        out[:, word] |= bits[:, i].astype(np.uint64) << np.uint64(shift)
+    return out.view(np.int64)
 
 
 def hamming_packed_int(a: Column, b: Column) -> Column:
@@ -147,6 +171,7 @@ class BQIndex:
         metric: str = "euclidean",
         overfetch: int = 4,
         pre_filter=None,
+        method: str = "auto",
     ) -> DataFrame:
         """Hamming pre-rank over the packed words (top ``k·overfetch`` per
         query by (popcount, id)), then exact re-rank against
@@ -154,28 +179,39 @@ class BQIndex:
         ranking itself is the result (dist = integer hamming), which is the
         BIN_FLAT behavior for genuinely binary data.
 
+        ``method``: 'kernel' (default via 'auto') scores each Arrow batch
+        against the whole broadcast query block with a byte-LUT popcount and
+        emits per-batch partial top-n candidates — the shuffle carries
+        O(q·n_cand·batches) rows, the knn-GEMM discipline.  Because integer
+        hamming TIES are routine (d+1 possible values), the partial
+        selection is (hamming, id)-lexicographic, so kernel candidates are
+        bit-identical to the global window's and to an external lexsort
+        recomputation.  'expr' keeps the pure-Column form (JVM fold per
+        pair — no Python, but per-pair HOF evaluation costs ~3× the kernel
+        at 100 queries; the declared-oracle shape).
+
         ``pre_filter`` composes filtered-ANN semantics: applied to the
         codes table before scoring so Catalyst pushes it into the scan."""
         if pre_filter is not None:
             codes = codes.filter(
                 F.expr(pre_filter) if isinstance(pre_filter, str) else pre_filter)
-        q = queries.select(
-            F.col(qid_col).cast("bigint").alias("qid"),
-            F.col(query_vec_col).alias("_qvec"),
-            pack_thresholds(F.col(query_vec_col), self.thresholds).alias("_qwords"),
-        )
-        t = codes.select(
-            F.col(id_col).cast("bigint").alias("id"), F.col(words_col).alias("_twords"))
+        if method not in ("auto", "kernel", "expr"):
+            raise ValueError(f"unknown method {method!r}")
         n_cand = k * overfetch if refine_train is not None else k
-        scored = (
-            t.join(F.broadcast(q.select("qid", "_qwords")))
-            .select("qid", "id",
-                    hamming_packed_int(F.col("_twords"), F.col("_qwords")).alias("_ham"))
-        )
-        cand = topk_window(scored, n_cand, dist="_ham")
+        if method == "auto":
+            method = "kernel"
+        if method == "kernel":
+            cand = self._candidates_kernel(
+                codes, queries, n_cand, words_col, id_col, qid_col, query_vec_col)
+        else:
+            cand = self._candidates_expr(
+                codes, queries, n_cand, words_col, id_col, qid_col, query_vec_col)
         if refine_train is None:
             return cand.select(
                 "qid", "id", F.col("_ham").cast("double").alias("dist"), "rank")
+        q = queries.select(
+            F.col(qid_col).cast("bigint").alias("qid"),
+            F.col(query_vec_col).alias("_qvec"))
         vecs = refine_train.select(
             F.col(id_col).cast("bigint").alias("id"),
             F.col(refine_vec_col).alias("_tvec"))
@@ -187,3 +223,82 @@ class BQIndex:
                     dx.metric_dist(metric, F.col("_tvec"), F.col("_qvec")).alias("dist"))
         )
         return topk_window(refined, k).select("qid", "id", "dist", "rank")
+
+    # ---- candidate stages -----------------------------------------------
+    def _candidates_expr(self, codes, queries, n_cand,
+                         words_col, id_col, qid_col, query_vec_col) -> DataFrame:
+        """(qid, id, _ham, rank): pure-Column scoring — popcount fold per
+        (row × query) pair above a broadcast join, then the global window."""
+        q = queries.select(
+            F.col(qid_col).cast("bigint").alias("qid"),
+            pack_thresholds(F.col(query_vec_col), self.thresholds).alias("_qwords"))
+        t = codes.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.col(words_col).alias("_twords"))
+        scored = (
+            t.join(F.broadcast(q))
+            .select("qid", "id",
+                    hamming_packed_int(F.col("_twords"), F.col("_qwords")).alias("_ham"))
+        )
+        return topk_window(scored, n_cand, dist="_ham")
+
+    def _candidates_kernel(self, codes, queries, n_cand,
+                           words_col, id_col, qid_col, query_vec_col) -> DataFrame:
+        """(qid, id, _ham, rank): Arrow-batched byte-LUT popcount against the
+        broadcast packed query block, per-batch partial top-n_cand with a
+        (hamming, id)-lexicographic tie rule, global window merge — the
+        knn-GEMM shuffle discipline (O(q·n_cand·batches) rows move, never
+        O(q·n))."""
+        rows = queries.select(
+            F.col(qid_col).cast("bigint"), query_vec_col).collect()
+        spark = codes.sparkSession
+        if len(rows) == 0:
+            return spark.createDataFrame([], "qid bigint, id bigint, _ham bigint, rank int")
+        if len(rows) > MAX_BROADCAST_QUERIES:
+            raise ValueError(
+                f"{len(rows)} queries exceed the broadcast envelope "
+                f"({MAX_BROADCAST_QUERIES}); split the query set or use method='expr'")
+        qids = np.array([r[0] for r in rows], dtype=np.int64)
+        qwords = pack_np(np.array([r[1] for r in rows], dtype=np.float64),
+                         self.thresholds)
+        bc = spark.sparkContext.broadcast((qids, qwords.view(np.uint8)))
+        n_words = qwords.shape[1]
+
+        import pyarrow as pa
+
+        def score(batches):
+            b_qids, b_qu8 = bc.value
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                ids = batch.column("id").to_numpy()
+                W = (batch.column("words").flatten().to_numpy(zero_copy_only=False)
+                     .astype(np.int64, copy=False).reshape(n, n_words))
+                Wu8 = W.view(np.uint8)
+                kk = min(n_cand, n)
+                # ids < 2^31 admit an O(n) composite-key argpartition for the
+                # (hamming, id) tie rule; otherwise exact lexsort per query.
+                small_ids = len(ids) > 0 and ids.min() >= 0 and ids.max() < (1 << 31)
+                out_ids, out_ham, out_qid = [], [], []
+                for qi in range(len(b_qids)):
+                    x = np.bitwise_xor(Wu8, b_qu8[qi][None, :])
+                    ham = _POP[x].sum(axis=1, dtype=np.int64)
+                    if small_ids:
+                        key = (ham << np.int64(31)) | ids
+                        part = np.argpartition(key, kk - 1)[:kk]
+                    else:
+                        part = np.lexsort((ids, ham))[:kk]
+                    out_qid.append(np.full(kk, b_qids[qi], dtype=np.int64))
+                    out_ids.append(ids[part])
+                    out_ham.append(ham[part])
+                yield pa.RecordBatch.from_pydict({
+                    "qid": pa.array(np.concatenate(out_qid), pa.int64()),
+                    "id": pa.array(np.concatenate(out_ids), pa.int64()),
+                    "_ham": pa.array(np.concatenate(out_ham), pa.int64()),
+                })
+
+        t = codes.select(F.col(id_col).cast("bigint").alias("id"),
+                         F.col(words_col).alias("words"))
+        partial = t.mapInArrow(score, schema="qid bigint, id bigint, _ham bigint")
+        return topk_window(partial, n_cand, dist="_ham")

@@ -42,6 +42,9 @@ GRIDS = {
     # BIN_* family analog over float data, operators/bq.py)
     "bq": dict(build_grid={"center": [True, False]},
                query_grid={"overfetch": [2, 4, 8]}),
+    # OPQ: the PQ grid with the learned rotation in front (iters=0 == PQ)
+    "opq": dict(build_grid={"m": [4, 8], "nbits": [6, 8], "iters": [3]},
+                query_grid={"overfetch": [1, 4]}),
 }
 
 

@@ -157,3 +157,61 @@ def test_search_refine_matches_exact_at_full_overfetch(spark):
     a = sorted((r["qid"], r["rank"], r["id"]) for r in got.collect())
     b = sorted((r["qid"], r["rank"], r["id"]) for r in want.collect())
     assert a == b
+
+
+def test_pack_np_matches_spark_packer(spark):
+    X = make_blobs(50, 70, seed=27)
+    from bigvectorbench_spark.operators.bq import pack_np
+    thr = [float(t) for t in X.mean(axis=0)]
+    df = _vec_df(spark, X)
+    got = {r["id"]: list(r["w"]) for r in
+           df.select("id", pack_thresholds(F.col("vec"), thr).alias("w")).collect()}
+    want = pack_np(X, thr)
+    for i in range(len(X)):
+        assert got[i] == [int(v) for v in want[i]], f"row {i}"
+
+
+def test_kernel_candidates_match_expr_with_ties(spark):
+    """Integer hamming ties are routine; the kernel's per-batch partial
+    selection must reproduce the global (hamming, id) order exactly —
+    pinned on a low-entropy corpus where ties dominate."""
+    rng = np.random.RandomState(29)
+    X = np.sign(rng.randn(400, 16)).astype(np.float32)  # only ±1 values
+    tdf = _vec_df(spark, X).repartition(7)              # force many batches
+    q = _vec_df(spark, X[:5], id_name="qid")
+    idx = BQIndex.fit(tdf, center=False)
+    codes = idx.encode(tdf, keep=["id"])
+    a = idx.search(codes, q, k=25, method="kernel")
+    b = idx.search(codes, q, k=25, method="expr")
+    ka = sorted((r["qid"], r["rank"], r["id"], r["dist"]) for r in a.collect())
+    kb = sorted((r["qid"], r["rank"], r["id"], r["dist"]) for r in b.collect())
+    assert ka == kb and len(ka) == 125
+
+
+def test_kernel_refined_matches_expr_refined(spark):
+    X = make_blobs(300, 32, seed=33)
+    tdf = _vec_df(spark, X).repartition(5)
+    q = _vec_df(spark, X[:4], id_name="qid")
+    idx = BQIndex.fit(tdf, sort_col="id")
+    codes = idx.encode(tdf, keep=["id"])
+    a = idx.search(codes, q, k=10, refine_train=tdf, overfetch=4, method="kernel")
+    b = idx.search(codes, q, k=10, refine_train=tdf, overfetch=4, method="expr")
+    assert sorted((r["qid"], r["rank"], r["id"]) for r in a.collect()) == \
+        sorted((r["qid"], r["rank"], r["id"]) for r in b.collect())
+
+
+def test_kernel_rejects_oversized_query_block(spark):
+    from bigvectorbench_spark.operators import knn as knn_mod
+    X = make_blobs(10, 16, seed=35)
+    tdf = _vec_df(spark, X)
+    idx = BQIndex.fit(tdf, center=False)
+    codes = idx.encode(tdf, keep=["id"])
+    q = _vec_df(spark, X, id_name="qid")
+    old = knn_mod.MAX_BROADCAST_QUERIES
+    import bigvectorbench_spark.operators.bq as bq_mod
+    try:
+        bq_mod.MAX_BROADCAST_QUERIES = 5
+        with pytest.raises(ValueError, match="broadcast envelope"):
+            idx.search(codes, q, k=3, method="kernel")
+    finally:
+        bq_mod.MAX_BROADCAST_QUERIES = old

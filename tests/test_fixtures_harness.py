@@ -181,6 +181,25 @@ def test_run_definition_sq8(spark, small_ds):
     assert r.qps > 0
 
 
+def test_run_definition_opq_grid(spark, small_ds):
+    """OPQ cell: the refined path must dominate pure-ADC recall (same
+    invariant as the pq grid) and the rotation must not break the
+    refine-exactness contract."""
+    tr, te = small_ds
+    defs = hz.expand_definitions(
+        "opq", "fx", 10, build_grid={"m": [4], "nbits": [6], "iters": [2]},
+        query_grid={"overfetch": [1, 4]})
+    assert [d.label for d in defs] == [
+        "opq(iters=2,m=4,nbits=6)[overfetch=1]",
+        "opq(iters=2,m=4,nbits=6)[overfetch=4]"]
+    by_label = {d.label: hz.run_definition(spark, d, tr, te) for d in defs}
+    adc = by_label["opq(iters=2,m=4,nbits=6)[overfetch=1]"]
+    ref = by_label["opq(iters=2,m=4,nbits=6)[overfetch=4]"]
+    assert 0.0 < adc.mean_recall <= 1.0 and adc.qps > 0
+    assert ref.mean_recall >= adc.mean_recall
+    assert ref.mean_recall >= 0.8
+
+
 def test_run_definition_bq_grid(spark, small_ds):
     """BQ cell: recall monotone in overfetch (wider hamming pre-rank feeds
     the same exact refine), and the refined path does real work on blob
