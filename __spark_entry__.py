@@ -503,6 +503,38 @@ def q_ivfpq_knn(spark, sf):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_ivf_delta_knn(spark, sf):
+    """Incremental IVF maintenance (the M3-inserts × M2-index composition a
+    production deployment actually runs): the index is fit on the BASE
+    corpus (90%), a later delta batch (10%) is assigned to the EXISTING
+    centroids — a map-only operation, no refit, no reshuffle of the base —
+    and search runs over base ∪ delta.  Value-oracled like ivf_knn: the
+    base-only fit, the assignments of every resident row, and the probe
+    lists are recomputed at oracle-generation time and embedded."""
+    t = _train(spark, sf)
+    base, delta = t.filter("id % 10 != 0"), t.filter("id % 10 = 0")
+    idx = IVFIndex.fit(base, nlist=8, seed=1, max_iter=8, sort_col="id")
+    table = idx.assign(base).unionByName(idx.assign(delta))
+    res = idx.search(table, _queries_mod(spark, sf, mod=1), k=10, nprobe=4)
+    return res.select("qid", "id", F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_ivf_delta_report(spark, sf):
+    """The maintenance meter beside q_ivf_delta_knn: per-cell occupancy
+    (base vs delta rows) and mean centroid distance — the drift signal that
+    decides when re-clustering pays.  Value-oracled: DuckDB recomputes the
+    distances from the embedded centroid literals with the same L2 fold,
+    DECIMAL accumulation and rounding."""
+    from bigvectorbench_spark.operators.similarity import ivf_delta_report
+
+    t = _train(spark, sf)
+    base, delta = t.filter("id % 10 != 0"), t.filter("id % 10 = 0")
+    idx = IVFIndex.fit(base, nlist=8, seed=1, max_iter=8, sort_col="id")
+    return ivf_delta_report(idx, idx.assign(base), idx.assign(delta)).select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "n_base", "n_delta", "mean_dist")
+
+
 def q_opq_knn(spark, sf):
     """§2.7 OPQ (Ge et al. 2013): an orthogonal rotation learned by
     alternating codebook fit / Procrustes solve is applied before the PQ
@@ -2305,13 +2337,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_knn": q_pq_knn,
         "ivf_recall": q_ivf_recall,
         "pq_recall": q_pq_recall,
-        # NEW this session (below-window: the 50 slots above are spoken for
-        # by the r6-late rotation + age-2 boundary; sweep-oracled at
-        # sf0.001/0.01, rotate into the round-8 window)
+        # NEW round-7-late declarations (below-window: the 50 slots above
+        # are spoken for by the r6-late rotation + the age-2 boundary;
+        # sweep-oracled at sf0.001 AND sf0.01 via scripts/check_oracle.py).
+        # ROUND-8 ROTATION PLAN: these seven take the first slots of the
+        # round-8 window, ahead of the age-1 r6-green set.
         "bq_knn": q_bq_knn,
         "bq_recall": q_bq_recall,
         "opq_knn": q_opq_knn,
         "opq_recall": q_opq_recall,
+        "ivf_delta_knn": q_ivf_delta_knn,
+        "ivf_delta_report": q_ivf_delta_report,
         "retrieval_eval": q_retrieval_eval,
         "sketch_bounds": q_sketch_bounds,
         "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
@@ -2692,9 +2728,55 @@ WHERE cosine >= 0.4
         bq_pairs.extend(f"({int(q)},{int(i)})" for i in top)
     bq_sql = _cand_sql(", ".join(bq_pairs))
 
+    # ---- incremental IVF (fit on BASE ids%10!=0; delta assigned, no refit)
+    base_mask = ids % 10 != 0
+    Cd = _kmeans_pp(X[base_mask], 8, seed=1, max_iter=8)
+    d2d = (X * X).sum(1)[:, None] - 2.0 * (X @ Cd.T) + (Cd * Cd).sum(1)[None, :]
+    cidd = d2d.argmin(axis=1)
+    q1 = ids % 50 == 1
+    dqd = ((X[q1][:, None, :] - Cd[None, :, :]) ** 2).sum(axis=2)
+    probesd = np.argpartition(dqd, 3, axis=1)[:, :4]
+    assignd_vals = ", ".join(f"({int(i)},{int(c)})" for i, c in zip(ids, cidd))
+    probed_vals = ", ".join(
+        f"({int(qv)},{int(c)})"
+        for qi, qv in enumerate(ids[q1]) for c in probesd[qi])
+    ivf_delta_sql = f"""
+WITH assign(id, cell) AS (VALUES {assignd_vals}),
+probe(qid, cell) AS (VALUES {probed_vals}),
+t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 50 = 1),
+s AS (SELECT q.qid, t.id, {l2} AS d
+      FROM q JOIN probe ON probe.qid = q.qid
+      JOIN assign ON assign.cell = probe.cell
+      JOIN t ON t.id = assign.id),
+r AS (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank FROM s)
+SELECT qid, id, rank FROM r WHERE rank <= 10
+"""
+    cents_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in Cd) + "]"
+    ivf_delta_report_sql = f"""
+WITH assign(id, cell) AS (VALUES {assignd_vals}),
+cents AS (SELECT {cents_lit} AS cl),
+t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+             CASE WHEN vec_id % 10 != 0 THEN 1 ELSE 0 END AS is_base
+      FROM embeddings),
+j AS (SELECT a.cell, t.is_base,
+             sqrt(list_sum(list_transform(list_zip(t.v, cl[a.cell + 1]),
+                 x -> (x[1]-x[2])*(x[1]-x[2])))) AS d
+      FROM t JOIN assign a ON a.id = t.id CROSS JOIN cents)
+SELECT cell::BIGINT AS cluster_id,
+       sum(is_base)::BIGINT AS n_base,
+       (count(*) - sum(is_base))::BIGINT AS n_delta,
+       round(sum(round(d, 9)::DECIMAL(28,10))::DOUBLE / count(*)::DOUBLE, 6)
+           AS mean_dist
+FROM j GROUP BY cell
+"""
+
     return {"ivf_knn": ivf_sql, "pq_knn": pq_sql, "ivfpq_knn": ivfpq_sql,
             "filter_ivf_knn": filter_ivf_sql, "semantic_dups": semantic_sql,
-            "bq_knn": bq_sql, "opq_knn": opq_sql}
+            "bq_knn": bq_sql, "opq_knn": opq_sql,
+            "ivf_delta_knn": ivf_delta_sql,
+            "ivf_delta_report": ivf_delta_report_sql}
 
 
 # ivf_recall / pq_recall: the Spark side computes recall of the approximate

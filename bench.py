@@ -52,6 +52,8 @@ HEADLINE = [
     "bq_recall",
     "opq_knn",
     "opq_recall",
+    "ivf_delta_knn",
+    "ivf_delta_report",
     "ivf_recall",
     "pq_recall",
     "srp_recall",

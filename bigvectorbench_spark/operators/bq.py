@@ -148,13 +148,62 @@ class BQIndex:
         vec_col: str = "vec",
         out_col: str = "words",
         keep: list[str] | None = None,
+        method: str = "auto",
     ) -> DataFrame:
         """Materialize the packed code column (the M2 'index build' artifact
         a BQ deployment stores next to — or instead of — the float column).
-        ``keep``: columns carried alongside; default everything."""
+        ``keep``: columns carried alongside; default everything.
+
+        ``method='expr'`` is the unrolled whole-stage-codegen packer — free
+        of Python workers, but its d literal comparisons make janino
+        compile+evaluate cost grow with d (measured 83 s to encode 200k
+        rows at d=1024, SCALE_BQ_r7.json).  ``'kernel'`` packs each Arrow
+        batch with ``pack_np`` (identical bit layout — pinned in test_bq) in
+        one vectorized pass; 'auto' switches to it past d=128."""
         cols = keep if keep is not None else df.columns
-        return df.select(
-            *cols, pack_thresholds(F.col(vec_col), self.thresholds).alias(out_col))
+        if method not in ("auto", "expr", "kernel"):
+            raise ValueError(f"unknown method {method!r}")
+        if method == "auto":
+            method = "kernel" if self.d > 128 else "expr"
+        if method == "expr":
+            return df.select(
+                *cols, pack_thresholds(F.col(vec_col), self.thresholds).alias(out_col))
+
+        import pyarrow as pa
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+        work_cols = list(dict.fromkeys([*cols, vec_col]))
+        work = df.select(*work_cols)
+        out_schema = StructType(
+            [work.schema[c] for c in cols]
+            + [StructField(out_col, ArrayType(LongType()))])
+        bc = df.sparkSession.sparkContext.broadcast(
+            np.asarray(self.thresholds, dtype=np.float64))
+        vec_idx = work_cols.index(vec_col)
+        keep_idx = [work_cols.index(c) for c in cols]
+        d = self.d
+        n_words = (d + 63) // 64
+
+        def fn(batches):
+            thr = bc.value
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                X = (batch.column(vec_idx).flatten().to_numpy(zero_copy_only=False)
+                     .astype(np.float64, copy=False).reshape(n, d))
+                W = pack_np(X, thr)
+                yield pa.RecordBatch.from_arrays(
+                    [*[batch.column(i) for i in keep_idx],
+                     pa.FixedSizeListArray.from_arrays(
+                         pa.array(W.ravel(), pa.int64()), n_words).cast(
+                         pa.list_(pa.int64()))],
+                    schema=pa.schema(
+                        [batch.schema.field(i) for i in keep_idx]
+                        + [pa.field(out_col, pa.list_(pa.int64()))]),
+                )
+
+        return work.mapInArrow(fn, schema=out_schema)
 
     def search(
         self,

@@ -386,3 +386,50 @@ def srp_signature(vec, planes: np.ndarray):
         for p in planes
     ]
     return F.concat(*bits)
+
+
+def ivf_delta_report(
+    index: "IVFIndex",
+    base_assigned: DataFrame,
+    delta_assigned: DataFrame,
+    *,
+    vec_col: str = "vec",
+    round_to: int = 6,
+) -> DataFrame:
+    """Incremental-maintenance accounting for an IVF index: after a delta
+    batch is assigned to the EXISTING centroids (a map-only operation — no
+    refit, no reshuffle of the base; the property that lets a 100 TB index
+    absorb arrivals), report per-cell occupancy and dispersion:
+
+      (cluster_id, n_base, n_delta, mean_dist)
+
+    mean_dist is the mean centroid distance over all resident rows — the
+    drift meter an operator watches to decide when re-clustering pays.
+    Engine-stable arithmetic: per-row distances use the expression L2 fold
+    against the centroid literal (same fold the kNN oracles hash-match),
+    rounded then accumulated in DECIMAL, one final 6-dp round — so the
+    report value-oracles exactly.
+
+    Both inputs must already carry ``cluster_id`` (``index.assign``); pass
+    the base and delta separately so their counts stay distinguishable."""
+    cents = F.lit([c.tolist() for c in index.centroids]).cast("array<array<double>>")
+    union = base_assigned.select(
+        CLUSTER_COL, vec_col, F.lit(1).alias("_is_base")
+    ).unionByName(delta_assigned.select(
+        CLUSTER_COL, vec_col, F.lit(0).alias("_is_base")))
+    dist = dist_fns.l2_dist(
+        F.col(vec_col), F.element_at(cents, F.col(CLUSTER_COL) + 1))
+    scored = union.withColumn(
+        "_d", F.round(dist, round_to + 3).cast("decimal(28,10)"))
+    return (
+        scored.groupBy(CLUSTER_COL)
+        .agg(
+            F.sum("_is_base").cast("bigint").alias("n_base"),
+            F.sum(F.lit(1) - F.col("_is_base")).cast("bigint").alias("n_delta"),
+            # exact DECIMAL sum → double once, then one double division and
+            # round: decimal-division scale rules differ across engines,
+            # double arithmetic on identical inputs does not
+            F.round(F.sum("_d").cast("double") / F.count("*").cast("double"),
+                    round_to).alias("mean_dist"),
+        )
+    )

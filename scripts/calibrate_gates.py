@@ -90,6 +90,25 @@ def ann_recalls(spark, sf):
     rowp = mx.recall_per_query(approxp, exact).agg(
         F.avg("recall").alias("mean"), F.min("recall").alias("min")).first()
     print(f"PQ recall mean={rowp['mean']:.4f} min={rowp['min']:.4f}")
+    from bigvectorbench_spark.operators.bq import BQIndex
+
+    bq = BQIndex.fit(t, sort_col="id")
+    approxb = bq.search(bq.encode(t, keep=["id"]), q, k=10, refine_train=t,
+                        overfetch=4).groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    rowb = mx.recall_per_query(approxb, exact).agg(
+        F.avg("recall").alias("mean"), F.min("recall").alias("min")).first()
+    print(f"BQ recall mean={rowb['mean']:.4f} min={rowb['min']:.4f}")
+    from bigvectorbench_spark.operators.opq import OPQIndex
+
+    opq = OPQIndex.fit(t, m=8, ksub=16, iters=3, seed=1, max_iter=8,
+                       sort_col="id")
+    approxo = opq.search(opq.encode(t).select("id", "codes"), q, k=10,
+                         refine_train=t, overfetch=4).groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    rowo = mx.recall_per_query(approxo, exact).agg(
+        F.avg("recall").alias("mean"), F.min("recall").alias("min")).first()
+    print(f"OPQ recall mean={rowo['mean']:.4f} min={rowo['min']:.4f}")
 
 
 def hnsw_recalls(spark, sf):

@@ -215,3 +215,15 @@ def test_kernel_rejects_oversized_query_block(spark):
             idx.search(codes, q, k=3, method="kernel")
     finally:
         bq_mod.MAX_BROADCAST_QUERIES = old
+
+
+def test_encode_kernel_matches_expr(spark):
+    X = make_blobs(80, 70, seed=39)
+    tdf = _vec_df(spark, X)
+    idx = BQIndex.fit(tdf, sort_col="id")
+    a = idx.encode(tdf, keep=["id"], method="expr")
+    b = idx.encode(tdf, keep=["id"], method="kernel")
+    assert sorted((r["id"], list(r["words"])) for r in a.collect()) == \
+        sorted((r["id"], list(r["words"])) for r in b.collect())
+    with pytest.raises(ValueError, match="unknown method"):
+        idx.encode(tdf, method="nope")

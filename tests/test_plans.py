@@ -448,3 +448,55 @@ def test_lsh_dedup_report_never_materializes_pairs(spark):
     # the pair operators join banded-with-banded on a.id < b.id, which
     # prints as an id-to-id '<' comparison; the pairless form has none
     assert " < id#" not in plan
+
+
+def test_bq_search_plan_shape(pq, queries):
+    """BQ candidate stage: codes scan + broadcast query block, partial
+    top-n in the kernel; refine is broadcast pair joins — never a
+    sort-merge join or cartesian over the corpus."""
+    from bigvectorbench_spark.operators.bq import BQIndex
+
+    idx = BQIndex.fit(pq, sort_col="id")
+    codes = idx.encode(pq, keep=["id"])
+    plan = plan_of(idx.search(codes, queries, k=5, refine_train=pq,
+                              method="kernel"))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan          # refine pair join
+    assert "WindowGroupLimit" in plan           # rank filter before shuffle
+
+
+def test_bq_prefilter_pushed_to_scan(pq, queries):
+    """pre_filter reaches the parquet scan of the codes table."""
+    from bigvectorbench_spark.operators.bq import BQIndex
+
+    idx = BQIndex.fit(pq, sort_col="id")
+    codes_path_df = idx.encode(pq, keep=["id", "label"])
+    plan = plan_of(idx.search(codes_path_df, queries, k=5,
+                              pre_filter="label = 3", method="expr"))
+    # the parquet source is below the encode projection, so the predicate
+    # must reach the scan as a pushed filter
+    assert "PushedFilters: [" in plan and "EqualTo(label,3)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_opq_search_plan_shape(pq, queries):
+    """OPQ = rotation kernel + PQ ADC + original-space refine: broadcast
+    pair joins only, rank limits applied before the window shuffle."""
+    from bigvectorbench_spark.operators.opq import OPQIndex
+
+    idx = OPQIndex.fit(pq, m=2, ksub=8, iters=1, sort_col="id")
+    enc = idx.encode(pq).select("id", "codes")
+    plan = plan_of(idx.search(enc, queries, k=5, refine_train=pq, overfetch=2))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_ivf_delta_assign_is_map_only(pq):
+    """Incremental maintenance contract: assigning a delta batch to the
+    existing centroids adds NO exchange — the new data never reshuffles
+    the base and the fit never reruns."""
+    from bigvectorbench_spark.operators.similarity import IVFIndex
+
+    idx = IVFIndex.fit(pq, nlist=4, seed=1, max_iter=4, sort_col="id")
+    plan = plan_of(idx.assign(pq.filter("id % 10 = 0")))
+    assert "Exchange" not in plan

@@ -149,3 +149,30 @@ def test_srp_signature_colinear(spark):
     df = spark.createDataFrame([([1.0, 2.0, 3.0, 4.0],), ([2.0, 4.0, 6.0, 8.0],)], "v array<float>")
     sigs = [r["s"] for r in df.select(sim.srp_signature(F.col("v"), planes).alias("s")).collect()]
     assert sigs[0] == sigs[1]  # colinear vectors share all sign bits
+
+
+def test_ivf_delta_report_accounting(spark):
+    """Incremental maintenance: delta rows are assigned to EXISTING
+    centroids (no refit — index identity pinned), and the per-cell report
+    conserves both populations and matches a numpy recomputation."""
+    import pyspark.sql.functions as F
+
+    X = make_blobs(600, 16, seed=41)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(600)],
+        "id bigint, vec array<float>")
+    base, delta = df.filter("id < 500"), df.filter("id >= 500")
+    idx = sim.IVFIndex.fit(base, nlist=4, seed=1, max_iter=8, sort_col="id")
+    rep = sim.ivf_delta_report(idx, idx.assign(base), idx.assign(delta))
+    rows = {r["cluster_id"]: r for r in rep.collect()}
+    assert sum(r["n_base"] for r in rows.values()) == 500
+    assert sum(r["n_delta"] for r in rows.values()) == 100
+    # numpy recomputation of the same accounting
+    C = idx.centroids
+    d2 = ((X[:, None, :].astype(np.float64) - C[None, :, :]) ** 2).sum(axis=2)
+    cid = d2.argmin(axis=1)
+    for c in rows:
+        mask = cid == c
+        assert rows[c]["n_base"] + rows[c]["n_delta"] == int(mask.sum())
+        want = float(np.round(np.mean(np.round(np.sqrt(d2[mask, c]), 9)), 6))
+        assert abs(rows[c]["mean_dist"] - want) < 2e-6, (c, rows[c]["mean_dist"], want)
