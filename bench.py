@@ -239,7 +239,7 @@ def main() -> None:
     prior_path = os.environ.get("SPARK_GRAFT_BENCH_PRIOR",
                                 os.path.join(os.path.dirname(
                                     os.path.abspath(__file__)),
-                                    "BENCH_sf0.1_r7.json"))
+                                    "BENCH_sf0.1_r7b.json"))
     try:
         with open(prior_path) as f:
             prior = json.load(f).get("queries", {})
