@@ -2194,6 +2194,26 @@ def q_top_terms_per_source(spark, sf):
     return rt.top_terms(_docs_wide(spark, sf), group_col="source", n=10)
 
 
+def q_quality_classifier(spark, sf):
+    """Weak-supervision quality classifier (the CCNet/fastText pattern):
+    quality_score ≥ 0.8 (the corpus_curation gate) labels the doc_id%3!=0
+    training slice, a deterministic full-batch logistic fit runs on the
+    driver over EXACT-INTEGER hashed_embedding features, and the fitted
+    literal weights score every document with one Column dot fold + one
+    sigmoid (6-dp round).  Fully value-oracled: oracle generation derives
+    the identical feature/label matrix from the parquet via DuckDB (the
+    hashed_embed/quality SQL twins), runs the SAME numpy fit
+    (fit_logistic_numpy, shared code), and embeds the resulting weights
+    into the scoring SQL — weights, probabilities and decisions all
+    hash-match."""
+    from bigvectorbench_spark.operators.classifier import QualityClassifier
+
+    docs = _docs_wide(spark, sf)
+    clf = QualityClassifier.fit(docs, dim=64, quality_threshold=0.8,
+                                train_filter="_id % 3 != 0")
+    return clf.score(docs)
+
+
 def q_retrieval_eval(spark, sf):
     """Ranked-list quality of the BM25 run — recall@10 / MRR@10 / nDCG@10
     per query against deterministic lexical-overlap qrels (rel = number of
@@ -2349,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_delta_knn": q_ivf_delta_knn,
         "ivf_delta_report": q_ivf_delta_report,
         "retrieval_eval": q_retrieval_eval,
+        "quality_classifier": q_quality_classifier,
         "sketch_bounds": q_sketch_bounds,
         "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
         "recall_summary": q_recall_summary,
@@ -2931,6 +2952,74 @@ FROM j GROUP BY source ORDER BY source
 """}
 
 
+def _classifier_oracle() -> dict[str, str]:
+    """Full value oracle for the weak-supervision quality classifier: the
+    feature/label matrix is re-derived from the parquet via DuckDB (the
+    hashed_embedding and quality_score SQL twins — exact integers and the
+    unrounded 0.8 comparison), the SAME numpy fit runs on it
+    (classifier.fit_logistic_numpy, shared code), and the resulting
+    weights embed into the scoring SQL as literals."""
+    import os
+
+    path = f"{_ORACLE_SF_DIR}/documents.parquet"
+    if not os.path.exists(path):
+        return {}
+    import duckdb
+    import numpy as np
+
+    from bigvectorbench_spark.operators.classifier import fit_logistic_numpy
+
+    feats = f"""
+WITH tk AS (SELECT doc_id, text, {_TOKENS} AS tk
+            FROM read_parquet('{path}')),
+th AS (SELECT doc_id, text, tk, {_TH} AS th FROM tk),
+v AS (SELECT doc_id, text, tk, list_transform(range(0, 64), j ->
+   coalesce(list_sum(list_transform(th, h -> CASE WHEN h % 64 = j
+      THEN CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END
+      ELSE 0 END)), 0)) AS v FROM th),
+q AS (SELECT doc_id, v,
+             len(tk)::DOUBLE AS ntok,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(tk, w -> length(w)))::DOUBLE / len(tk) END AS awl,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE len(list_filter(tk, w -> list_contains(
+                       ['the','and','of','to','is','a','in','that'], w)))::DOUBLE / len(tk) END AS swr,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text) END AS pr,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text) END AS dr
+      FROM v)
+SELECT doc_id, v,
+       CASE WHEN 0.3 * least(ntok / 64.0, 1.0)
+           + 0.2 * (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.3 END)
+           + 0.2 * least(swr * 4.0, 1.0)
+           + 0.3 * greatest(1.0 - (pr + dr) * 2.0, 0.0) >= 0.8
+       THEN 1 ELSE 0 END AS y
+FROM q WHERE doc_id % 3 != 0 ORDER BY doc_id
+"""
+    rows = duckdb.connect().execute(feats).fetchall()
+    X = np.array([r[1] for r in rows], dtype=np.int64)
+    y = np.array([r[2] for r in rows], dtype=np.int64)
+    w, b = fit_logistic_numpy(X, y)
+    w_lit = "[" + ", ".join(repr(float(x)) for x in w) + "]"
+    score_sql = f"""
+WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+th AS (SELECT doc_id, {_TH} AS th FROM tk),
+v AS (SELECT doc_id, list_transform(range(0, 64), j ->
+   coalesce(list_sum(list_transform(th, h -> CASE WHEN h % 64 = j
+      THEN CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END
+      ELSE 0 END)), 0)) AS v FROM th),
+z AS (SELECT doc_id,
+             {b!r} + list_sum(list_transform(list_zip(v, {w_lit}),
+                 p -> p[1] * p[2])) AS z FROM v),
+p AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality_prob FROM z)
+SELECT doc_id, quality_prob,
+       CASE WHEN quality_prob >= 0.5 THEN 1 ELSE 0 END AS predicted
+FROM p
+"""
+    return {"quality_classifier": score_sql}
+
+
 def oracle_sql() -> dict[str, str]:
     l2 = _L2.format(a="t.v", b="q.v")
     p = dd._MERSENNE
@@ -2940,7 +3029,7 @@ def oracle_sql() -> dict[str, str]:
         "[" + ", ".join(repr(float(x)) for x in row) + "]"
         for row in projection_matrix(64, 16, seed=1)
     ) + "]"
-    return _ann_oracles() | _bpe_oracle() | {
+    return _ann_oracles() | _bpe_oracle() | _classifier_oracle() | {
         "ivf_recall": _RECALL_GATE_SQL,
         "filter_ivf_recall": _RECALL_GATE_SQL,
         "pq_recall": _RECALL_GATE_SQL,

@@ -100,6 +100,7 @@ HEADLINE = [
     "hashed_embed_knn",
     "bm25_topk",
     "retrieval_eval",
+    "quality_classifier",
     "top_terms_per_source",
     "token_stats",
     "quality_scores",
