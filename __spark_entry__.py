@@ -2194,6 +2194,57 @@ def q_top_terms_per_source(spark, sf):
     return rt.top_terms(_docs_wide(spark, sf), group_col="source", n=10)
 
 
+def q_hybrid_rrf_topk(spark, sf):
+    """Hybrid search: the SAME query documents retrieve through BOTH
+    modalities — BM25 over their 3 alphabetically-first terms AND cosine
+    over their derived hashed embedding — and Reciprocal Rank Fusion
+    merges the two top-20 lists into one top-10 (Milvus's RRFRanker
+    beside the reference's WeightedRanker, milvus/module.py:422-458; RRF
+    fuses ranks, so BM25's unbounded scores and cosine distances need no
+    calibration).  Value-oracled end to end: both constituent pipelines
+    are the hash-matched bm25_topk / hashed_embed_knn twins, and the
+    fusion arithmetic (1/(60+rank) rounded 9 dp, DECIMAL sum, 6-dp fused
+    score, (score desc, id) rank) is engine-exact."""
+    from bigvectorbench_spark.functions import embed as em
+
+    docs = _docs_wide(spark, sf)
+    queries_lex = load_table(spark, sf, "documents").filter(
+        "doc_id % 250 = 0").select(
+        F.col("doc_id").alias("qid"),
+        F.slice(F.array_sort(F.array_distinct(tx.tokens(F.col("text")))), 1, 3)
+        .alias("terms"))
+    lex = rt.bm25_topk(docs, queries_lex, k=20).select("qid", "doc_id", "rank")
+
+    base = (docs
+            .select("doc_id", tx.tokens(F.col("text")).alias("tk"))
+            .select("doc_id", em.token_hashes(F.col("tk")).alias("th"))
+            .select("doc_id", em.hashed_embedding(F.col("th")).alias("v"))
+            .withColumn("nsq", F.aggregate("v", F.lit(0).cast("bigint"),
+                                           lambda a, x: a + x * x))
+            .filter(F.col("nsq") > 0))
+    qv = (base.filter(F.pmod(F.col("doc_id"), F.lit(250)) == 0)
+          .select(F.col("doc_id").alias("qid"), F.col("v").alias("qv"),
+                  F.col("nsq").alias("qn")))
+    tv = base.select(F.col("doc_id").alias("id"), F.col("v").alias("tv"),
+                     F.col("nsq").alias("tn"))
+    dot = F.aggregate(F.zip_with("qv", "tv", lambda a, b: a * b),
+                      F.lit(0).cast("bigint"), lambda a, x: a + x)
+    joined = tv.crossJoin(F.broadcast(qv)).select(
+        "qid", "id",
+        (F.lit(1.0) - dot.cast("double")
+         / (F.sqrt(F.col("qn").cast("double"))
+            * F.sqrt(F.col("tn").cast("double")))).alias("d"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.col("d"), F.col("id"))
+    vec = (joined.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 20)
+           .select("qid", F.col("id").alias("doc_id"), "rank"))
+
+    fused = rt.rrf_fuse([lex, vec], k=10, k0=60)
+    return fused.select("qid", "doc_id", "score",
+                        F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_quality_classifier(spark, sf):
     """Weak-supervision quality classifier (the CCNet/fastText pattern):
     quality_score ≥ 0.8 (the corpus_curation gate) labels the doc_id%3!=0
@@ -2370,6 +2421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_delta_report": q_ivf_delta_report,
         "retrieval_eval": q_retrieval_eval,
         "quality_classifier": q_quality_classifier,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "sketch_bounds": q_sketch_bounds,
         "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
         "recall_summary": q_recall_summary,
@@ -3707,6 +3759,59 @@ r AS (SELECT qid, doc_id, score,
              row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
       FROM agg)
 SELECT qid, doc_id, score, rank FROM r WHERE rank <= 10
+""",
+        # hybrid_rrf_topk: BOTH constituent pipelines re-derived (the bm25
+        # CTEs at %250/top-20 and the hashed-embed cosine CTEs at top-20),
+        # then the RRF tail with the identical rounding ladder.
+        "hybrid_rrf_topk": f"""
+WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+d AS (SELECT doc_id, tk, len(tk) AS dl FROM tk),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM d),
+q AS (SELECT doc_id AS qid, list_sort(list_distinct(tk))[1:3] AS terms FROM tk
+      WHERE doc_id % 250 = 0),
+qt AS (SELECT DISTINCT qid, unnest(terms) AS term FROM q),
+post AS (SELECT doc_id, dl, unnest(tk) AS term FROM d),
+tfs AS (SELECT term, doc_id, dl, count(*) AS tf FROM post GROUP BY term, doc_id, dl),
+hits AS (SELECT t.* FROM tfs t WHERE term IN (SELECT term FROM qt)),
+dfr AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+sc AS (SELECT qt.qid, h.doc_id,
+              round(ln(1.0 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5)) *
+                    (h.tf::DOUBLE * (1.2 + 1.0)) /
+                    (h.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * h.dl::DOUBLE / s.avgdl)),
+                    9)::DECIMAL(28,10) AS term_score
+       FROM hits h JOIN qt ON h.term = qt.term
+       JOIN dfr ON h.term = dfr.term CROSS JOIN stats s),
+agg AS (SELECT qid, doc_id, CAST(round(sum(term_score), 6) AS DOUBLE) AS score
+        FROM sc GROUP BY qid, doc_id),
+lexr AS (SELECT qid, doc_id,
+                row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         FROM agg QUALIFY rank <= 20),
+vth AS (SELECT doc_id, {_TH} AS th FROM tk),
+vv AS (SELECT doc_id, list_transform(range(0, 64), j ->
+   coalesce(list_sum(list_transform(th, h -> CASE WHEN h % 64 = j
+      THEN CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END
+      ELSE 0 END)), 0)) AS v FROM vth),
+vn AS (SELECT doc_id, v, list_sum(list_transform(v, x -> x * x)) AS nsq FROM vv),
+vbase AS (SELECT doc_id, v, nsq FROM vn WHERE nsq > 0),
+vq AS (SELECT doc_id AS qid, v AS qv, nsq AS qn FROM vbase WHERE doc_id % 250 = 0),
+vs AS (SELECT vq.qid, b.doc_id,
+   1.0 - list_sum(list_transform(list_zip(vq.qv, b.v), p -> p[1] * p[2]))::DOUBLE
+       / (sqrt(vq.qn::DOUBLE) * sqrt(b.nsq::DOUBLE)) AS dd
+   FROM vbase b, vq),
+vecr AS (SELECT qid, doc_id,
+                row_number() OVER (PARTITION BY qid ORDER BY dd, doc_id) AS rank
+         FROM vs QUALIFY rank <= 20),
+u AS (SELECT qid, doc_id,
+             round(1.0 / (60.0 + rank), 9)::DECIMAL(28,10) AS t FROM lexr
+      UNION ALL
+      SELECT qid, doc_id,
+             round(1.0 / (60.0 + rank), 9)::DECIMAL(28,10) AS t FROM vecr),
+f AS (SELECT qid, doc_id, CAST(round(sum(t), 6) AS DOUBLE) AS score
+      FROM u GROUP BY qid, doc_id),
+rr AS (SELECT qid, doc_id, score,
+              row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       FROM f)
+SELECT qid, doc_id, score, rank FROM rr WHERE rank <= 10
 """,
         # retrieval_eval: the full bm25 pipeline re-derived, then qrels
         # (distinct-term overlap counts on the same semi-joined postings)

@@ -101,6 +101,7 @@ HEADLINE = [
     "bm25_topk",
     "retrieval_eval",
     "quality_classifier",
+    "hybrid_rrf_topk",
     "top_terms_per_source",
     "token_stats",
     "quality_scores",

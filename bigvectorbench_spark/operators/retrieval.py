@@ -290,3 +290,54 @@ def term_overlap_qrels(
         .groupBy("qid", "doc_id")
         .agg(F.count("*").cast("int").alias("rel"))
     )
+
+
+def rrf_fuse(
+    runs: "list[DataFrame]",
+    *,
+    k: int = 10,
+    k0: int = 60,
+    weights: "list[float] | None" = None,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher 2009) across
+    heterogeneous retrieval runs — the hybrid-search primitive production
+    vector stores ship beside the WeightedRanker (Milvus's RRFRanker;
+    the reference reaches fusion through milvus/module.py:422-458):
+    score(d) = Σ_runs w_i / (k0 + rank_i(d)), documents missing from a run
+    contribute nothing, final ranking by (score desc, id).
+
+    RRF fuses RANKS, not scores, so BM25's unbounded scores and cosine's
+    [0,2] distances need no calibration — the reason it is the default
+    hybrid everywhere.  Engine-stable: each contribution w/(k0+rank) is
+    one double division of exact integers (identical IEEE on any engine),
+    rounded to 9 dp and summed in DECIMAL (order-free), with the fused
+    score rounded to 6 dp before ranking — the bm25_topk discipline.
+
+    Scale: inputs are already k-bounded per query; the fuse is one
+    groupBy over O(Σ runs · q · k) rows — nothing touches the corpus."""
+    if not runs:
+        raise ValueError("rrf_fuse needs at least one run")
+    w = [1.0] * len(runs) if weights is None else [float(x) for x in weights]
+    if len(w) != len(runs):
+        raise ValueError(f"{len(w)} weights for {len(runs)} runs")
+    parts = []
+    for i, run in enumerate(runs):
+        parts.append(run.select(
+            F.col(qid_col).alias("qid"),
+            F.col(id_col).alias("doc_id"),
+            F.round(F.lit(w[i]) /
+                    (F.lit(float(k0)) + F.col(rank_col).cast("double")), 9)
+            .cast("decimal(28,10)").alias("_term"),
+        ))
+    allruns = parts[0]
+    for p in parts[1:]:
+        allruns = allruns.unionByName(p)
+    fused = allruns.groupBy("qid", "doc_id").agg(
+        F.round(F.sum("_term"), 6).cast("double").alias("score"))
+    win = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id"))
+    return (fused.withColumn("rank", F.row_number().over(win).cast("bigint"))
+            .filter(F.col("rank") <= k))

@@ -189,3 +189,37 @@ def test_term_overlap_qrels_counts_distinct_terms(spark, docs):
         if g:
             want[(100, d)] = g
     assert got == want
+
+
+def test_rrf_fuse_matches_python(spark):
+    import math
+    from decimal import Decimal
+
+    run_a = [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1)]
+    run_b = [(1, 11, 1), (1, 13, 2), (2, 21, 1), (2, 20, 2)]
+    A = spark.createDataFrame(run_a, "qid bigint, doc_id bigint, rank bigint")
+    B = spark.createDataFrame(run_b, "qid bigint, doc_id bigint, rank bigint")
+    got = {(r["qid"], r["doc_id"]): (r["score"], r["rank"])
+           for r in rt.rrf_fuse([A, B], k=5, k0=60, weights=[1.0, 0.5]).collect()}
+    scores = {}
+    for rows, w in [(run_a, 1.0), (run_b, 0.5)]:
+        for q, d, r in rows:
+            scores[(q, d)] = scores.get((q, d), Decimal(0)) + \
+                Decimal(str(round(w / (60.0 + r), 9)))
+    want_rank = {}
+    for q in (1, 2):
+        docs = sorted(((d, float(round(s, 6))) for (qq, d), s in scores.items()
+                       if qq == q), key=lambda t: (-t[1], t[0]))
+        for i, (d, s) in enumerate(docs, 1):
+            want_rank[(q, d)] = (s, i)
+    assert got == want_rank
+    # doc 11 in both runs outranks doc 10 (rank 1 in one run only)
+    assert got[(1, 11)][1] == 1
+
+
+def test_rrf_fuse_validations(spark):
+    A = spark.createDataFrame([(1, 10, 1)], "qid bigint, doc_id bigint, rank bigint")
+    with pytest.raises(ValueError, match="at least one run"):
+        rt.rrf_fuse([])
+    with pytest.raises(ValueError, match="weights for"):
+        rt.rrf_fuse([A, A], weights=[1.0])
