@@ -349,6 +349,28 @@ def q_filter_knn_range(spark, sf):
     return res.select("qid", "id", _r(F.col("dist")).alias("dist"), F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_filter_knn_2label(spark, sf):
+    """The reference's TWO-filter configuration (its ``-2filter`` datasets,
+    create_artificial_datasets.py:151-285 / README.md:164-186 carry two
+    label columns per row and AND the per-query predicates): a second
+    deterministic label (vec_id mod 7) joins the stored one, and each
+    query constrains BOTH — an equality on label₁ AND a range on label₂ —
+    through the same single-broadcast-join plan as the 1-filter queries
+    (the conjunction rides in the join condition; no second join, no
+    second scan)."""
+    lbl2 = F.pmod(F.col("id"), F.lit(7)).cast("int")
+    qlbl2 = F.pmod(F.col("qid"), F.lit(7)).cast("int")
+    t = _train(spark, sf).withColumn("label2", lbl2)
+    q = (_queries_mod(spark, sf)
+         .withColumn("lo2", qlbl2 - 1).withColumn("hi2", qlbl2 + 1))
+    res = filtered_knn(
+        t, q, k=10,
+        filter_template="label == {label} and label2 >= {lo2} and label2 <= {hi2}",
+        query_param_cols=["label", "lo2", "hi2"])
+    return res.select("qid", "id", _r(F.col("dist")).alias("dist"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_postfilter_knn(spark, sf):
     """G5 post-filter plan (over-fetch then label check) — approximate vs
     true filtered kNN, but deterministic under the overfetch + tie rules,
@@ -2422,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": q_retrieval_eval,
         "quality_classifier": q_quality_classifier,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "filter_knn_2label": q_filter_knn_2label,
         "sketch_bounds": q_sketch_bounds,
         "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
         "recall_summary": q_recall_summary,
@@ -3143,6 +3166,12 @@ SELECT qid, id, dist, rank FROM r WHERE rank <= 5
         "filter_knn_range": _knn_oracle(
             where_q="vec_id % 50 = 0", dist=l2, join="JOIN",
             cond="ON t.label >= q.label - 2 AND t.label <= q.label + 2"),
+        # two-filter conjunction: equality on label AND range on the
+        # derived second label (id mod 7), both inside the one join
+        "filter_knn_2label": _knn_oracle(
+            where_q="vec_id % 50 = 0", dist=l2, join="JOIN",
+            cond=("ON t.label = q.label AND t.id % 7 >= q.qid % 7 - 1 "
+                  "AND t.id % 7 <= q.qid % 7 + 1")),
         "mv_knn": f"""
 WITH e AS (SELECT vec_id // 4 AS eid, vec_id % 4 AS vi, embedding::DOUBLE[] AS v FROM embeddings),
 ent AS (SELECT eid, array_agg(v ORDER BY vi) AS vs FROM e GROUP BY eid),

@@ -35,6 +35,7 @@ HEADLINE = [
     "knn_jaccard",
     "filter_knn_eq",
     "filter_knn_range",
+    "filter_knn_2label",
     "postfilter_knn",
     "filter_ivf_knn",
     "filter_ivf_recall",
