@@ -2267,6 +2267,49 @@ def q_hybrid_rrf_topk(spark, sf):
                         F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_mmr_rerank(spark, sf):
+    """Diversity-aware re-ranking (Carbonell & Goldstein's Maximal
+    Marginal Relevance — the standard RAG diversity stage): the
+    hashed-embed cosine top-30 per query is re-ranked greedily by
+    λ·relevance − (1−λ)·max-similarity-to-selected (λ=0.5), so the final
+    10 cover the query's neighborhood facets instead of repeating the top
+    hit.  Deterministic end to end: relevance = round(1 − cosine, 6) from
+    the hash-matched hashed-embed pipeline, pairwise cosines over EXACT
+    INTEGER vectors rounded to 6 dp, ascending-id tie-break.  The oracle
+    re-derives candidates+vectors in DuckDB and runs the SAME numpy greedy
+    (mmr_select_numpy, shared code), embedding the selections — the
+    ivf_knn independent-recomputation pattern."""
+    from bigvectorbench_spark.functions import embed as em
+
+    base = (_docs_wide(spark, sf)
+            .select("doc_id", tx.tokens(F.col("text")).alias("tk"))
+            .select("doc_id", em.token_hashes(F.col("tk")).alias("th"))
+            .select("doc_id", em.hashed_embedding(F.col("th")).alias("v"))
+            .withColumn("nsq", F.aggregate("v", F.lit(0).cast("bigint"),
+                                           lambda a, x: a + x * x))
+            .filter(F.col("nsq") > 0))
+    qv = (base.filter(F.pmod(F.col("doc_id"), F.lit(250)) == 0)
+          .select(F.col("doc_id").alias("qid"), F.col("v").alias("qv"),
+                  F.col("nsq").alias("qn")))
+    tv = base.select(F.col("doc_id").alias("id"), F.col("v").alias("tv"),
+                     F.col("nsq").alias("tn"))
+    dot = F.aggregate(F.zip_with("qv", "tv", lambda a, b: a * b),
+                      F.lit(0).cast("bigint"), lambda a, x: a + x)
+    joined = tv.crossJoin(F.broadcast(qv)).select(
+        "qid", "id", "tv",
+        (F.lit(1.0) - dot.cast("double")
+         / (F.sqrt(F.col("qn").cast("double"))
+            * F.sqrt(F.col("tn").cast("double")))).alias("d"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.col("d"), F.col("id"))
+    cand = (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 30)
+            .select("qid", F.col("id").alias("doc_id"),
+                    F.round(F.lit(1.0) - F.col("d"), 6).alias("rel"),
+                    F.col("tv").alias("vec")))
+    return rt.mmr_rerank(cand, k=10, lamb=0.5)
+
+
 def q_quality_classifier(spark, sf):
     """Weak-supervision quality classifier (the CCNet/fastText pattern):
     quality_score ≥ 0.8 (the corpus_curation gate) labels the doc_id%3!=0
@@ -2445,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "filter_knn_2label": q_filter_knn_2label,
+        "mmr_rerank": q_mmr_rerank,
         "sketch_bounds": q_sketch_bounds,
         "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
         "recall_summary": q_recall_summary,
@@ -3095,6 +3139,59 @@ FROM p
     return {"quality_classifier": score_sql}
 
 
+def _mmr_oracle() -> dict[str, str]:
+    """Independent recomputation of q_mmr_rerank: DuckDB derives the
+    hashed-embed top-30 candidates (rounded relevance + integer vectors),
+    the SAME numpy greedy (retrieval.mmr_select_numpy) runs on them, and
+    the selections embed as literals — the ivf_knn candidate-embedding
+    pattern."""
+    import os
+
+    path = f"{_ORACLE_SF_DIR}/documents.parquet"
+    if not os.path.exists(path):
+        return {}
+    import duckdb
+
+    from bigvectorbench_spark.operators.retrieval import mmr_select_numpy
+
+    cand_sql = f"""
+WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM read_parquet('{path}')),
+th AS (SELECT doc_id, {_TH} AS th FROM tk),
+v AS (SELECT doc_id, list_transform(range(0, 64), j ->
+   coalesce(list_sum(list_transform(th, h -> CASE WHEN h % 64 = j
+      THEN CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END
+      ELSE 0 END)), 0)) AS v FROM th),
+n AS (SELECT doc_id, v, list_sum(list_transform(v, x -> x * x)) AS nsq FROM v),
+base AS (SELECT doc_id, v, nsq FROM n WHERE nsq > 0),
+q AS (SELECT doc_id AS qid, v AS qv, nsq AS qn FROM base WHERE doc_id % 250 = 0),
+s AS (SELECT q.qid, b.doc_id, b.v,
+   1.0 - list_sum(list_transform(list_zip(q.qv, b.v), p -> p[1] * p[2]))::DOUBLE
+       / (sqrt(q.qn::DOUBLE) * sqrt(b.nsq::DOUBLE)) AS d
+   FROM base b, q),
+r AS (SELECT qid, doc_id, v, round(1.0 - d, 6) AS rel,
+             row_number() OVER (PARTITION BY qid ORDER BY d, doc_id) AS rank
+      FROM s)
+SELECT qid, doc_id, rel, v FROM r WHERE rank <= 30 ORDER BY qid, doc_id
+"""
+    rows = duckdb.connect().execute(cand_sql).fetchall()
+    by_q: dict[int, list] = {}
+    for qid, doc_id, rel, v in rows:
+        by_q.setdefault(int(qid), []).append((int(doc_id), float(rel), v))
+    vals = []
+    for qid in sorted(by_q):
+        ids = [t[0] for t in by_q[qid]]
+        rel = [t[1] for t in by_q[qid]]
+        V = [t[2] for t in by_q[qid]]
+        chosen, objs = mmr_select_numpy(ids, rel, V, k=10, lamb=0.5)
+        for rnk, (d, o) in enumerate(zip(chosen, objs), 1):
+            vals.append(f"({qid},{d},{o!r},{rnk})")
+    sql = f"""
+WITH m(qid, doc_id, objective, rank) AS (VALUES {", ".join(vals)})
+SELECT qid, doc_id, objective, rank FROM m
+"""
+    return {"mmr_rerank": sql}
+
+
 def oracle_sql() -> dict[str, str]:
     l2 = _L2.format(a="t.v", b="q.v")
     p = dd._MERSENNE
@@ -3104,7 +3201,7 @@ def oracle_sql() -> dict[str, str]:
         "[" + ", ".join(repr(float(x)) for x in row) + "]"
         for row in projection_matrix(64, 16, seed=1)
     ) + "]"
-    return _ann_oracles() | _bpe_oracle() | _classifier_oracle() | {
+    return _ann_oracles() | _bpe_oracle() | _classifier_oracle() | _mmr_oracle() | {
         "ivf_recall": _RECALL_GATE_SQL,
         "filter_ivf_recall": _RECALL_GATE_SQL,
         "pq_recall": _RECALL_GATE_SQL,

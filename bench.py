@@ -103,6 +103,7 @@ HEADLINE = [
     "retrieval_eval",
     "quality_classifier",
     "hybrid_rrf_topk",
+    "mmr_rerank",
     "top_terms_per_source",
     "token_stats",
     "quality_scores",

@@ -341,3 +341,89 @@ def rrf_fuse(
         F.col("score").desc(), F.col("doc_id"))
     return (fused.withColumn("rank", F.row_number().over(win).cast("bigint"))
             .filter(F.col("rank") <= k))
+
+
+def mmr_select_numpy(ids, rel, V, *, k: int, lamb: float = 0.5):
+    """The deterministic MMR greedy (Carbonell & Goldstein 1998), shared
+    verbatim by ``mmr_rerank``'s Arrow kernel and the oracle generator:
+    repeatedly pick argmax λ·rel(d) − (1−λ)·max_sim(d, selected), ties by
+    ascending id.  ``rel`` must be PRE-ROUNDED scores and ``V`` integer
+    (or otherwise engine-exact) vectors — pairwise cosines are rounded to
+    6 dp inside, so identical inputs give identical selections on any
+    host.  Returns (selected_ids, objectives) in pick order."""
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    rel = np.asarray(rel, dtype=np.float64)
+    V = np.asarray(V, dtype=np.float64)
+    n = len(ids)
+    nrm = np.sqrt((V * V).sum(axis=1))
+    nrm[nrm == 0] = 1.0
+    U = V / nrm[:, None]
+    S = np.round(U @ U.T, 6)
+    chosen: list[int] = []
+    objs: list[float] = []
+    picked = np.zeros(n, dtype=bool)
+    for _ in range(min(k, n)):
+        if chosen:
+            max_sim = S[:, chosen].max(axis=1)
+        else:
+            max_sim = np.zeros(n)
+        obj = lamb * rel - (1.0 - lamb) * max_sim
+        obj[picked] = -np.inf
+        # argmax with ascending-id tie-break: order candidates by
+        # (-obj, id) and take the head
+        best = int(np.lexsort((ids, -obj))[0])
+        picked[best] = True
+        chosen.append(best)
+        objs.append(round(float(obj[best]), 6))
+    return [int(ids[i]) for i in chosen], objs
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    *,
+    k: int = 10,
+    lamb: float = 0.5,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking of an over-fetched candidate
+    list: trade relevance against redundancy so the final k cover the
+    query's facets instead of repeating the top hit — the standard
+    diversity stage in RAG retrieval (and the re-rank half of hybrid
+    search).  Input: per-query candidates with a relevance score (higher
+    better, pre-rounded) and a vector for pairwise similarity.  Output
+    (qid, doc_id, objective, rank) in pick order.
+
+    Scale: the greedy is O(n²·k) per QUERY over an already k-bounded
+    candidate list (n ≤ a few dozen) — executed as one applyInPandas
+    group per query; the corpus is never touched."""
+    import pandas as pd
+
+    out_schema = "qid bigint, doc_id bigint, objective double, rank bigint"
+
+    def _one(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"qid": [], "doc_id": [], "objective": [], "rank": []})
+        pdf = pdf.sort_values("_id", kind="mergesort")
+        ids, objs = mmr_select_numpy(
+            pdf["_id"].to_numpy(), pdf["_rel"].to_numpy(),
+            list(pdf["_vec"]), k=k, lamb=lamb)
+        return pd.DataFrame({
+            "qid": [int(pdf["_qid"].iloc[0])] * len(ids),
+            "doc_id": ids,
+            "objective": objs,
+            "rank": list(range(1, len(ids) + 1)),
+        })
+
+    prepped = candidates.select(
+        F.col(qid_col).cast("bigint").alias("_qid"),
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col(rel_col).cast("double").alias("_rel"),
+        F.col(vec_col).alias("_vec"),
+    )
+    return prepped.groupBy("_qid").applyInPandas(_one, schema=out_schema)

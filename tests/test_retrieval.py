@@ -223,3 +223,51 @@ def test_rrf_fuse_validations(spark):
         rt.rrf_fuse([])
     with pytest.raises(ValueError, match="weights for"):
         rt.rrf_fuse([A, A], weights=[1.0])
+
+
+def test_mmr_select_diversifies():
+    """Three near-duplicate high-rel docs + two distinct mid-rel docs:
+    plain top-3 takes the duplicates, MMR at λ=0.5 keeps one duplicate
+    and covers the other directions."""
+    import numpy as np
+
+    ids = [1, 2, 3, 4, 5]
+    V = np.array([[1, 0, 0], [1, 0.01, 0], [1, 0, 0.01],   # same direction
+                  [0, 1, 0], [0, 0, 1]], dtype=float)
+    rel = [0.99, 0.98, 0.97, 0.8, 0.8]
+    chosen, objs = rt.mmr_select_numpy(ids, rel, V, k=3, lamb=0.5)
+    assert chosen[0] == 1                  # best rel first
+    assert set(chosen) == {1, 4, 5}        # then the two NEW directions
+    assert objs[0] > objs[1] >= objs[2]
+
+
+def test_mmr_lambda_one_is_pure_relevance():
+    import numpy as np
+    rng = np.random.RandomState(51)
+    V = rng.randn(8, 4)
+    rel = [0.1, 0.9, 0.5, 0.8, 0.2, 0.7, 0.3, 0.6]
+    chosen, _ = rt.mmr_select_numpy(list(range(8)), rel, V, k=4, lamb=1.0)
+    assert chosen == [1, 3, 5, 7]          # rel order, ids break ties
+
+
+def test_mmr_rerank_matches_numpy(spark):
+    import numpy as np
+    rng = np.random.RandomState(53)
+    rows = []
+    want = {}
+    for q in (10, 20):
+        V = rng.randint(-3, 4, size=(12, 6)).astype(float)
+        rel = np.round(rng.rand(12), 6)
+        ids = list(range(100, 112))
+        for i, d in enumerate(ids):
+            rows.append((q, d, float(rel[i]), [float(x) for x in V[i]]))
+        c, o = rt.mmr_select_numpy(ids, rel, V, k=5, lamb=0.5)
+        want[q] = list(zip(c, o, range(1, 6)))
+    df = spark.createDataFrame(
+        rows, "qid bigint, doc_id bigint, rel double, vec array<double>")
+    got = {}
+    for r in rt.mmr_rerank(df, k=5, lamb=0.5).collect():
+        got.setdefault(r["qid"], []).append(
+            (r["doc_id"], r["objective"], r["rank"]))
+    for q in want:
+        assert sorted(got[q], key=lambda t: t[2]) == want[q]
