@@ -2475,8 +2475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": q_pq_recall,
         # NEW round-7-late declarations (below-window: the 50 slots above
         # are spoken for by the r6-late rotation + the age-2 boundary;
-        # sweep-oracled at sf0.001 AND sf0.01 via scripts/check_oracle.py).
-        # ROUND-8 ROTATION PLAN: these seven take the first slots of the
+        # every one sweep-oracled at BOTH sf0.001 and sf0.01 —
+        # ORACLE_SWEEP_r07.json + ORACLE_SWEEP_r07_sf0.01.json).
+        # ROUND-8 ROTATION PLAN: these eleven take the first slots of the
         # round-8 window, ahead of the age-1 r6-green set.
         "bq_knn": q_bq_knn,
         "bq_recall": q_bq_recall,
