@@ -99,11 +99,20 @@ class QualityClassifier:
         the pipeline already trusts).  ``train_filter`` holds rows out of
         the fit (e.g. ``"doc_id % 3 != 0"``) so generalization is testable
         on the rest."""
-        tk = docs.select(
+        # bound the sample BEFORE featurizing: the limit applies to the
+        # id-sorted (id, text, label) slice, so tokenization and the d-wide
+        # embedding fold run on ≤ max_sample_rows rows — not corpus-wide
+        # under a TakeOrdered that would featurize everything first
+        base = docs.select(
             F.col(id_col).alias("_id"), F.col(text_col).alias("_text"),
-            tx.tokens(F.col(text_col)).alias("_tk"),
             *( [label.alias("_y")] if label is not None else [] ),
         )
+        if train_filter is not None:
+            base = base.filter(
+                F.expr(train_filter) if isinstance(train_filter, str)
+                else train_filter)
+        base = base.orderBy("_id").limit(max_sample_rows)
+        tk = base.withColumn("_tk", tx.tokens(F.col("_text")))
         if label is None:
             tk = tk.withColumn(
                 "_y", (tx.quality_score_from_tokens(F.col("_tk"), F.col("_text"))
@@ -111,11 +120,7 @@ class QualityClassifier:
         th = tk.select("_id", "_y", em.token_hashes(F.col("_tk")).alias("_th"))
         feats = th.select(
             "_id", "_y", em.hashed_embedding(F.col("_th"), dim=dim).alias("_x"))
-        if train_filter is not None:
-            feats = feats.filter(
-                F.expr(train_filter) if isinstance(train_filter, str)
-                else train_filter)
-        rows = feats.orderBy("_id").limit(max_sample_rows).collect()
+        rows = feats.orderBy("_id").collect()
         if not rows:
             raise ValueError("no training rows after train_filter")
         X = np.array([r["_x"] for r in rows], dtype=np.int64)
