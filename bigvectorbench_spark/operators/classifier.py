@@ -111,7 +111,11 @@ class QualityClassifier:
             base = base.filter(
                 F.expr(train_filter) if isinstance(train_filter, str)
                 else train_filter)
-        base = base.orderBy("_id").limit(max_sample_rows)
+        # the id-sorted cut must not SORT the text column (a TakeOrdered
+        # carrying document bodies shuffles the corpus); cut on ids alone
+        # and pull the sample rows back with a broadcast join
+        ids = base.select("_id").orderBy("_id").limit(max_sample_rows)
+        base = base.join(F.broadcast(ids), "_id")
         tk = base.withColumn("_tk", tx.tokens(F.col("_text")))
         if label is None:
             tk = tk.withColumn(
