@@ -243,7 +243,7 @@ def main() -> None:
     prior_path = os.environ.get("SPARK_GRAFT_BENCH_PRIOR",
                                 os.path.join(os.path.dirname(
                                     os.path.abspath(__file__)),
-                                    "BENCH_sf0.1_r7b.json"))
+                                    "BENCH_sf0.1_r7c.json"))
     try:
         with open(prior_path) as f:
             prior = json.load(f).get("queries", {})
