@@ -37,7 +37,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigvectorbench_spark.functions import distance as dist_fns
-from bigvectorbench_spark.operators.knn import pair_dist_below_join, topk_window
+from bigvectorbench_spark.operators.knn import (
+    MAX_BROADCAST_QUERIES, pair_dist_below_join, topk_window)
 
 _PLACEHOLDER = re.compile(r"\{(\w+)\}")
 _EQ_REWRITE = re.compile(r"(?<![=!<>])==")
@@ -223,6 +224,12 @@ def filtered_ivf_knn(
     q_rows = queries.select(
         F.col(qid_col).cast("bigint"), F.col(qvec).cast("array<double>"),
         *query_param_cols).collect()
+    if len(q_rows) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"{len(q_rows)} queries exceed the broadcast envelope "
+            f"({MAX_BROADCAST_QUERIES}); split the query set or use "
+            f"strategy='post'"
+        )
     spark = indexed_train.sparkSession
     if not q_rows:
         return spark.createDataFrame([], "qid bigint, id bigint, dist double, rank int")

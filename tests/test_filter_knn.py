@@ -239,3 +239,18 @@ def test_filtered_ivf_pre_prunes_cells(ivf_fdata):
         for qid, rid in got:
             if qid == qrow["qid"]:
                 assert rows[rid]["label_0"] == qrow["l"]
+
+
+def test_filtered_ivf_pre_refuses_oversized_query_set(ivf_fdata, monkeypatch):
+    """The pre branch collects the query table for probe-list computation —
+    the same driver-side staging knn.py's GEMM path guards with
+    MAX_BROADCAST_QUERIES.  The guard must fire here too (VERDICT r7 #3):
+    an unbounded query table would OOM the driver, and the post branch is
+    the distributed alternative."""
+    idx, indexed, train, test = ivf_fdata
+    q = test.limit(8).withColumn("l", F.col("label_0"))
+    monkeypatch.setattr(fknn, "MAX_BROADCAST_QUERIES", 4)
+    with pytest.raises(ValueError, match="broadcast envelope"):
+        fknn.filtered_ivf_knn(
+            idx, indexed, q, k=3, filter_template="label_0 == {l}",
+            query_param_cols=["l"], strategy="pre")
