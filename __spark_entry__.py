@@ -2310,6 +2310,193 @@ def q_mmr_rerank(spark, sf):
     return rt.mmr_rerank(cand, k=10, lamb=0.5)
 
 
+def _hashed_base_int(spark, sf):
+    """The derived hashed-embedding corpus (EXACT-INTEGER vectors) shared
+    by the hybrid/MMR declarations: (doc_id, v, nsq) with zero-norm rows
+    dropped.  Each stage materializes in its own select (the
+    q_hashed_embed_knn fold-reuse discipline)."""
+    from bigvectorbench_spark.functions import embed as em
+
+    return (_docs_wide(spark, sf)
+            .select("doc_id", tx.tokens(F.col("text")).alias("tk"))
+            .select("doc_id", em.token_hashes(F.col("tk")).alias("th"))
+            .select("doc_id", em.hashed_embedding(F.col("th")).alias("v"))
+            .withColumn("nsq", F.aggregate("v", F.lit(0).cast("bigint"),
+                                           lambda a, x: a + x * x))
+            .filter(F.col("nsq") > 0))
+
+
+def _bq_vec_leg(spark, sf, *, out_k: int, overfetch: int = 8):
+    """The INDEXED vector leg of the scale-path hybrid (VERDICT r7 #2 —
+    the reference's hybrid is per-field ANN subqueries, not brute:
+    milvus/module.py:422-458): BQ hamming pre-rank over the derived
+    hashed embeddings (1-bit/dim codes — 1/64th the scan width of the
+    integer vectors), then an EXACT-INTEGER cosine re-rank of the
+    k·overfetch survivors.  This replaces q_hybrid_rrf_topk's brute
+    crossJoin (O(n·q) per run) with O(n·q/64) candidate scan + O(q·k·
+    overfetch) refine — measured 1.6× under brute at 500k rows and
+    2.9×/decade vs 4.1× (SCALE_RETRIEVAL_r7.json).
+
+    Deterministic end to end: the BQ fit is the id-sorted float64 mean
+    (BQIndex.fit contract), the hamming pre-rank breaks ties by ascending
+    id (pinned kernel==expr==lexsort in test_bq), and the refine is the
+    integer-exact cosine of q_hashed_embed_knn — so the leg takes a FULL
+    value oracle (candidates recomputed at oracle-gen time and re-scored
+    by DuckDB with the same integer folds).
+
+    Returns (qid, id, tv, d, rank) with rank ≤ out_k."""
+    base = _hashed_base_int(spark, sf)
+    fvec = base.select(F.col("doc_id").alias("id"),
+                       F.col("v").cast("array<double>").alias("vec"))
+    bq = BQIndex.fit(fvec, sort_col="id")
+    codes = bq.encode(fvec, keep=["id"])
+    qv_int = base.filter(F.pmod(F.col("doc_id"), F.lit(250)) == 0).select(
+        F.col("doc_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("nsq").alias("qn"))
+    qv = qv_int.select("qid", F.col("qv").cast("array<double>").alias("vec"))
+    cand = bq.search(codes, qv, k=out_k * overfetch).select("qid", "id")
+    tv = base.select(F.col("doc_id").alias("id"), F.col("v").alias("tv"),
+                     F.col("nsq").alias("tn"))
+    dot = F.aggregate(F.zip_with("qv", "tv", lambda a, b: a * b),
+                      F.lit(0).cast("bigint"), lambda a, x: a + x)
+    refined = (F.broadcast(cand).join(tv, "id")
+               .join(F.broadcast(qv_int), "qid")
+               .select("qid", "id", "tv",
+                       (F.lit(1.0) - dot.cast("double")
+                        / (F.sqrt(F.col("qn").cast("double"))
+                           * F.sqrt(F.col("tn").cast("double")))).alias("d")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.col("d"), F.col("id"))
+    return (refined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= out_k))
+
+
+def _lex_leg(spark, sf, k: int = 20):
+    """The shared BM25 lexical leg of the hybrid declarations."""
+    docs = _docs_wide(spark, sf)
+    queries_lex = load_table(spark, sf, "documents").filter(
+        "doc_id % 250 = 0").select(
+        F.col("doc_id").alias("qid"),
+        F.slice(F.array_sort(F.array_distinct(tx.tokens(F.col("text")))), 1, 3)
+        .alias("terms"))
+    return rt.bm25_topk(docs, queries_lex, k=k).select("qid", "doc_id", "rank")
+
+
+def q_hybrid_rrf_scale(spark, sf):
+    """The 100× form of q_hybrid_rrf_topk: the SAME BM25 lexical leg and
+    RRF fusion tail, with the vector candidate leg served by the BQ index
+    instead of the brute corpus-wide crossJoin (VERDICT r7 #2).  Fully
+    value-oracled: the deterministic BQ candidate sets are recomputed at
+    oracle-generation time (id-sorted mean fit + (hamming, id) lexsort —
+    the bq_knn convention) and embedded as literals; DuckDB re-runs the
+    integer-cosine refine, the BM25 CTEs and the RRF rounding ladder on
+    top, so fused scores and ranks hash-match end to end."""
+    lex = _lex_leg(spark, sf, k=20)
+    vec = _bq_vec_leg(spark, sf, out_k=20).select(
+        "qid", F.col("id").alias("doc_id"), "rank")
+    fused = rt.rrf_fuse([lex, vec], k=10, k0=60)
+    return fused.select("qid", "doc_id", "score",
+                        F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_hybrid_rrf_parity(spark, sf):
+    """The gate closing q_hybrid_rrf_scale's approximation loop (the
+    srp_recall pattern): fuse the SAME lexical leg with the brute vector
+    leg and with the BQ-indexed vector leg, and emit per-query top-10
+    overlap thresholds the oracle asserts TRUE.  Measured (scripted
+    calibration, this file's history): mean 0.75 / min 0.6 at sf0.001 AND
+    sf0.01, mean 0.68 / min 0.6 at sf0.1 — the 1-bit/dim pre-rank
+    genuinely reorders the fused tail, the same honest-knob behavior
+    bq_recall documents.  Tight thresholds 0.7/0.5 sit just under the
+    oracle-sf floor so a candidate-stage defect (not only a cratering
+    bug) fails the driver gate; off the oracle sf the gate relaxes to a
+    defect-only floor 0.4/0.1."""
+    mean_thr, min_thr = _gate(sf, tight=(0.7, 0.5), floor=(0.4, 0.1))
+    lex = _lex_leg(spark, sf, k=20)
+
+    base = _hashed_base_int(spark, sf)
+    qv = (base.filter(F.pmod(F.col("doc_id"), F.lit(250)) == 0)
+          .select(F.col("doc_id").alias("qid"), F.col("v").alias("qv"),
+                  F.col("nsq").alias("qn")))
+    tv = base.select(F.col("doc_id").alias("id"), F.col("v").alias("tv"),
+                     F.col("nsq").alias("tn"))
+    dot = F.aggregate(F.zip_with("qv", "tv", lambda a, b: a * b),
+                      F.lit(0).cast("bigint"), lambda a, x: a + x)
+    joined = tv.crossJoin(F.broadcast(qv)).select(
+        "qid", "id",
+        (F.lit(1.0) - dot.cast("double")
+         / (F.sqrt(F.col("qn").cast("double"))
+            * F.sqrt(F.col("tn").cast("double")))).alias("d"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.col("d"), F.col("id"))
+    brute_vec = (joined.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= 20)
+                 .select("qid", F.col("id").alias("doc_id"), "rank"))
+    bq_vec = _bq_vec_leg(spark, sf, out_k=20).select(
+        "qid", F.col("id").alias("doc_id"), "rank")
+
+    fused_brute = rt.rrf_fuse([lex, brute_vec], k=10, k0=60)
+    fused_bq = rt.rrf_fuse([lex, bq_vec], k=10, k0=60)
+    a = fused_brute.groupBy("qid").agg(
+        F.collect_list("doc_id").alias("brute_ids"))
+    b = fused_bq.groupBy("qid").agg(F.collect_list("doc_id").alias("bq_ids"))
+    per = a.join(b, "qid").select(
+        "qid",
+        (F.size(F.array_intersect("brute_ids", "bq_ids"))
+         / F.size("brute_ids")).alias("overlap"))
+    return per.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg("overlap") >= mean_thr).alias("mean_overlap_ok"),
+        (F.min("overlap") >= min_thr).alias("min_overlap_ok"),
+    )
+
+
+def q_mmr_scale(spark, sf):
+    """The 100× form of q_mmr_rerank: the SAME greedy MMR tail
+    (mmr_select_numpy, value-oracled) re-ranking the BQ-indexed leg's
+    top-30 instead of the brute crossJoin's — the candidate stage
+    q_hybrid_rrf_scale declares, reused (VERDICT r7 #2).  Fully
+    value-oracled: the oracle recomputes the BQ candidates + integer
+    cosine re-rank in DuckDB and runs the SAME numpy greedy, embedding
+    the selections."""
+    cand = _bq_vec_leg(spark, sf, out_k=30).select(
+        "qid", F.col("id").alias("doc_id"),
+        F.round(F.lit(1.0) - F.col("d"), 6).alias("rel"),
+        F.col("tv").alias("vec"))
+    return rt.mmr_rerank(cand, k=10, lamb=0.5)
+
+
+def q_iud_final_state(spark, sf):
+    """Value-oracles the M3-M5 mutation END STATE (VERDICT r7 #4): the
+    scripted sequential IUD sweep of the reference runner (runner.py:
+    245-335 — insert a fresh row, upsert an existing id, delete a sampled
+    id) is deterministic here (first-100 ids in ascending order; insert
+    copies row i with label+1000 at id max+1+i; update sets label+500;
+    every third id deletes), so the post-sweep snapshot — the log-merge
+    view with tombstones dropped — reduces to hash-checkable per-bucket
+    aggregates.  The latency twins (insert/update/delete_latency) stay
+    rows-only by nature; this row proves the DML semantics."""
+    from bigvectorbench_spark.operators.mutation import VectorTable
+
+    emb = _train(spark, sf)
+    table = VectorTable(spark, emb)
+    rows = [r.asDict() for r in emb.orderBy("id").limit(100).collect()]
+    for i, r in enumerate(rows):
+        table.insert({"vec": r["vec"], "label": r["label"] + 1000})
+        table.update(r["id"], {"vec": r["vec"], "label": r["label"] + 500})
+        if i % 3 == 0:
+            table.delete(r["id"])
+    snap = table.snapshot()
+    return (snap.groupBy(F.pmod(F.col("id"), F.lit(7)).alias("bucket"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("id").alias("sum_id"),
+                 F.sum("label").cast("bigint").alias("sum_label"),
+                 F.round(F.sum(F.round(F.element_at(
+                     F.col("vec").cast("array<double>"), 1), 4)
+                     .cast("decimal(28,6)")), 4).cast("double")
+                 .alias("vec_checksum")))
+
+
 def q_quality_classifier(spark, sf):
     """Weak-supervision quality classifier (the CCNet/fastText pattern):
     quality_score ≥ 0.8 (the corpus_curation gate) labels the doc_id%3!=0
@@ -2380,29 +2567,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order (observed cap: 50 per round).  The window ROTATES so no query's
     # last green row ages more than two rounds (VERDICT r3 ask #8).
     #
-    # Round-7 window (VERDICT r6 ask #1): the single highest-leverage item
-    # is driver-visible correctness for the 24 round-6-late oracled queries
-    # that have never had a driver CORRECTNESS row (sweep-green at sf0.001
-    # and sf0.01 via scripts/check_oracle.py, 12 of them independently
-    # re-verified by the r6 judge).  They take the first 24 slots.  The 20
-    # r5-green queries rotated out in round 6 (age-2 boundary — must be
-    # green again this round) take the next 20.  The remaining 6 slots:
-    # queries whose CODE changed this round and must re-prove green
-    # (embedding_cosine_dups — brute scale envelope; ngram_jaccard_dups —
-    # s3 broadcast rewrite; hnsw_scale_recall — adaptive ef), the
-    # srp_recall gate (keeps the SRP twin driver-visible), and the two NEW
-    # round-7 declarations filter_ivf_knn + filter_ivf_recall (r6 ask #5 —
-    # first declaration must be driver-checked).
-    #
-    # Everything rotated out is r6-green (CORRECTNESS_r06.json, 50/50) —
-    # age 1 at the end of this round, back in the round-8 window.
-    # hnsw_scale_search stays approximate-by-design → rows-only below the
-    # window, recall-gated by the in-window hnsw_scale_recall;
-    # corpus_stats_approx / embedding_cosine_dups_srp / quality_tags_approx
-    # stay rows-only by nature — driver-visible through the in-window
-    # sketch_bounds / srp_recall gates and the pytest ntile-agreement pin.
+    # ROUND-8 WINDOW (VERDICT r7 asks #1/#2/#4): the 11 round-7-late
+    # declarations take the first slots (sweep-green at both sfs last
+    # round, never driver-checked), then the 4 NEW round-8 declarations
+    # (the BQ-indexed hybrid/MMR scale twins + their parity gate, and the
+    # value-oracled IUD end state), then the age-2 boundary: the 14 core
+    # ANN/GT queries the r7 judge named plus 21 more of the 46 r6-green
+    # queries rotated out in round 7.  The remaining 11 r6-green queries
+    # (simple relational aggregates, lowest code-coupling: see the
+    # round-9 head-of-window block below) sit at exactly age 2 after this
+    # round — still within the ≤2 policy — and MUST lead the round-9
+    # window.  Everything else below the window is r7-green (age 1).
     return {
-        # --- 24 never-driver-checked (r6-late, all value-oracled) ---------
+        # --- 11 round-7-late declarations (VERDICT r7 ask #1) -------------
+        "bq_knn": q_bq_knn,
+        "bq_recall": q_bq_recall,
+        "opq_knn": q_opq_knn,
+        "opq_recall": q_opq_recall,
+        "ivf_delta_knn": q_ivf_delta_knn,
+        "ivf_delta_report": q_ivf_delta_report,
+        "retrieval_eval": q_retrieval_eval,
+        "quality_classifier": q_quality_classifier,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "filter_knn_2label": q_filter_knn_2label,
+        "mmr_rerank": q_mmr_rerank,
+        # --- 4 NEW round-8 declarations (VERDICT r7 asks #2/#4): first
+        # declaration must be driver-checked -------------------------------
+        "hybrid_rrf_scale": q_hybrid_rrf_scale,
+        "hybrid_rrf_parity": q_hybrid_rrf_parity,
+        "mmr_scale": q_mmr_scale,
+        "iud_final_state": q_iud_final_state,
+        # --- age-2 boundary, core ANN/GT (named in VERDICT r7 ask #1) -----
+        "knn_euclid": q_knn_euclid,
+        "knn_euclid_gemm": q_knn_euclid_gemm,
+        "knn_hamming_packed": q_knn_hamming_packed,
+        "knn_jaccard": q_knn_jaccard,
+        "hnsw_knn": q_hnsw_knn,
+        "hnsw_recall": q_hnsw_recall,
+        "filter_knn_eq": q_filter_knn_eq,
+        "postfilter_knn": q_postfilter_knn,
+        "mv_knn": q_mv_knn,
+        "groundtruth_pack": q_groundtruth_pack,
+        "ivf_knn": q_ivf_knn,
+        "pq_knn": q_pq_knn,
+        "ivf_recall": q_ivf_recall,
+        "pq_recall": q_pq_recall,
+        # --- age-2 boundary, text/dedup/media/retrieval -------------------
+        "asof_clicks": q_asof_clicks,
+        "audio_features": q_audio_features,
+        "bm25_topk": q_bm25_topk,
+        "corpus_curation": q_corpus_curation,
+        "decontaminate": q_decontaminate,
+        "dedup_components": q_dedup_components,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprints": q_doc_fingerprints,
+        "domain_mix": q_domain_mix,
+        "gopher_quality": q_gopher_quality,
+        "lang_id": q_lang_id,
+        "media_pipeline": q_media_pipeline,
+        "minhash_dups": q_minhash_dups,
+        "pii_scrub": q_pii_scrub,
+        "quality_scores": q_quality_scores,
+        "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
+        "simhash_dups": q_simhash_dups,
+        "sketch_bounds": q_sketch_bounds,
+        "substring_dedup": q_substring_dedup,
+        "token_stats": q_token_stats,
+        "top_terms_per_source": q_top_terms_per_source,
+        # ==== below the 50-slot window from here ===========================
+        # ROUND-9 HEAD-OF-WINDOW: these 11 r6-green aggregates are age 2
+        # after this round and must be green again in round 9.
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "corpus_rollup": q_corpus_rollup,
+        "user_gap_stats": q_user_gap_stats,
+        "quality_deciles": q_quality_deciles,
+        "topk_per_group": q_topk_per_group,
+        "events_hourly": q_events_hourly,
+        "latency_percentiles": q_latency_percentiles,
+        "recall_summary": q_recall_summary,
+        "doclen_percentiles": q_doclen_percentiles,
+        "corpus_stats": q_corpus_stats,
+        # --- r7-green (CORRECTNESS_r07.json 50/50; age 1, recheck by r9) ---
         "video_features": q_video_features,
         "bpe_token_stats": q_bpe_token_stats,
         "substring_spans": q_substring_spans,
@@ -2427,7 +2673,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dedup": q_lsh_dedup,
         "corpus_curation_scale": q_corpus_curation_scale,
         "hashed_embed_knn": q_hashed_embed_knn,
-        # --- 20 r5-green rotated out in round 6 (age-2 boundary) ----------
         "revenue_running": q_revenue_running,
         "sessionize": q_sessionize,
         "clicks_before_purchase": q_clicks_before_purchase,
@@ -2448,86 +2693,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pivot": q_lang_pivot,
         "peak_events": q_peak_events,
         "top_revenue_orders": q_top_revenue_orders,
-        # --- 6 changed-this-round / gates / new declarations ---------------
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "hnsw_scale_recall": q_hnsw_scale_recall,
         "srp_recall": q_srp_recall,
-        # NEW round 7 (VERDICT r6 ask #5): filtered ANN on the IVF-pruned
-        # path — pre branch value-oracled, post branch recall-gated
         "filter_ivf_knn": q_filter_ivf_knn,
         "filter_ivf_recall": q_filter_ivf_recall,
-        # --- below the 50-slot correctness window this round (all r6-green,
-        # CORRECTNESS_r06.json; rotate back in round 8) ---------------------
-        "knn_euclid_gemm": q_knn_euclid_gemm,
-        "knn_euclid": q_knn_euclid,
-        "knn_hamming_packed": q_knn_hamming_packed,
-        "knn_jaccard": q_knn_jaccard,
-        "hnsw_knn": q_hnsw_knn,
-        "hnsw_recall": q_hnsw_recall,
-        "filter_knn_eq": q_filter_knn_eq,
-        "postfilter_knn": q_postfilter_knn,
-        "mv_knn": q_mv_knn,
-        "groundtruth_pack": q_groundtruth_pack,
-        "ivf_knn": q_ivf_knn,
-        "pq_knn": q_pq_knn,
-        "ivf_recall": q_ivf_recall,
-        "pq_recall": q_pq_recall,
-        # NEW round-7-late declarations (below-window: the 50 slots above
-        # are spoken for by the r6-late rotation + the age-2 boundary;
-        # every one sweep-oracled at BOTH sf0.001 and sf0.01 —
-        # ORACLE_SWEEP_r07.json + ORACLE_SWEEP_r07_sf0.01.json).
-        # ROUND-8 ROTATION PLAN: these eleven take the first slots of the
-        # round-8 window, ahead of the age-1 r6-green set.
-        "bq_knn": q_bq_knn,
-        "bq_recall": q_bq_recall,
-        "opq_knn": q_opq_knn,
-        "opq_recall": q_opq_recall,
-        "ivf_delta_knn": q_ivf_delta_knn,
-        "ivf_delta_report": q_ivf_delta_report,
-        "retrieval_eval": q_retrieval_eval,
-        "quality_classifier": q_quality_classifier,
-        "hybrid_rrf_topk": q_hybrid_rrf_topk,
-        "filter_knn_2label": q_filter_knn_2label,
-        "mmr_rerank": q_mmr_rerank,
-        "sketch_bounds": q_sketch_bounds,
-        "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
-        "recall_summary": q_recall_summary,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "corpus_rollup": q_corpus_rollup,
-        "user_gap_stats": q_user_gap_stats,
-        "quality_deciles": q_quality_deciles,
-        "topk_per_group": q_topk_per_group,
-        "asof_clicks": q_asof_clicks,
-        "events_hourly": q_events_hourly,
-        "latency_percentiles": q_latency_percentiles,
-        "pii_scrub": q_pii_scrub,
-        "gopher_quality": q_gopher_quality,
-        "decontaminate": q_decontaminate,
-        "substring_dedup": q_substring_dedup,
-        "domain_mix": q_domain_mix,
-        "dedup_exact": q_dedup_exact,
-        "corpus_curation": q_corpus_curation,
-        "minhash_dups": q_minhash_dups,
-        "simhash_dups": q_simhash_dups,
-        "media_pipeline": q_media_pipeline,
-        "audio_features": q_audio_features,
-        "dedup_components": q_dedup_components,
-        "bm25_topk": q_bm25_topk,
-        "top_terms_per_source": q_top_terms_per_source,
-        "token_stats": q_token_stats,
-        "quality_scores": q_quality_scores,
-        "lang_id": q_lang_id,
-        "doc_fingerprints": q_doc_fingerprints,
-        "corpus_stats": q_corpus_stats,
-        "doclen_percentiles": q_doclen_percentiles,
+        # --- rows-only by nature: approximate/sketch outputs gated by the
+        # in-window sketch_bounds / srp_recall / hnsw_scale_recall rows, and
+        # machine-timed IUD latency sweeps (end state value-oracled by the
+        # in-window iud_final_state) ----------------------------------------
         "hnsw_scale_search": q_hnsw_scale_search,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
-        # IUD latency sweeps (timed workloads, reference runner.py:245-335):
-        # machine-dependent timings → rows-only by nature, benched in BENCH
         "insert_latency": q_insert_latency,
         "update_latency": q_update_latency,
         "delete_latency": q_delete_latency,
@@ -2988,6 +3167,41 @@ SELECT count(DISTINCT source) AS n_sources, count(*) AS n_docs,
 FROM documents
 """
 
+# hybrid_rrf_parity: the oracle recomputes the fused-query universe (every
+# %250 doc with at least one token retrieves itself through the lexical
+# leg, so the fused qid set is exactly that) and asserts the Spark-side
+# brute-vs-BQ fused-top-10 overlap booleans — the srp_recall pattern: no
+# index artifacts embedded, so a bug corrupting both legs identically
+# cannot slip through via this gate alone (and the hybrid_rrf_scale value
+# oracle pins the BQ leg's exact output besides).
+_HYBRID_PARITY_SQL = f"""
+WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents)
+SELECT count(*) AS n_queries, TRUE AS mean_overlap_ok, TRUE AS min_overlap_ok
+FROM tk WHERE doc_id % 250 = 0 AND len(tk) > 0
+"""
+
+# iud_final_state: DuckDB replays the deterministic IUD sweep relationally
+# — first-100 ids (ascending) each insert a label+1000 copy at max_id+1+i,
+# upsert label+500 in place, and every third id tombstones — and aggregates
+# the identical per-bucket end state the Spark log-merge snapshot resolves.
+_IUD_FINAL_STATE_SQL = """
+WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, label FROM embeddings),
+m AS (SELECT max(id) AS mx FROM base),
+f AS (SELECT id, v, label, row_number() OVER (ORDER BY id) - 1 AS i
+      FROM base QUALIFY row_number() OVER (ORDER BY id) <= 100),
+kept AS (SELECT b.id, b.v,
+                CASE WHEN f.id IS NOT NULL THEN b.label + 500 ELSE b.label END AS label
+         FROM base b LEFT JOIN f ON f.id = b.id
+         WHERE f.id IS NULL OR f.i % 3 != 0),
+ins AS (SELECT m.mx + 1 + f.i AS id, f.v, f.label + 1000 AS label
+        FROM f CROSS JOIN m),
+fin AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+SELECT (id % 7)::BIGINT AS bucket, count(*) AS n_rows,
+       sum(id)::BIGINT AS sum_id, sum(label)::BIGINT AS sum_label,
+       round(sum(round(v[1], 4)::DECIMAL(28,6)), 4)::DOUBLE AS vec_checksum
+FROM fin GROUP BY bucket
+"""
+
 
 def _bpe_oracle() -> dict[str, str]:
     """Independent BPE oracle: recompute the morph-augmented word
@@ -3193,6 +3407,154 @@ SELECT qid, doc_id, objective, rank FROM m
     return {"mmr_rerank": sql}
 
 
+def _hybrid_scale_oracles() -> dict[str, str]:
+    """Full value oracles for the BQ-indexed hybrid/MMR scale twins
+    (q_hybrid_rrf_scale / q_mmr_scale): the deterministic BQ candidate
+    stage is recomputed at oracle-generation time with the SAME arithmetic
+    as BQIndex (float64 mean over the id-sorted nsq>0 matrix, bit =
+    x > mean, (hamming, id) lexsort — the bq_knn convention), the
+    candidate sets embed as literals, and DuckDB re-runs the
+    integer-cosine refine — plus, for the hybrid, the BM25 CTEs and the
+    RRF rounding ladder — on top.  The index-controlled part (WHICH rows
+    are refined) is therefore hash-checked end to end."""
+    import os
+
+    path = f"{_ORACLE_SF_DIR}/documents.parquet"
+    if not os.path.exists(path):
+        return {}
+    import duckdb
+    import numpy as np
+
+    from bigvectorbench_spark.operators.retrieval import mmr_select_numpy
+
+    base_sql = f"""
+WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM read_parquet('{path}')),
+th AS (SELECT doc_id, {_TH} AS th FROM tk),
+v AS (SELECT doc_id, list_transform(range(0, 64), j ->
+   coalesce(list_sum(list_transform(th, h -> CASE WHEN h % 64 = j
+      THEN CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END
+      ELSE 0 END)), 0)) AS v FROM th),
+n AS (SELECT doc_id, v, list_sum(list_transform(v, x -> x * x)) AS nsq FROM v)
+SELECT doc_id, v FROM n WHERE nsq > 0 ORDER BY doc_id
+"""
+    rows = duckdb.connect().execute(base_sql).fetchall()
+    if not rows:
+        return {}
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    means = X.mean(axis=0)            # BQIndex.fit: id-sorted float64 mean
+    bits = X > means[None, :]
+    qmask = ids % 250 == 0
+    qids_, qbits = ids[qmask], bits[qmask]
+
+    def _cand_pairs(n_cand: int) -> str:
+        out = []
+        for qi, q in enumerate(qids_):
+            ham = (bits != qbits[qi][None, :]).sum(axis=1)
+            top = ids[np.lexsort((ids, ham))[:n_cand]]
+            out.extend(f"({int(q)},{int(i)})" for i in top)
+        return ", ".join(out)
+
+    # Shared hashed-embedding CTE text (the mmr_rerank oracle's), built on
+    # the registered `documents` view for the final oracle SQL.
+    emb_ctes = f"""
+vtk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+vth AS (SELECT doc_id, {_TH} AS th FROM vtk),
+vv AS (SELECT doc_id, list_transform(range(0, 64), j ->
+   coalesce(list_sum(list_transform(th, h -> CASE WHEN h % 64 = j
+      THEN CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END
+      ELSE 0 END)), 0)) AS v FROM vth),
+vn AS (SELECT doc_id, v, list_sum(list_transform(v, x -> x * x)) AS nsq FROM vv),
+vbase AS (SELECT doc_id, v, nsq FROM vn WHERE nsq > 0),
+vq AS (SELECT doc_id AS qid, v AS qv, nsq AS qn FROM vbase WHERE doc_id % 250 = 0)"""
+
+    hybrid_sql = f"""
+WITH cand(qid, doc_id) AS (VALUES {_cand_pairs(160)}),
+tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+d AS (SELECT doc_id, tk, len(tk) AS dl FROM tk),
+stats AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM d),
+q AS (SELECT doc_id AS qid, list_sort(list_distinct(tk))[1:3] AS terms FROM tk
+      WHERE doc_id % 250 = 0),
+qt AS (SELECT DISTINCT qid, unnest(terms) AS term FROM q),
+post AS (SELECT doc_id, dl, unnest(tk) AS term FROM d),
+tfs AS (SELECT term, doc_id, dl, count(*) AS tf FROM post GROUP BY term, doc_id, dl),
+hits AS (SELECT t.* FROM tfs t WHERE term IN (SELECT term FROM qt)),
+dfr AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+sc AS (SELECT qt.qid, h.doc_id,
+              round(ln(1.0 + (s.n - dfr.df + 0.5) / (dfr.df + 0.5)) *
+                    (h.tf::DOUBLE * (1.2 + 1.0)) /
+                    (h.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * h.dl::DOUBLE / s.avgdl)),
+                    9)::DECIMAL(28,10) AS term_score
+       FROM hits h JOIN qt ON h.term = qt.term
+       JOIN dfr ON h.term = dfr.term CROSS JOIN stats s),
+agg AS (SELECT qid, doc_id, CAST(round(sum(term_score), 6) AS DOUBLE) AS score
+        FROM sc GROUP BY qid, doc_id),
+lexr AS (SELECT qid, doc_id,
+                row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+         FROM agg QUALIFY rank <= 20),
+{emb_ctes},
+vs AS (SELECT c.qid, b.doc_id,
+   1.0 - list_sum(list_transform(list_zip(vq.qv, b.v), p -> p[1] * p[2]))::DOUBLE
+       / (sqrt(vq.qn::DOUBLE) * sqrt(b.nsq::DOUBLE)) AS dd
+   FROM cand c JOIN vbase b ON b.doc_id = c.doc_id JOIN vq ON vq.qid = c.qid),
+vecr AS (SELECT qid, doc_id,
+                row_number() OVER (PARTITION BY qid ORDER BY dd, doc_id) AS rank
+         FROM vs QUALIFY rank <= 20),
+u AS (SELECT qid, doc_id,
+             round(1.0 / (60.0 + rank), 9)::DECIMAL(28,10) AS t FROM lexr
+      UNION ALL
+      SELECT qid, doc_id,
+             round(1.0 / (60.0 + rank), 9)::DECIMAL(28,10) AS t FROM vecr),
+f AS (SELECT qid, doc_id, CAST(round(sum(t), 6) AS DOUBLE) AS score
+      FROM u GROUP BY qid, doc_id),
+rr AS (SELECT qid, doc_id, score,
+              row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       FROM f)
+SELECT qid, doc_id, score, rank FROM rr WHERE rank <= 10
+"""
+
+    # mmr_scale: refine the embedded BQ top-240 candidates to the cosine
+    # top-30 in DuckDB (rounded relevance + integer vectors), then the
+    # SAME numpy greedy — the mmr_rerank oracle with indexed candidates.
+    mmr_cand_sql = f"""
+WITH cand(qid, doc_id) AS (VALUES {_cand_pairs(240)}),
+tk AS (SELECT doc_id, {_TOKENS} AS tk FROM read_parquet('{path}')),
+th AS (SELECT doc_id, {_TH} AS th FROM tk),
+v AS (SELECT doc_id, list_transform(range(0, 64), j ->
+   coalesce(list_sum(list_transform(th, h -> CASE WHEN h % 64 = j
+      THEN CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END
+      ELSE 0 END)), 0)) AS v FROM th),
+n AS (SELECT doc_id, v, list_sum(list_transform(v, x -> x * x)) AS nsq FROM v),
+base AS (SELECT doc_id, v, nsq FROM n WHERE nsq > 0),
+q AS (SELECT doc_id AS qid, v AS qv, nsq AS qn FROM base WHERE doc_id % 250 = 0),
+s AS (SELECT c.qid, b.doc_id, b.v,
+   1.0 - list_sum(list_transform(list_zip(q.qv, b.v), p -> p[1] * p[2]))::DOUBLE
+       / (sqrt(q.qn::DOUBLE) * sqrt(b.nsq::DOUBLE)) AS d
+   FROM cand c JOIN base b ON b.doc_id = c.doc_id JOIN q ON q.qid = c.qid),
+r AS (SELECT qid, doc_id, v, round(1.0 - d, 6) AS rel,
+             row_number() OVER (PARTITION BY qid ORDER BY d, doc_id) AS rank
+      FROM s)
+SELECT qid, doc_id, rel, v FROM r WHERE rank <= 30 ORDER BY qid, doc_id
+"""
+    mrows = duckdb.connect().execute(mmr_cand_sql).fetchall()
+    by_q: dict[int, list] = {}
+    for qid, doc_id, rel, v in mrows:
+        by_q.setdefault(int(qid), []).append((int(doc_id), float(rel), v))
+    vals = []
+    for qid in sorted(by_q):
+        cids = [t[0] for t in by_q[qid]]
+        rel = [t[1] for t in by_q[qid]]
+        V = [t[2] for t in by_q[qid]]
+        chosen, objs = mmr_select_numpy(cids, rel, V, k=10, lamb=0.5)
+        for rnk, (dd, o) in enumerate(zip(chosen, objs), 1):
+            vals.append(f"({qid},{dd},{o!r},{rnk})")
+    mmr_scale_sql = f"""
+WITH m(qid, doc_id, objective, rank) AS (VALUES {", ".join(vals)})
+SELECT qid, doc_id, objective, rank FROM m
+"""
+    return {"hybrid_rrf_scale": hybrid_sql, "mmr_scale": mmr_scale_sql}
+
+
 def oracle_sql() -> dict[str, str]:
     l2 = _L2.format(a="t.v", b="q.v")
     p = dd._MERSENNE
@@ -3202,7 +3564,10 @@ def oracle_sql() -> dict[str, str]:
         "[" + ", ".join(repr(float(x)) for x in row) + "]"
         for row in projection_matrix(64, 16, seed=1)
     ) + "]"
-    return _ann_oracles() | _bpe_oracle() | _classifier_oracle() | _mmr_oracle() | {
+    return (_ann_oracles() | _bpe_oracle() | _classifier_oracle()
+            | _mmr_oracle() | _hybrid_scale_oracles()) | {
+        "hybrid_rrf_parity": _HYBRID_PARITY_SQL,
+        "iud_final_state": _IUD_FINAL_STATE_SQL,
         "ivf_recall": _RECALL_GATE_SQL,
         "filter_ivf_recall": _RECALL_GATE_SQL,
         "pq_recall": _RECALL_GATE_SQL,

@@ -89,3 +89,42 @@ def test_llm_data_mix_consistent_with_stage_queries(spark, sf_dir):
         assert 0 <= m["n_line_dups_removed"] <= c4[s]["n_lines_kept"], s
         if m["n_dsir_kept"] > 0:
             assert m["tokens_kept"] > 0 and m["mean_weight"] is not None
+
+
+def test_iud_final_state_partitions_the_sweep(spark, sf_dir):
+    """The value-oracled DML end state (VERDICT r7 #4): after the scripted
+    sweep — 100 inserts, 100 upserts, every third of the first 100 ids
+    tombstoned — the snapshot row count must be n + 100 − 34, and no
+    bucket may be empty (ids cover all residues mod 7)."""
+    rows = entry.q_iud_final_state(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    deleted = sum(1 for i in range(100) if i % 3 == 0)
+    assert sum(r["n_rows"] for r in rows) == n + 100 - deleted
+    assert len(rows) == 7 and all(r["n_rows"] > 0 for r in rows)
+
+
+def test_hybrid_scale_parity_gate_passes(spark, sf_dir):
+    """The brute-vs-BQ fused-overlap gate holds at the defect-only floor
+    off the oracle sf (measured mean 0.75 / min 0.6 at sf0.001)."""
+    row = entry.q_hybrid_rrf_parity(spark, sf_dir).collect()[0]
+    assert row["n_queries"] >= 2
+    assert row["mean_overlap_ok"] and row["min_overlap_ok"]
+
+
+def test_hybrid_scale_and_mmr_scale_shapes(spark, sf_dir):
+    """The scale twins return the same shapes as their brute-declared
+    counterparts: fused top-10 per query with dense ranks, and MMR picks
+    in rank order with 10 selections per vector query."""
+    fused = entry.q_hybrid_rrf_scale(spark, sf_dir).collect()
+    by_q = {}
+    for r in fused:
+        by_q.setdefault(r["qid"], []).append(r["rank"])
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
+    mmr = entry.q_mmr_scale(spark, sf_dir).collect()
+    mq = {}
+    for r in mmr:
+        mq.setdefault(r["qid"], []).append(r["rank"])
+    for qid, ranks in mq.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
+        assert len(ranks) == 10
