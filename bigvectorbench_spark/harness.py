@@ -272,6 +272,67 @@ def _run_bq():
     return _build, _search
 
 
+def _run_hybrid():
+    """Multi-field hybrid search through the grid harness (the reference's
+    hybrid = per-field ANN subqueries merged by a ranker,
+    milvus/module.py:422-458): the vector splits into two half-dimension
+    fields (the mv_knn convention), each field retrieves its own top-2k
+    run — brute exact or BQ-indexed per the build knob ``leg`` — and
+    Reciprocal Rank Fusion merges them (query knobs ``k0`` and ``w2``,
+    the second field's weight).  Scored against the FULL-vector exact
+    ground truth, so the metrics CSV gets honest recall/QPS Pareto points
+    for fusion configs (VERDICT r7 ask #6)."""
+    from pyspark.sql import functions as _F
+
+    def _split(df, half, d, vec_col="vec"):
+        a = df.select("id", _F.slice(vec_col, 1, half).alias("vec"))
+        b = df.select("id", _F.slice(vec_col, half + 1, d - half).alias("vec"))
+        return a, b
+
+    def _build(train, args):
+        d = train.select(F.size("vec")).first()[0]
+        half = d // 2
+        t1, t2 = _split(train, half, d)
+        leg = str(args.get("leg", "bq"))
+        if leg == "brute":
+            return ("brute", half, d, (t1,), (t2,))
+        if leg != "bq":
+            raise ValueError(f"unknown hybrid leg {leg!r}; expected brute|bq")
+        from bigvectorbench_spark.operators.bq import BQIndex
+
+        arts = []
+        for t in (t1, t2):
+            idx = BQIndex.fit(t, sort_col="id")
+            codes = idx.encode(t, keep=["id"]).cache()
+            codes.count()  # materialize: encode cost belongs to build_time
+            arts.append((idx, codes, t))
+        return ("bq", half, d, arts[0], arts[1])
+
+    def _search(art, queries, count, qargs):
+        from bigvectorbench_spark.operators import retrieval as rt
+
+        leg, half, d, a1, a2 = art
+        k0 = float(qargs.get("k0", 60))
+        w2 = float(qargs.get("w2", 1.0))
+        k_leg = count * 2
+        q1, q2 = _split(queries.withColumnRenamed("qid", "id"), half, d)
+        runs = []
+        for (qi, ai) in ((q1, a1), (q2, a2)):
+            qi = qi.withColumnRenamed("id", "qid")
+            if leg == "brute":
+                r = knn(ai[0], qi, k=k_leg, method="expr")
+            else:
+                idx, codes, t = ai
+                r = idx.search(codes, qi, k=k_leg, refine_train=t, overfetch=4)
+            runs.append(r.select("qid", F.col("id").alias("doc_id"), "rank"))
+        fused = rt.rrf_fuse(runs, k=count, k0=int(k0), weights=[1.0, w2])
+        return fused.select(
+            "qid", F.col("doc_id").alias("id"),
+            (-F.col("score")).alias("dist"), F.col("rank").cast("int"))
+
+    return _build, _search
+
+
 ALGORITHMS: dict[str, Callable] = {
     "flat-expr": lambda: _run_flat("expr"),
     "flat-gemm": lambda: _run_flat("gemm"),
@@ -282,6 +343,7 @@ ALGORITHMS: dict[str, Callable] = {
     "sq8": _run_sq8,
     "bq": _run_bq,
     "opq": _run_opq,
+    "hybrid": _run_hybrid,
 }
 
 

@@ -45,6 +45,11 @@ GRIDS = {
     # OPQ: the PQ grid with the learned rotation in front (iters=0 == PQ)
     "opq": dict(build_grid={"m": [4, 8], "nbits": [6, 8], "iters": [3]},
                 query_grid={"overfetch": [1, 4]}),
+    # hybrid: per-field subqueries + RRF ranker (reference
+    # milvus/module.py:422-458); leg picks the per-field engine, k0/w2 the
+    # fusion knobs — recall/QPS Pareto points for fusion configs
+    "hybrid": dict(build_grid={"leg": ["brute", "bq"]},
+                   query_grid={"k0": [20, 60], "w2": [0.5, 1.0]}),
 }
 
 

@@ -258,3 +258,27 @@ def test_random_filter_ratio_template_runs_through_filtered_knn(spark):
     for r in rows:
         lo, hi = bounds[r["qid"]]
         assert lo <= labels[r["id"]] <= hi
+
+
+def test_run_definition_hybrid_grid(spark, small_ds):
+    """Hybrid cell (VERDICT r7 ask #6): two half-dimension field
+    subqueries fused by RRF.  The brute legs are exact per field, so
+    fused recall against the full-vector truth is high on blob data; the
+    BQ legs trade recall for the 1-bit scan and must stay a valid run
+    (ranks dense, k rows per query).  Rank fusion of half-vector fields
+    against the FULL-vector truth is lossy by nature (measured 0.52 on
+    d=8 blobs with exact legs) — the floor asserts the fusion does real
+    work, not that it recovers the joint metric."""
+    tr, te = small_ds
+    defs = hz.expand_definitions(
+        "hybrid", "fx", 10, build_grid={"leg": ["brute", "bq"]},
+        query_grid={"k0": [60], "w2": [1.0]})
+    assert [d.label for d in defs] == [
+        "hybrid(leg=brute)[k0=60,w2=1.0]", "hybrid(leg=bq)[k0=60,w2=1.0]"]
+    by = {d.label: hz.run_definition(spark, d, tr, te) for d in defs}
+    brute = by["hybrid(leg=brute)[k0=60,w2=1.0]"]
+    bq = by["hybrid(leg=bq)[k0=60,w2=1.0]"]
+    assert brute.mean_recall >= 0.4          # exact per-field legs
+    assert bq.mean_recall > 0.15             # 1-bit legs do real work
+    assert brute.qps > 0 and bq.qps > 0
+    assert brute.results.count() == te.count()
