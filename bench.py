@@ -104,6 +104,9 @@ HEADLINE = [
     "quality_classifier",
     "hybrid_rrf_topk",
     "mmr_rerank",
+    "hybrid_rrf_scale",
+    "hybrid_rrf_parity",
+    "mmr_scale",
     "top_terms_per_source",
     "token_stats",
     "quality_scores",
@@ -144,6 +147,7 @@ HEADLINE = [
     "insert_latency",
     "update_latency",
     "delete_latency",
+    "iud_final_state",
 ]
 
 

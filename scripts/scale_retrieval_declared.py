@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Re-record the hybrid/MMR retrieval decade THROUGH THE DECLARED PATH
+(VERDICT r7 ask #2 "Done" clause): q_hybrid_rrf_topk (brute vector leg),
+q_hybrid_rrf_scale (BQ-indexed leg) and q_mmr_scale exactly as the driver
+runs them — %250 query stride, so the query block GROWS with the corpus
+(200 @ 50k docs, 2000 @ 500k), unlike scale_retrieval.py's fixed-50-query
+serving protocol.  This is the plan the correctness contract declares;
+the numbers certify the indexed leg stays ahead of brute when both the
+corpus AND the traffic scale 10x.
+
+Usage: python scripts/scale_retrieval_declared.py DOCS_DIR [DOCS_DIR ...]
+       [--out OUT_JSON]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bigvectorbench_spark import get_spark
+
+RUNS = 2
+
+
+def best_of(fn, runs=RUNS):
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        times.append(round(time.perf_counter() - t0, 3))
+    return min(times), times
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_path = "SCALE_RETRIEVAL_r8.json"
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+        args = [a for a in args if a != out_path]
+
+    import __spark_entry__ as e
+
+    spark = get_spark("scale-retrieval-declared")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = {
+        "hybrid_rrf_topk": e.q_hybrid_rrf_topk,     # brute vector leg
+        "hybrid_rrf_scale": e.q_hybrid_rrf_scale,   # BQ-indexed leg
+        "mmr_rerank": e.q_mmr_rerank,               # brute candidates
+        "mmr_scale": e.q_mmr_scale,                 # BQ candidates
+    }
+    with open(out_path, "w") as f:
+        for d in args:
+            n = spark.read.parquet(f"{d}/documents.parquet").count()
+            row = {"docs_dir": d, "corpus_rows": n,
+                   "n_queries": (n + 249) // 250}
+            for name, fn in qs.items():
+                row[f"{name}_s"], row[f"{name}_runs"] = best_of(
+                    lambda: fn(spark, d).write.format("noop")
+                    .mode("overwrite").save())
+                spark.catalog.clearCache()
+            print(json.dumps(row), flush=True)
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
