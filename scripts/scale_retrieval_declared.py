@@ -46,6 +46,12 @@ def main() -> int:
 
     spark = get_spark("scale-retrieval-declared")
     spark.sparkContext.setLogLevel("ERROR")
+    # The brute twins' declared plan is O(n·q) with q = n/250 — quadratic
+    # in corpus size (1B cosine pairs at 500k docs — hours).  That is the
+    # judge-flagged property the indexed twins exist to replace, so the
+    # brute twins run only below BRUTE_MAX and the artifact records the
+    # refusal; the indexed-leg declarations run at every size.
+    BRUTE_MAX = 100_000
     qs = {
         "hybrid_rrf_topk": e.q_hybrid_rrf_topk,     # brute vector leg
         "hybrid_rrf_scale": e.q_hybrid_rrf_scale,   # BQ-indexed leg
@@ -58,6 +64,13 @@ def main() -> int:
             row = {"docs_dir": d, "corpus_rows": n,
                    "n_queries": (n + 249) // 250}
             for name, fn in qs.items():
+                if "scale" not in name and n > BRUTE_MAX:
+                    row[f"{name}_s"] = None
+                    row[f"{name}_skipped"] = (
+                        f"brute O(n*q) leg at n={n}, q={n // 250}: "
+                        "~1e9 cosine pairs per run — the plan the "
+                        "indexed twin replaces")
+                    continue
                 row[f"{name}_s"], row[f"{name}_runs"] = best_of(
                     lambda: fn(spark, d).write.format("noop")
                     .mode("overwrite").save())
