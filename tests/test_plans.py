@@ -500,3 +500,25 @@ def test_ivf_delta_assign_is_map_only(pq):
     idx = IVFIndex.fit(pq, nlist=4, seed=1, max_iter=4, sort_col="id")
     plan = plan_of(idx.assign(pq.filter("id % 10 = 0")))
     assert "Exchange" not in plan
+
+
+def test_bq_leg_hybrid_has_no_corpus_crossjoin(spark, sf_dir):
+    """The indexed-leg hybrid's scale claim, plan-asserted: the brute twin
+    (q_hybrid_rrf_topk) carries a corpus-wide BroadcastNestedLoopJoin by
+    declaration; the BQ-leg twin (q_hybrid_rrf_scale) must NOT — its
+    candidate stage is the Arrow hamming kernel (mapInArrow) and every
+    join after it (refine, fusion) is a bounded equi-join."""
+    import __spark_entry__ as entry
+
+    full = plan_of(entry.q_hybrid_rrf_scale(spark, sf_dir))
+    assert "CartesianProduct" not in full
+    # BM25's single-row corpus-stats crossJoin is the ONLY nested-loop
+    # join allowed in the fused plan (a scalar broadcast, bounded by
+    # construction); the VECTOR leg itself must have none at all.
+    vec = plan_of(entry._bq_vec_leg(spark, sf_dir, out_k=20))
+    assert "CartesianProduct" not in vec
+    assert "BroadcastNestedLoopJoin" not in vec
+    # the brute twin declares exactly that corpus-wide join — the
+    # contrast is the point
+    brute = plan_of(entry.q_hybrid_rrf_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in brute or "CartesianProduct" in brute
