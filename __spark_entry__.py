@@ -682,6 +682,51 @@ def q_bq_recall(spark, sf):
     )
 
 
+def q_sq8_knn(spark, sf):
+    """§2.7 IVF_SQ8's scalar-quantization stage (milvus/module.py:595-620)
+    as a declared, fully value-oracled query: per-vector symmetric int8
+    codes (scale = max|v|/127, float32), dequantize inside the scan
+    projection (narrow, whole-stage codegen), exact L2 ranking over the
+    4×-smaller stored column — queries stay full precision, matching the
+    reference's SQ8 semantics.  Unlike pq/bq there is no candidate stage to
+    embed: the oracle replays the ENTIRE quantize→dequantize→rank pipeline
+    in SQL (float32 casts at the same three points, double fold), so codes,
+    scales, distances, and ranks are all independently recomputed."""
+    from bigvectorbench_spark.operators.quantize import knn_quantized, quantize_table
+
+    t = _train(spark, sf)
+    tq = quantize_table(t, vec_col="vec", out_col="qvec").select("id", "qvec")
+    res = knn_quantized(tq, _queries_mod(spark, sf), k=10, method="expr")
+    return res.select("qid", "id", _r(F.col("dist")).alias("dist"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_sq8_recall(spark, sf):
+    """Closes the SQ8 loop the ivf_recall/pq_recall way: recall of the
+    dequantized ranking against the EXACT full-precision kNN, emitted as
+    oracle-asserted threshold booleans.  SQ8 error is bounded by the
+    per-dimension quantization step, so recall is near-perfect by
+    construction (measured 1.0/1.0 at sf0.001 and sf0.01,
+    scripts/calibrate_gates.py convention); the tight gate 0.97/0.9 trips
+    on any scale/sign/rounding defect while tolerating a rare boundary
+    swap.  Off the oracle sfs it relaxes to a defect-only 0.9/0.7 floor."""
+    mean_thr, min_thr = _gate(sf, tight=(0.97, 0.9), floor=(0.9, 0.7))
+    from bigvectorbench_spark.operators.quantize import knn_quantized, quantize_table
+
+    t, q = _train(spark, sf), _queries_mod(spark, sf)
+    tq = quantize_table(t, vec_col="vec", out_col="qvec").select("id", "qvec")
+    approx = knn_quantized(tq, q, k=10, method="expr").groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    exact = knn(t, q, k=10, method="expr").groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    per_q = mx.recall_per_query(approx, exact)
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg("recall") >= mean_thr).alias("mean_recall_ok"),
+        (F.min("recall") >= min_thr).alias("min_recall_ok"),
+    )
+
+
 def q_ivf_recall(spark, sf):
     """Closes the IVF oracle self-reference (the ivf_knn oracle embeds the
     recomputed probe lists, so a bug corrupting both sides identically
@@ -2216,6 +2261,57 @@ def q_top_terms_per_source(spark, sf):
     return rt.top_terms(_docs_wide(spark, sf), group_col="source", n=10)
 
 
+def q_sparse_knn(spark, sf):
+    """Sparse-vector inner-product top-10 (the Milvus SPARSE_FLOAT_VECTOR
+    field type, milvus/module.py:142, served IP-only): documents become
+    SMART-ltn TF-IDF sparse vectors over unigram+bigram features and every
+    100th document queries the corpus through ONE inverted-index term
+    equi-join — scored rows are O(postings in the query vocabulary), never
+    O(docs × queries).  Fully value-oracled: weights (6 dp), per-term
+    products (9 dp, DECIMAL sum), final score (6 dp before ranking) follow
+    the bm25_topk engine-stability ladder, so scores and ranks hash-match."""
+    from bigvectorbench_spark.operators import sparse as sp
+
+    docs = _docs_wide(spark, sf)
+    queries = load_table(spark, sf, "documents").filter("doc_id % 100 = 0").select(
+        F.col("doc_id").alias("qid"))
+    wpost = sp.sparse_postings(docs, post=sp.lexical_postings(docs))
+    return sp.sparse_topk(docs, queries, k=10, wpost=wpost)
+
+
+def q_sparse_prune_recall(spark, sf):
+    """Closes the sparse scale path the ivf_recall way: the impact-ordered
+    pruned index (per-term posting lists truncated to the top-64 documents
+    by weight — the knob that caps stopword-term join cost at 100 TB)
+    serves the same queries with FULL query-side vectors, and its top-10
+    recall against the exact join is emitted as oracle-asserted threshold
+    booleans.  m=64 removes 26-28% of all postings here (every cut from
+    the high-df unigram head, whose idf≈0.25 weights carry little score
+    mass; the df≈28 bigram tail survives whole) at measured recall
+    mean 0.96/min 0.9 (sf0.001) and 0.98/0.9 (sf0.01).  Tight gate 0.9/0.8
+    trips on a pruning-order defect; the off-sf floor 0.6/0.3 only on a
+    cratering bug (corpus density grows with sf, so fixed-m recall
+    legitimately falls)."""
+    from bigvectorbench_spark.operators import sparse as sp
+
+    mean_thr, min_thr = _gate(sf, tight=(0.9, 0.8), floor=(0.6, 0.3))
+    docs = _docs_wide(spark, sf)
+    queries = load_table(spark, sf, "documents").filter("doc_id % 100 = 0").select(
+        F.col("doc_id").alias("qid"))
+    wpost = sp.sparse_postings(docs, post=sp.lexical_postings(docs)).persist()
+    exact = sp.sparse_topk(docs, queries, k=10, wpost=wpost).groupBy("qid").agg(
+        F.collect_list("doc_id").alias("neighbors"))
+    pruned = sp.sparse_topk(
+        docs, queries, k=10, wpost=sp.prune_postings(wpost, m=64), qwpost=wpost
+    ).groupBy("qid").agg(F.collect_list("doc_id").alias("neighbors"))
+    per_q = mx.recall_per_query(pruned, exact)
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg("recall") >= mean_thr).alias("mean_recall_ok"),
+        (F.min("recall") >= min_thr).alias("min_recall_ok"),
+    )
+
+
 def q_hybrid_rrf_topk(spark, sf):
     """Hybrid search: the SAME query documents retrieve through BOTH
     modalities — BM25 over their 3 alphabetically-first terms AND cosine
@@ -2645,8 +2741,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "top_terms_per_source": q_top_terms_per_source,
         # ==== below the 50-slot window from here ===========================
-        # ROUND-9 HEAD-OF-WINDOW: these 11 r6-green aggregates are age 2
-        # after this round and must be green again in round 9.
+        # ROUND-9 HEAD-OF-WINDOW: the round-8-late declarations (sq8_knn,
+        # sq8_recall, sparse_knn, sparse_prune_recall — sweep-verified at
+        # both sfs this round by scripts/check_oracle.py, never
+        # driver-checked) plus these 11 r6-green aggregates at age 2 must
+        # lead the round-9 window.
+        "sq8_knn": q_sq8_knn,
+        "sq8_recall": q_sq8_recall,
+        "sparse_knn": q_sparse_knn,
+        "sparse_prune_recall": q_sparse_prune_recall,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "corpus_rollup": q_corpus_rollup,
@@ -3119,6 +3222,68 @@ SELECT count(*) AS n_queries, TRUE AS mean_recall_ok, TRUE AS min_recall_ok
 FROM embeddings WHERE vec_id % 50 = 0
 """
 
+# sq8_knn: the oracle replays the whole SQ8 pipeline — per-vector float32
+# scale (= max|v|/127, the Spark when/otherwise zero guard included), int8
+# codes via round(x/scale) in double, dequantize as float32 code·scale, then
+# the exact double L2 fold and (dist, id) ranking.  Float32 casts sit at the
+# same three points as quantize_vec/dequantize_vec (operators/quantize.py),
+# so every intermediate is bit-identical across engines.
+_SQ8_KNN_SQL = f"""
+WITH t0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+ts AS (SELECT id, v,
+              (CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                    THEN list_max(list_transform(v, x -> abs(x)))::DOUBLE
+                    ELSE 1.0::DOUBLE END / 127.0::DOUBLE)::FLOAT AS scale
+       FROM t0),
+t AS (SELECT id,
+             list_transform(v, x ->
+                 ((round(x::DOUBLE / scale::DOUBLE)::TINYINT)::FLOAT
+                  * scale)::FLOAT)::DOUBLE[] AS v
+      FROM ts),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id % 50 = 0),
+s AS (SELECT q.qid, t.id, {_L2.format(a="t.v", b="q.v")} AS d
+      FROM q CROSS JOIN t),
+r AS (SELECT qid, id, round(d, 4) + 0.0 AS dist,
+             row_number() OVER (PARTITION BY qid ORDER BY d, id) AS rank
+      FROM s)
+SELECT qid, id, dist, rank FROM r WHERE rank <= 10
+"""
+
+# sparse_knn: the whole sparse TF-IDF pipeline re-derived — tokenize,
+# unigram+bigram features (WITH duplicates: tf matters), postings,
+# corpus-wide df, SMART-ltn weights (6 dp), per-term products (9 dp →
+# DECIMAL sum), 6-dp score before (score desc, doc asc) ranking —
+# operators/sparse.py's exact ladder, so scores and ranks hash-match.
+_SPARSE_KNN_SQL = f"""
+WITH tk0 AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+tk AS (SELECT doc_id,
+              list_concat(tk, list_transform(range(1, greatest(len(tk), 1)),
+                  i -> tk[i] || ' ' || tk[i+1])) AS tk
+       FROM tk0),
+stats AS (SELECT count(*)::DOUBLE AS n FROM tk),
+post AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+tfs AS (SELECT term, doc_id, count(*) AS tf FROM post GROUP BY term, doc_id),
+dfr AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+w AS (SELECT t.term, t.doc_id,
+             round((1.0 + ln(t.tf::DOUBLE)) * ln(s.n / dfr.df::DOUBLE), 6) AS w
+      FROM tfs t JOIN dfr ON t.term = dfr.term CROSS JOIN stats s),
+qw AS (SELECT doc_id AS qid, term, w AS qwv FROM w WHERE doc_id % 100 = 0),
+sc AS (SELECT qw.qid, w.doc_id, round(w.w * qw.qwv, 9)::DECIMAL(28,10) AS c
+       FROM w JOIN qw ON w.term = qw.term),
+agg AS (SELECT qid, doc_id, CAST(round(sum(c), 6) AS DOUBLE) AS score
+        FROM sc GROUP BY qid, doc_id),
+r AS (SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+      FROM agg)
+SELECT qid, doc_id, score, rank FROM r WHERE rank <= 10
+"""
+
+_SPARSE_GATE_SQL = """
+SELECT count(*) AS n_queries, TRUE AS mean_recall_ok, TRUE AS min_recall_ok
+FROM documents WHERE doc_id % 100 = 0
+"""
+
 # srp_recall: DuckDB independently recomputes the exact brute-force pair
 # count on the same perturbed corpus (value-checked), and asserts the
 # Spark-side blocking-recall boolean.  Margins are wide by construction:
@@ -3582,6 +3747,10 @@ def oracle_sql() -> dict[str, str]:
         "filter_ivf_recall": _RECALL_GATE_SQL,
         "pq_recall": _RECALL_GATE_SQL,
         "bq_recall": _RECALL_GATE_SQL,
+        "sq8_knn": _SQ8_KNN_SQL,
+        "sq8_recall": _RECALL_GATE_SQL,
+        "sparse_knn": _SPARSE_KNN_SQL,
+        "sparse_prune_recall": _SPARSE_GATE_SQL,
         "opq_recall": _RECALL_GATE_SQL,
         "srp_recall": _SRP_RECALL_SQL,
         "hnsw_recall": _HNSW_RECALL_SQL,

@@ -53,6 +53,8 @@ HEADLINE = [
     "bq_recall",
     "opq_knn",
     "opq_recall",
+    "sq8_knn",
+    "sq8_recall",
     "ivf_delta_knn",
     "ivf_delta_report",
     "ivf_recall",
@@ -100,6 +102,8 @@ HEADLINE = [
     "corpus_curation_scale",
     "hashed_embed_knn",
     "bm25_topk",
+    "sparse_knn",
+    "sparse_prune_recall",
     "retrieval_eval",
     "quality_classifier",
     "hybrid_rrf_topk",

@@ -141,6 +141,23 @@ class BQIndex:
         X = np.array([r[0] for r in rows], dtype=np.float64)
         return cls(thresholds=[float(x) for x in X.mean(axis=0)])
 
+    # ---- persistence (index artifact, shareable across jobs) -------------
+    def save(self, spark, path: str) -> None:
+        """Persist the per-dimension thresholds as parquet (the IVFIndex/
+        PQIndex save convention) — with the packed-code table this is the
+        whole BQ index: build once, serve from storage."""
+        rows = [(i, float(t)) for i, t in enumerate(self.thresholds)]
+        spark.createDataFrame(
+            rows, "dim int, threshold double"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "BQIndex":
+        rows = spark.read.parquet(path).orderBy("dim").collect()
+        if not rows:
+            raise ValueError(f"no thresholds at {path}")
+        return cls(thresholds=[r["threshold"] for r in rows])
+
     def encode(
         self,
         df: DataFrame,

@@ -143,6 +143,38 @@ class OPQIndex:
                                  max_iter=max_iter)
         return cls(R=R, pq=PQIndex(codebooks=books))
 
+    # ---- persistence (index artifact, shareable across jobs) -------------
+    def save(self, spark, path: str) -> None:
+        """Persist rotation + codebooks in ONE parquet (the IVFIndex/
+        PQIndex save convention): kind='R' rows carry the rotation matrix
+        by row index, kind='CB' rows the per-subspace centroids.  Doubles
+        survive parquet exactly, so a reload reproduces codes bit-for-bit."""
+        rows = [("R", i, 0, [float(x) for x in self.R[i]], "")
+                for i in range(self.d)]
+        rows += [
+            ("CB", j, c, [float(x) for x in self.pq.codebooks[j, c]],
+             self.pq.metric)
+            for j in range(self.pq.m)
+            for c in range(self.pq.ksub)
+        ]
+        spark.createDataFrame(
+            rows, "kind string, i int, j int, vec array<double>, metric string"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "OPQIndex":
+        rows = spark.read.parquet(path).orderBy("kind", "i", "j").collect()
+        cb = [r for r in rows if r["kind"] == "CB"]
+        rot = [r for r in rows if r["kind"] == "R"]
+        if not cb or not rot:
+            raise ValueError(f"no OPQ artifact at {path}")
+        R = np.array([r["vec"] for r in rot], dtype=np.float64)
+        m = cb[-1]["i"] + 1
+        ksub = cb[-1]["j"] + 1
+        books = np.array([r["vec"] for r in cb], dtype=np.float64).reshape(
+            m, ksub, -1)
+        return cls(R=R, pq=PQIndex(codebooks=books, metric=cb[0]["metric"]))
+
     # ---- distributed rotation -------------------------------------------
     def rotate(
         self,

@@ -1,0 +1,175 @@
+"""Sparse-vector inner-product top-k over the document corpus.
+
+The reference's Milvus backend declares SPARSE_FLOAT_VECTOR as a first-class
+field type (milvus/module.py:142); Milvus serves it with the IP metric over
+an inverted index.  This module is that capability Spark-first: documents
+become sparse TF-IDF vectors (SMART ltn weighting — log-tf · idf, no
+normalization, matching the IP-only contract of sparse fields), and top-k
+by inner product runs as ONE term equi-join over an inverted index — the
+only plan that survives 100 TB, because the scored row count is
+O(postings matching the query vocabulary), never O(docs × queries).
+
+Scale design:
+
+- **Weights live on postings.**  ``(term, doc_id, tf)`` + a broadcast
+  docfreq row per term turn into weights inside the scan projection; no
+  per-document array is ever materialized or shuffled.
+- **Query vectors are tiny and broadcast.**  Queries are documents drawn
+  from the corpus; their postings (bounded: #queries × terms-per-doc rows)
+  broadcast into the posting join, so the big side shuffles once, on the
+  (qid, doc_id) aggregate.
+- **Impact-ordered pruning is the latency knob** (``prune_postings``):
+  per-term posting lists truncate to the top-``m`` documents by weight —
+  the classic impact-sorted-index trick that caps the cost of stopword-like
+  terms (idf already down-weights them; pruning stops paying their join
+  cost too).  Recall against the exact join is gated in
+  ``__spark_entry__.q_sparse_prune_recall``.
+- **Engine-stable scoring** (the bm25_topk convention): weights round to
+  6 dp, per-term products to 9 dp, accumulation in DECIMAL (order- and
+  partitioning-independent), final score rounds to 6 dp *before* ranking;
+  ties break by ascending doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigvectorbench_spark.operators.retrieval import postings, stats_from_postings
+
+# Per-term sparse weight: SMART "ltn" — (1 + ln tf) · ln(N/df), rounded to
+# 6 dp so both engines rank identical values.  df ≥ 1 always (df counts
+# docs that CONTAIN the term), so ln(N/df) is total; a term present in
+# every document weighs 0 and drops out of the inner product naturally.
+def _weight(tf, n, df):
+    w = (F.lit(1.0) + F.log(tf.cast("double"))) * F.log(n / df)
+    return F.round(w, 6)
+
+
+def _bigrams(tk):
+    """Adjacent word pairs WITH duplicates (tf matters here, unlike the
+    distinct shingle sets in functions/text.py)."""
+    n = F.size(tk) - 1
+    idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.lit([]).cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)))
+
+
+def lexical_postings(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Postings over unigram + bigram features — the realistic lexical
+    sparse-vector feature set: unigrams are the high-df head (where impact
+    pruning bites and idf already discounts), bigrams the discriminative
+    tail that carries the ranking signal.  Same (term, doc_id, dl, tf)
+    schema as retrieval.postings, so it drops into ``sparse_postings``."""
+    from bigvectorbench_spark.functions import text as tx
+
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"), tx.tokens(F.col(text_col)).alias("tk"))
+    feats = tk.select("doc_id", F.concat("tk", _bigrams(F.col("tk"))).alias("ft"))
+    feats = feats.select("doc_id", "ft", F.size("ft").alias("dl"))
+    return (
+        feats.select("doc_id", "dl", F.explode("ft").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def sparse_postings(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    post: DataFrame | None = None,
+) -> DataFrame:
+    """Weighted inverted index ``(term, doc_id, w)`` over the whole corpus —
+    the sparse-vector table in posting form (index build, M2 analog).
+
+    ``post``: pass a precomputed/persisted postings frame to share the
+    corpus tokenization with BM25 and evaluation consumers."""
+    if post is None:
+        post = postings(docs, id_col=id_col, text_col=text_col)
+    dfr = post.groupBy("term").agg(F.count("*").alias("df"))
+    stats = stats_from_postings(post)
+    n = F.col("n_docs").cast("double")
+    return (
+        post.join(dfr, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            _weight(F.col("tf"), n, F.col("df").cast("double")).alias("w"),
+        )
+    )
+
+
+def prune_postings(wpost: DataFrame, m: int) -> DataFrame:
+    """Impact-ordered truncation: keep each term's top-``m`` documents by
+    weight (ties by ascending doc id).  Index-build-time and
+    query-independent, so the pruned index serves any workload; recall loss
+    is bounded by how much query-relevant mass sits past rank ``m`` — gated
+    by the declared recall query."""
+    w = Window.partitionBy("term").orderBy(F.col("w").desc(), F.col("doc_id"))
+    return (
+        wpost.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= m)
+        .drop("__r")
+    )
+
+
+def sparse_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    wpost: DataFrame | None = None,
+    qwpost: DataFrame | None = None,
+) -> DataFrame:
+    """Exact sparse inner-product top-k: for each query document, the ``k``
+    documents with the highest TF-IDF inner product.  Returns
+    (qid, doc_id, score, rank).
+
+    ``queries`` is a one-column frame of query doc ids (``qid_col``) drawn
+    from the corpus — queries are sparse vectors themselves, so their
+    weights come from the same index.  ``wpost``: pass a precomputed
+    (possibly ``prune_postings``-truncated) weighted index; by default the
+    full exact index is built in-plan.  ``qwpost``: where the QUERY
+    vectors' weights come from (default: ``wpost``) — pass the full index
+    here when ``wpost`` is pruned, since real queries arrive untruncated.
+
+    Only postings whose term occurs in some query survive the broadcast
+    semi-join, so a rare-vocabulary query set touches a sliver of the
+    index.  df/idf still reflect the WHOLE corpus (weights are computed on
+    the full index before the semi-join), so scores are identical to a
+    dense evaluation of the same vectors.
+    """
+    if wpost is None:
+        wpost = sparse_postings(docs, id_col=id_col, text_col=text_col)
+    if qwpost is None:
+        qwpost = wpost
+    qids = queries.select(F.col(qid_col).alias("qid"))
+    # Query-side sparse vectors: the query docs' own rows of the index.
+    qw = qwpost.join(
+        F.broadcast(qids), wpost["doc_id"] == F.col("qid")
+    ).select("qid", "term", F.col("w").alias("qwv"))
+    qvocab = qw.select("term").distinct()
+
+    hits = wpost.join(F.broadcast(qvocab), "term")
+    scored = hits.join(F.broadcast(qw), "term").select(
+        "qid",
+        "doc_id",
+        F.round(F.col("w") * F.col("qwv"), 9).cast("decimal(28,10)").alias("c"),
+    )
+    per_doc = scored.groupBy("qid", "doc_id").agg(
+        F.round(F.sum("c"), 6).cast("double").alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

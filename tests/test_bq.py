@@ -227,3 +227,18 @@ def test_encode_kernel_matches_expr(spark):
         sorted((r["id"], list(r["words"])) for r in b.collect())
     with pytest.raises(ValueError, match="unknown method"):
         idx.encode(tdf, method="nope")
+
+
+def test_save_load_roundtrip(spark, tmp_path):
+    """Thresholds survive parquet exactly (doubles), so a reloaded index
+    packs byte-identical codes."""
+    X = make_blobs(80, 24, seed=9)
+    df = _vec_df(spark, X)
+    idx = BQIndex.fit(df, sort_col="id")
+    path = str(tmp_path / "bq")
+    idx.save(spark, path)
+    back = BQIndex.load(spark, path)
+    assert back.thresholds == idx.thresholds
+    a = idx.encode(df, keep=["id"]).orderBy("id").collect()
+    b = back.encode(df, keep=["id"]).orderBy("id").collect()
+    assert [r["words"] for r in a] == [r["words"] for r in b]

@@ -1,0 +1,151 @@
+"""Sparse inner-product top-k vs a pure-python TF-IDF oracle, impact
+pruning semantics, and the no-cartesian plan shape."""
+
+import math
+
+import pytest
+
+from bigvectorbench_spark.operators import sparse as sp
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "web"),
+        (1, "the lazy dog sleeps in the sun all day", "web"),
+        (2, "quick quick quick brown foxes everywhere", "web"),
+        (3, "spark shuffles partitions across the cluster", "code"),
+        (4, "partitions and shuffles and joins in spark", "code"),
+        (5, "a completely different document about gardening roses", "web"),
+        (6, "roses are red the sun is bright", "web"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    ).cache()
+
+
+def _py_weights(corpus):
+    """SMART ltn weights with the operator's rounding discipline."""
+    toks = {i: t.split() for i, t, _ in corpus}
+    n = len(toks)
+    df = {}
+    for tk in toks.values():
+        for t in set(tk):
+            df[t] = df.get(t, 0) + 1
+    return {
+        i: {
+            t: round((1 + math.log(tk.count(t))) * math.log(n / df[t]), 6)
+            for t in set(tk)
+        }
+        for i, tk in toks.items()
+    }
+
+
+def _py_sparse_topk(corpus, qids, k=10):
+    w = _py_weights(corpus)
+    out = {}
+    for q in qids:
+        scores = {}
+        for d, wd in w.items():
+            s = sum(round(w[q][t] * wd[t], 9) for t in w[q] if t in wd)
+            if s != 0.0:
+                scores[d] = round(s, 6)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[q] = ranked
+    return out
+
+
+def test_sparse_topk_matches_python_oracle(spark, docs):
+    corpus = [(r["doc_id"], r["text"], r["source"]) for r in docs.collect()]
+    qids = [0, 3, 5]
+    queries = spark.createDataFrame([(q,) for q in qids], "qid bigint")
+    got = sp.sparse_topk(docs, queries, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    expect = _py_sparse_topk(corpus, qids)
+    for q in qids:
+        ranked = [(d, s) for _, d, s in sorted(by_q[q])]
+        assert [d for d, _ in ranked] == [d for d, _ in expect[q]], f"qid={q}"
+        assert [s for _, s in ranked] == pytest.approx([s for _, s in expect[q]])
+
+
+def test_self_match_ranks_first(spark, docs):
+    """A document's own sparse vector maximizes its inner product here
+    (every weight ≥ 0 and the self dot is the full squared mass)."""
+    queries = spark.createDataFrame([(0,), (3,)], "qid bigint")
+    got = sp.sparse_topk(docs, queries, k=3).filter("rank = 1").collect()
+    assert {r["qid"]: r["doc_id"] for r in got} == {0: 0, 3: 3}
+
+
+def test_prune_postings_caps_list_length(spark, docs):
+    wpost = sp.sparse_postings(docs)
+    pruned = sp.prune_postings(wpost, m=2)
+    per_term = pruned.groupBy("term").count().collect()
+    assert all(r["count"] <= 2 for r in per_term)
+    # kept rows are each term's top-2 by (weight desc, doc asc)
+    full = {}
+    for r in wpost.collect():
+        full.setdefault(r["term"], []).append((-r["w"], r["doc_id"]))
+    kept = {}
+    for r in pruned.collect():
+        kept.setdefault(r["term"], set()).add(r["doc_id"])
+    for t, lst in full.items():
+        expect = {d for _, d in sorted(lst)[:2]}
+        assert kept[t] == expect, f"term={t}"
+
+
+def test_pruned_search_with_full_query_side(spark, docs):
+    """Pruned doc index + full query vectors: scores only ever shrink
+    (weights ≥ 0 ⇒ dropping postings drops non-negative contributions),
+    and with a generous m the ranking equals exact."""
+    wpost = sp.sparse_postings(docs).cache()
+    queries = spark.createDataFrame([(0,), (4,)], "qid bigint")
+    exact = sp.sparse_topk(docs, queries, k=5, wpost=wpost)
+    loose = sp.sparse_topk(
+        docs, queries, k=5, wpost=sp.prune_postings(wpost, m=100), qwpost=wpost
+    )
+    e = sorted(map(tuple, exact.collect()))
+    l = sorted(map(tuple, loose.collect()))
+    assert e == l
+    tight = sp.sparse_topk(
+        docs, queries, k=5, wpost=sp.prune_postings(wpost, m=2), qwpost=wpost
+    ).collect()
+    exact_scores = {(r["qid"], r["doc_id"]): r["score"] for r in exact.collect()}
+    for r in tight:
+        if (r["qid"], r["doc_id"]) in exact_scores:
+            assert r["score"] <= exact_scores[(r["qid"], r["doc_id"])] + 1e-9
+
+
+def test_lexical_postings_bigram_tf(spark, docs):
+    """Unigram+bigram features keep duplicates: 'quick quick quick brown
+    foxes everywhere' holds bigram 'quick quick' twice (tf=2) and unigram
+    'quick' three times (tf=3)."""
+    post = {(r["term"], r["doc_id"]): r["tf"]
+            for r in sp.lexical_postings(docs).collect()}
+    assert post[("quick", 2)] == 3
+    assert post[("quick quick", 2)] == 2
+    assert post[("quick brown", 2)] == 1
+    assert ("quick quick quick", 2) not in post  # bigrams only
+    # dl = unigrams + bigrams = 2·len − 1 for a doc with no empty tokens
+    one = [r for r in sp.lexical_postings(docs).collect() if r["doc_id"] == 5][0]
+    assert one["dl"] == 2 * 7 - 1
+
+
+def test_single_token_doc_has_no_bigrams(spark):
+    docs = spark.createDataFrame([(0, "hello", "w"), (1, "", "w")],
+                                 "doc_id bigint, text string, source string")
+    rows = sp.lexical_postings(docs).collect()
+    assert {(r["term"], r["doc_id"], r["tf"]) for r in rows} == {("hello", 0, 1)}
+
+
+def test_plan_has_no_cartesian(spark, docs):
+    """Score joins are broadcast hash joins on ``term``; the only
+    nested-loop is the 1-row corpus-stats frame (the bm25 convention —
+    see test_plans.test_approx_quantile_buckets_has_no_global_sort)."""
+    queries = spark.createDataFrame([(0,)], "qid bigint")
+    plan = sp.sparse_topk(docs, queries, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the corpus never shuffles for the query joins
+    assert "WindowGroupLimit" in plan
