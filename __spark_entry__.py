@@ -1947,6 +1947,18 @@ def q_decontaminate(spark, sf):
     return cur.decontaminate_report(_docs_wide(spark, sf)).orderBy("source")
 
 
+def q_bloom_decontaminate(spark, sf):
+    """Bloom-filter decontamination (the third memory regime beside the
+    broadcast semi-join and the sorted-array kernel: ~3.6 bytes per
+    eval window hash at fp=1e-6, so billion-window eval inventories still
+    broadcast).  Exact per-group counts are independently recomputed by
+    the oracle; the booleans assert the filter's defining one-sided-error
+    contract — superset_ok (NO false negative: every exact hit flagged)
+    and fp_extra_ok (false-positive excess within the design bound)."""
+    from bigvectorbench_spark.operators import curation as cur
+    return cur.bloom_decontaminate_report(_docs_wide(spark, sf)).orderBy("source")
+
+
 def q_substring_dedup(spark, sf):
     """Repeated 15-token-window detection corpus-wide (the distributed
     analog of exact substring dedup, Lee et al. 2022).  Shuffles 8-byte
@@ -2742,14 +2754,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_per_source": q_top_terms_per_source,
         # ==== below the 50-slot window from here ===========================
         # ROUND-9 HEAD-OF-WINDOW: the round-8-late declarations (sq8_knn,
-        # sq8_recall, sparse_knn, sparse_prune_recall — sweep-verified at
-        # both sfs this round by scripts/check_oracle.py, never
-        # driver-checked) plus these 11 r6-green aggregates at age 2 must
-        # lead the round-9 window.
+        # sq8_recall, sparse_knn, sparse_prune_recall, bloom_decontaminate
+        # — sweep-verified at both sfs this round by
+        # scripts/check_oracle.py, never driver-checked) plus these 11
+        # r6-green aggregates at age 2 must lead the round-9 window.
         "sq8_knn": q_sq8_knn,
         "sq8_recall": q_sq8_recall,
         "sparse_knn": q_sparse_knn,
         "sparse_prune_recall": q_sparse_prune_recall,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "corpus_rollup": q_corpus_rollup,
@@ -4693,6 +4706,25 @@ c AS (SELECT DISTINCT doc_id FROM
         (SELECT doc_id, unnest(whs) AS wh FROM t) x JOIN e USING (wh))
 SELECT source, count(*)::BIGINT AS n_train,
        count(c.doc_id)::BIGINT AS n_contaminated
+FROM t LEFT JOIN c USING (doc_id) GROUP BY source
+""",
+        # bloom_decontaminate: the exact counts are the decontaminate CTEs
+        # verbatim (independently recomputed); the booleans assert the
+        # Bloom contract — superset (no false negatives) and the fp bound.
+        "bloom_decontaminate": f"""
+WITH tk AS (SELECT doc_id, source, {_TOKENS} AS tk FROM documents),
+tkh AS (SELECT doc_id, source, tk, {_TH} AS th FROM tk),
+w AS (SELECT doc_id, source, doc_id % 97 = 0 AS is_eval,
+             list_distinct(list_transform(range(1, greatest(len(tk) - 6, 1)),
+                 i -> {_rwh("i", 8)})) AS whs
+      FROM tkh),
+e AS (SELECT DISTINCT unnest(whs) AS wh FROM w WHERE is_eval),
+t AS (SELECT doc_id, source, whs FROM w WHERE NOT is_eval),
+c AS (SELECT DISTINCT doc_id FROM
+        (SELECT doc_id, unnest(whs) AS wh FROM t) x JOIN e USING (wh))
+SELECT source, count(*)::BIGINT AS n_train,
+       count(c.doc_id)::BIGINT AS n_contaminated,
+       TRUE AS superset_ok, TRUE AS fp_extra_ok
 FROM t LEFT JOIN c USING (doc_id) GROUP BY source
 """,
         "substring_dedup": f"""

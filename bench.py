@@ -104,6 +104,7 @@ HEADLINE = [
     "bm25_topk",
     "sparse_knn",
     "sparse_prune_recall",
+    "bloom_decontaminate",
     "retrieval_eval",
     "quality_classifier",
     "hybrid_rrf_topk",

@@ -784,6 +784,86 @@ def _decontaminate_report_arrow(df: DataFrame, *, id_col: str,
     )
 
 
+def bloom_decontaminate_report(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    group_col: str = "source", eval_mod: int = 97, ngram: int = 8,
+    fp_rate: float = 1e-6, max_extra_frac: float = 0.02,
+) -> DataFrame:
+    """Decontamination through a Bloom filter — the memory regime past both
+    sibling methods: the broadcast semi-join table costs 8+ bytes per eval
+    window hash plus the join hashmap, the sorted-array kernel 8 bytes;
+    the Bloom bitmap costs ~3.6 bytes/hash at fp=1e-6 (operators/bloom.py),
+    so a 1B-window eval inventory broadcasts as ~3.6 GB of bits instead of
+    >8 GB of hashes.  (fp=1e-6 rather than the textbook 1e-4: a fp WINDOW
+    flags a whole doc — and every planted duplicate of it — so the
+    per-doc fp rate is ~windows-per-doc × p; 1e-6 keeps the expected fp
+    doc count ≪ 1 per declared corpus, making the gate deterministic-green
+    rather than threshold-lucky.  Both oracle sfs measured clean at every
+    rate once bloom_params forced the power-of-two/odd-h2 period.)  The error is one-sided by construction: **no false
+    negatives** (every truly contaminated doc flags), a bounded rate of
+    false positives (extra docs removed — the direction decontamination
+    tolerates).
+
+    Returns per-group rows carrying the EXACT counts (independently
+    recomputable by the SQL oracle) plus two asserted booleans:
+    ``superset_ok`` — every exact-contaminated doc was Bloom-flagged (trips
+    on any build/probe hash or bit-layout mismatch); ``fp_extra_ok`` —
+    Bloom flagged at most max(1, ceil(max_extra_frac·n_train)) docs beyond
+    exact (trips if the fp design point is off by orders of magnitude).
+
+    Plan shape: eval inventory scan → bitmap fold (driver gets
+    partitions × m/8 bytes); train side is ONE map-only probe pass (no
+    explode, no join — bloom_probe_any) plus the exact semi-join pass the
+    gate compares against; one rollup shuffle of (group, flags) rows."""
+    from bigvectorbench_spark.operators import bloom as bl
+
+    tokenized = df.select(
+        F.col(id_col), F.col(group_col),
+        tx.tokens(F.col(text_col)).alias("tk"),
+        (F.col(id_col) % eval_mod == 0).alias("is_eval"),
+    ).select(
+        id_col, group_col, "is_eval", token_hashes(F.col("tk")).alias("th"),
+    ).select(
+        id_col, group_col, "is_eval",
+        F.array_distinct(rolling_window_hashes(F.col("th"), ngram))
+        .alias("whs"),
+    ).persist()
+    eval_whs = (
+        tokenized.filter("is_eval")
+        .select(F.explode("whs").alias("wh")).distinct()
+    ).persist()
+    m_bits, k = bl.bloom_params(eval_whs.count(), fp_rate)
+    bm = bl.bloom_build(eval_whs, "wh", m_bits=m_bits, k=k)
+
+    train = tokenized.filter(~F.col("is_eval"))
+    probed = bl.bloom_probe_any(
+        train.select(id_col, group_col, "whs"), "whs", bm, k=k,
+        out_col="bloom_hit").drop("whs")
+    exact_ids = (
+        train.select(id_col, F.explode("whs").alias("wh"))
+        .join(F.broadcast(eval_whs), "wh", "left_semi")
+        .select(id_col).distinct().withColumn("exact_hit", F.lit(True))
+    )
+    flags = probed.join(exact_ids, id_col, "left").select(
+        group_col, "bloom_hit",
+        F.coalesce("exact_hit", F.lit(False)).alias("exact_hit"))
+    agg = flags.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_train"),
+        F.sum(F.col("exact_hit").cast("int")).cast("bigint")
+        .alias("n_contaminated"),
+        F.sum(F.col("bloom_hit").cast("int")).cast("bigint").alias("__n_bloom"),
+        F.sum((F.col("exact_hit") & ~F.col("bloom_hit")).cast("int"))
+        .alias("__missed"),
+    )
+    return agg.select(
+        group_col, "n_train", "n_contaminated",
+        (F.col("__missed") == 0).alias("superset_ok"),
+        ((F.col("__n_bloom") - F.col("n_contaminated")) <=
+         F.greatest(F.lit(1), F.ceil(F.lit(max_extra_frac) * F.col("n_train"))))
+        .alias("fp_extra_ok"),
+    )
+
+
 # ------------------------------------------------------- substring-level dedup
 
 
