@@ -1959,6 +1959,34 @@ def q_bloom_decontaminate(spark, sf):
     return cur.bloom_decontaminate_report(_docs_wide(spark, sf)).orderBy("source")
 
 
+def q_weighted_sample(spark, sf):
+    """Exact-size weighted sampling without replacement (Efraimidis-
+    Spirakis exponential keys): 100 documents drawn ∝ token count.  The
+    Bernoulli mixers (domain_mix, temperature_sample) only hit their size
+    in expectation; a training-data budget wants exactly n.  Plans as
+    TakeOrderedAndProject — per-partition top-n heaps, no global sort
+    materialization (test_sampling pins the plan).  Fully value-oracled:
+    u = portable md5 hash on a 2⁴⁰ grid, keys rounded 9 dp pre-rank."""
+    from bigvectorbench_spark.operators import sampling as smp
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.size(tx.tokens(F.col("text"))).cast("double").alias("w"))
+    return smp.weighted_sample(docs, n=100, weight_col="w").select(
+        "doc_id", "skey")
+
+
+def q_stratified_sample(spark, sf):
+    """Exact per-group quotas: 5 uniformly-chosen docs per source (seeded
+    portable hash — same sample on any engine/partitioning).
+    WindowGroupLimit bounds each group's shipped rows pre-exchange
+    (test_sampling pins the plan)."""
+    from bigvectorbench_spark.operators import sampling as smp
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "source")
+    return smp.stratified_sample(docs, group_col="source", quota=5).select(
+        "doc_id", "source", "srank")
+
+
 def q_substring_dedup(spark, sf):
     """Repeated 15-token-window detection corpus-wide (the distributed
     analog of exact substring dedup, Lee et al. 2022).  Shuffles 8-byte
@@ -2754,15 +2782,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_per_source": q_top_terms_per_source,
         # ==== below the 50-slot window from here ===========================
         # ROUND-9 HEAD-OF-WINDOW: the round-8-late declarations (sq8_knn,
-        # sq8_recall, sparse_knn, sparse_prune_recall, bloom_decontaminate
-        # — sweep-verified at both sfs this round by
-        # scripts/check_oracle.py, never driver-checked) plus these 11
-        # r6-green aggregates at age 2 must lead the round-9 window.
+        # sq8_recall, sparse_knn, sparse_prune_recall, bloom_decontaminate,
+        # weighted_sample, stratified_sample — each sweep-verified at both
+        # sfs this round by scripts/check_oracle.py, never driver-checked)
+        # plus these 11 r6-green aggregates at age 2 must lead the round-9
+        # window.
         "sq8_knn": q_sq8_knn,
         "sq8_recall": q_sq8_recall,
         "sparse_knn": q_sparse_knn,
         "sparse_prune_recall": q_sparse_prune_recall,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "weighted_sample": q_weighted_sample,
+        "stratified_sample": q_stratified_sample,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "corpus_rollup": q_corpus_rollup,
@@ -4707,6 +4738,31 @@ c AS (SELECT DISTINCT doc_id FROM
 SELECT source, count(*)::BIGINT AS n_train,
        count(c.doc_id)::BIGINT AS n_contaminated
 FROM t LEFT JOIN c USING (doc_id) GROUP BY source
+""",
+        # weighted_sample / stratified_sample: the sampling pipelines
+        # replayed end-to-end — portable md5 u on the 2^40 grid, A-ES key
+        # -ln(u)/w rounded 9 dp, (key, id) / (u, id) ranking.
+        "weighted_sample": f"""
+WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+w AS (SELECT doc_id, len(tk)::DOUBLE AS w FROM tk WHERE len(tk) > 0),
+u AS (SELECT doc_id, w,
+             (({_PHASH.format(x="doc_id::VARCHAR || ':1'")}) % 1099511627776
+              + 1)::DOUBLE / 1099511627776.0::DOUBLE AS u
+      FROM w)
+SELECT doc_id, round(-ln(u) / w, 9) AS skey
+FROM u ORDER BY skey, doc_id LIMIT 100
+""",
+        "stratified_sample": f"""
+WITH u AS (SELECT doc_id, source,
+                  (({_PHASH.format(x="doc_id::VARCHAR || ':1'")})
+                   % 1099511627776 + 1)::DOUBLE
+                  / 1099511627776.0::DOUBLE AS u
+           FROM documents),
+r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY u, doc_id)
+             AS srank
+      FROM u)
+SELECT doc_id, source, srank FROM r WHERE srank <= 5
 """,
         # bloom_decontaminate: the exact counts are the decontaminate CTEs
         # verbatim (independently recomputed); the booleans assert the

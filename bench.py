@@ -105,6 +105,8 @@ HEADLINE = [
     "sparse_knn",
     "sparse_prune_recall",
     "bloom_decontaminate",
+    "weighted_sample",
+    "stratified_sample",
     "retrieval_eval",
     "quality_classifier",
     "hybrid_rrf_topk",

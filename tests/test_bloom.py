@@ -98,3 +98,17 @@ def test_bloom_decontaminate_matches_exact_counts(spark):
         assert got[s]["n_contaminated"] == exact[s]["n_contaminated"]
         assert got[s]["superset_ok"] and got[s]["fp_extra_ok"]
     assert got["s0"]["n_contaminated"] >= 1 and got["s1"]["n_contaminated"] >= 1
+
+
+def test_probe_any_plan_is_map_only(spark):
+    """The array-any probe claims map-only: no join, no exchange, no
+    generate (explode) anywhere in its plan."""
+    items = spark.createDataFrame([(i,) for i in range(50)], "v bigint")
+    m, k = bl.bloom_params(50, 0.01)
+    bm = bl.bloom_build(items, "v", m_bits=m, k=k)
+    docs = spark.createDataFrame([(0, [1, 2]), (1, [3])],
+                                 "doc_id bigint, whs array<bigint>")
+    plan = bl.bloom_probe_any(docs, "whs", bm, k=k)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for op in ("Join", "Exchange", "Generate"):
+        assert op not in plan, op
