@@ -7,7 +7,8 @@ Prints, per sf dir given on argv (default sf0.01):
   - SRP blocking recall vs exact brute pairs on the perturbed corpus
   - HLL++ relative error per documents.source
   - percentile_approx rank error per source
-  - IVF / PQ recall mean+min (the existing gates)
+  - IVF / PQ / BQ / OPQ / SQ8 recall mean+min (the declared gates)
+  - HNSW recall by ef, and sparse impact-pruning recall by m
 """
 from __future__ import annotations
 
@@ -109,6 +110,36 @@ def ann_recalls(spark, sf):
     rowo = mx.recall_per_query(approxo, exact).agg(
         F.avg("recall").alias("mean"), F.min("recall").alias("min")).first()
     print(f"OPQ recall mean={rowo['mean']:.4f} min={rowo['min']:.4f}")
+    from bigvectorbench_spark.operators.quantize import (
+        knn_quantized, quantize_table)
+
+    tq = quantize_table(t, vec_col="vec", out_col="qvec").select("id", "qvec")
+    approxs = knn_quantized(tq, q, k=10, method="expr").groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    rows8 = mx.recall_per_query(approxs, exact).agg(
+        F.avg("recall").alias("mean"), F.min("recall").alias("min")).first()
+    print(f"SQ8 recall mean={rows8['mean']:.4f} min={rows8['min']:.4f}")
+
+
+def sparse_prune_recall(spark, sf):
+    from bigvectorbench_spark.operators import sparse as sp
+
+    docs = load_table(spark, sf, "documents").repartition(32)
+    queries = load_table(spark, sf, "documents").filter(
+        "doc_id % 100 = 0").select(F.col("doc_id").alias("qid"))
+    wpost = sp.sparse_postings(docs, post=sp.lexical_postings(docs)).persist()
+    exact = sp.sparse_topk(docs, queries, k=10, wpost=wpost).groupBy(
+        "qid").agg(F.collect_list("doc_id").alias("neighbors"))
+    for m in (32, 64, 128):
+        pruned = sp.sparse_topk(
+            docs, queries, k=10, wpost=sp.prune_postings(wpost, m=m),
+            qwpost=wpost).groupBy("qid").agg(
+            F.collect_list("doc_id").alias("neighbors"))
+        row = mx.recall_per_query(pruned, exact).agg(
+            F.avg("recall").alias("mean"), F.min("recall").alias("min")).first()
+        print(f"sparse prune m={m} recall mean={row['mean']:.4f} "
+              f"min={row['min']:.4f}")
+    wpost.unpersist()
 
 
 def hnsw_recalls(spark, sf):
@@ -138,3 +169,4 @@ if __name__ == "__main__":
         sketch_errors(spark, sf)
         ann_recalls(spark, sf)
         hnsw_recalls(spark, sf)
+        sparse_prune_recall(spark, sf)
