@@ -2407,6 +2407,56 @@ def q_hybrid_rrf_topk(spark, sf):
                         F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_hybrid_sparse_rrf(spark, sf):
+    """Milvus 2.4's sparse+dense hybrid (SPARSE_FLOAT_VECTOR field + dense
+    field, per-field subqueries merged by RRFRanker — the reference
+    backend's multi-vector hybrid form, milvus/module.py:142,422-458):
+    the lexical leg is the sparse TF-IDF inner-product top-20
+    (operators/sparse.py — full query-document vectors, not the 3-term
+    BM25 bag q_hybrid_rrf_topk uses), the dense leg the hashed-embed
+    cosine top-20, fused 1/(60+rank) with the engine-exact rounding
+    ladder.  Value-oracled end to end: both legs' pipelines and the
+    fusion arithmetic are replayed in SQL."""
+    from bigvectorbench_spark.functions import embed as em
+    from bigvectorbench_spark.operators import sparse as sp
+
+    docs = _docs_wide(spark, sf)
+    qids = load_table(spark, sf, "documents").filter("doc_id % 250 = 0").select(
+        F.col("doc_id").alias("qid"))
+    wpost = sp.sparse_postings(docs, post=sp.lexical_postings(docs)).persist()
+    lex = sp.sparse_topk(docs, qids, k=20, wpost=wpost).select(
+        "qid", "doc_id", "rank")
+
+    base = (docs
+            .select("doc_id", tx.tokens(F.col("text")).alias("tk"))
+            .select("doc_id", em.token_hashes(F.col("tk")).alias("th"))
+            .select("doc_id", em.hashed_embedding(F.col("th")).alias("v"))
+            .withColumn("nsq", F.aggregate("v", F.lit(0).cast("bigint"),
+                                           lambda a, x: a + x * x))
+            .filter(F.col("nsq") > 0))
+    qv = (base.filter(F.pmod(F.col("doc_id"), F.lit(250)) == 0)
+          .select(F.col("doc_id").alias("qid"), F.col("v").alias("qv"),
+                  F.col("nsq").alias("qn")))
+    tv = base.select(F.col("doc_id").alias("id"), F.col("v").alias("tv"),
+                     F.col("nsq").alias("tn"))
+    dot = F.aggregate(F.zip_with("qv", "tv", lambda a, b: a * b),
+                      F.lit(0).cast("bigint"), lambda a, x: a + x)
+    joined = tv.crossJoin(F.broadcast(qv)).select(
+        "qid", "id",
+        (F.lit(1.0) - dot.cast("double")
+         / (F.sqrt(F.col("qn").cast("double"))
+            * F.sqrt(F.col("tn").cast("double")))).alias("d"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.col("d"), F.col("id"))
+    vec = (joined.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 20)
+           .select("qid", F.col("id").alias("doc_id"), "rank"))
+
+    fused = rt.rrf_fuse([lex, vec], k=10, k0=60)
+    return fused.select("qid", "doc_id", "score",
+                        F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_mmr_rerank(spark, sf):
     """Diversity-aware re-ranking (Carbonell & Goldstein's Maximal
     Marginal Relevance — the standard RAG diversity stage): the
@@ -2787,10 +2837,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== below the 50-slot window from here ===========================
         # ROUND-9 HEAD-OF-WINDOW: the round-8-late declarations (sq8_knn,
         # sq8_recall, sparse_knn, sparse_prune_recall, bloom_decontaminate,
-        # weighted_sample, stratified_sample — each sweep-verified at both
-        # sfs this round by scripts/check_oracle.py, never driver-checked)
-        # plus these 11 r6-green aggregates at age 2 must lead the round-9
-        # window.
+        # weighted_sample, stratified_sample, hybrid_sparse_rrf — each
+        # sweep-verified at both sfs this round by scripts/check_oracle.py,
+        # never driver-checked) plus these 11 r6-green aggregates at age 2
+        # must lead the round-9 window.
         "sq8_knn": q_sq8_knn,
         "sq8_recall": q_sq8_recall,
         "sparse_knn": q_sparse_knn,
@@ -2798,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "weighted_sample": q_weighted_sample,
         "stratified_sample": q_stratified_sample,
+        "hybrid_sparse_rrf": q_hybrid_sparse_rrf,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "corpus_rollup": q_corpus_rollup,
@@ -4767,6 +4818,59 @@ r AS (SELECT doc_id, source,
              AS srank
       FROM u)
 SELECT doc_id, source, srank FROM r WHERE srank <= 5
+""",
+        # hybrid_sparse_rrf: the sparse-IP leg (unigram+bigram TF-IDF,
+        # %250 queries, top-20) + the hashed-embed cosine leg + the RRF
+        # tail — every stage the rounding-ladder twin of its Spark form.
+        "hybrid_sparse_rrf": f"""
+WITH tk0 AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+ftk AS (SELECT doc_id,
+               list_concat(tk, list_transform(range(1, greatest(len(tk), 1)),
+                   i -> tk[i] || ' ' || tk[i+1])) AS ft
+        FROM tk0),
+sstats AS (SELECT count(*)::DOUBLE AS n FROM ftk),
+spost AS (SELECT doc_id, unnest(ft) AS term FROM ftk),
+stfs AS (SELECT term, doc_id, count(*) AS tf FROM spost GROUP BY term, doc_id),
+sdfr AS (SELECT term, count(*) AS df FROM stfs GROUP BY term),
+sw AS (SELECT t.term, t.doc_id,
+              round((1.0 + ln(t.tf::DOUBLE)) * ln(s.n / sdfr.df::DOUBLE), 6) AS w
+       FROM stfs t JOIN sdfr ON t.term = sdfr.term CROSS JOIN sstats s),
+sqw AS (SELECT doc_id AS qid, term, w AS qwv FROM sw WHERE doc_id % 250 = 0),
+ssc AS (SELECT sqw.qid, sw.doc_id, round(sw.w * sqw.qwv, 9)::DECIMAL(28,10) AS c
+        FROM sw JOIN sqw ON sw.term = sqw.term),
+sagg AS (SELECT qid, doc_id, CAST(round(sum(c), 6) AS DOUBLE) AS score
+         FROM ssc GROUP BY qid, doc_id),
+lexr AS (SELECT qid, doc_id,
+                row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+                AS rank
+         FROM sagg QUALIFY rank <= 20),
+vth AS (SELECT doc_id, {_TH} AS th FROM tk0),
+vv AS (SELECT doc_id, list_transform(range(0, 64), j ->
+   coalesce(list_sum(list_transform(th, h -> CASE WHEN h % 64 = j
+      THEN CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END
+      ELSE 0 END)), 0)) AS v FROM vth),
+vn AS (SELECT doc_id, v, list_sum(list_transform(v, x -> x * x)) AS nsq FROM vv),
+vbase AS (SELECT doc_id, v, nsq FROM vn WHERE nsq > 0),
+vq AS (SELECT doc_id AS qid, v AS qv, nsq AS qn FROM vbase WHERE doc_id % 250 = 0),
+vs AS (SELECT vq.qid, b.doc_id,
+   1.0 - list_sum(list_transform(list_zip(vq.qv, b.v), p -> p[1] * p[2]))::DOUBLE
+       / (sqrt(vq.qn::DOUBLE) * sqrt(b.nsq::DOUBLE)) AS dd
+   FROM vbase b, vq),
+vecr AS (SELECT qid, doc_id,
+                row_number() OVER (PARTITION BY qid ORDER BY dd, doc_id) AS rank
+         FROM vs QUALIFY rank <= 20),
+u AS (SELECT qid, doc_id,
+             round(1.0 / (60.0 + rank), 9)::DECIMAL(28,10) AS t FROM lexr
+      UNION ALL
+      SELECT qid, doc_id,
+             round(1.0 / (60.0 + rank), 9)::DECIMAL(28,10) AS t FROM vecr),
+f AS (SELECT qid, doc_id, CAST(round(sum(t), 6) AS DOUBLE) AS score
+      FROM u GROUP BY qid, doc_id),
+rr AS (SELECT qid, doc_id, score,
+              row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+              AS rank
+       FROM f)
+SELECT qid, doc_id, score, rank FROM rr WHERE rank <= 10
 """,
         # bloom_decontaminate: the exact counts are the decontaminate CTEs
         # verbatim (independently recomputed); the booleans assert the

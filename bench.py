@@ -107,6 +107,7 @@ HEADLINE = [
     "bloom_decontaminate",
     "weighted_sample",
     "stratified_sample",
+    "hybrid_sparse_rrf",
     "retrieval_eval",
     "quality_classifier",
     "hybrid_rrf_topk",
