@@ -2416,7 +2416,13 @@ def q_hybrid_sparse_rrf(spark, sf):
     BM25 bag q_hybrid_rrf_topk uses), the dense leg the hashed-embed
     cosine top-20, fused 1/(60+rank) with the engine-exact rounding
     ladder.  Value-oracled end to end: both legs' pipelines and the
-    fusion arithmetic are replayed in SQL."""
+    fusion arithmetic are replayed in SQL.
+
+    100× forms of both legs are separately declared: the sparse leg's is
+    the impact-pruned index (sparse_prune_recall gates it; the decade is
+    SCALE_SPARSE_r8.json), the dense leg's is the BQ-indexed candidate
+    stage hybrid_rrf_scale already runs through the same rrf_fuse — this
+    query pins the multi-FIELD composition semantics at oracle scale."""
     from bigvectorbench_spark.functions import embed as em
     from bigvectorbench_spark.operators import sparse as sp
 
