@@ -1947,6 +1947,53 @@ def q_decontaminate(spark, sf):
     return cur.decontaminate_report(_docs_wide(spark, sf)).orderBy("source")
 
 
+def q_sparse_delta_report(spark, sf):
+    """Incremental maintenance for the sparse index — the ivf_delta twin:
+    a 10% arrival batch (doc_id % 10 = 7) absorbs with FROZEN base
+    statistics (stale idf, map-side append, zero existing postings
+    touched), and this one-row report meters the price: posting/vocab
+    volumes plus the mean |idf drift| over base terms the delta touched —
+    the rebuild-on-evidence signal.  Fully value-oracled (the drift
+    arithmetic replays in SQL with the 9-dp/DECIMAL/6-dp ladder)."""
+    from bigvectorbench_spark.operators import sparse as sp
+
+    docs = _docs_wide(spark, sf)
+    base_post = sp.lexical_postings(docs.filter("doc_id % 10 != 7"))
+    delta_post = sp.lexical_postings(docs.filter("doc_id % 10 = 7"))
+    return sp.sparse_delta_report(base_post, delta_post)
+
+
+def q_sparse_delta_parity(spark, sf):
+    """Closes the stale-idf loop the hybrid_rrf_parity way: the same
+    queries search the absorbed index (base weights + stale-weight delta
+    postings union) AND a full rebuild over base+delta; top-10 overlap is
+    emitted as oracle-asserted threshold booleans.  Measured 0.96/0.9 at
+    sf0.001 and 0.92/0.7 at sf0.01 (a 10% arrival barely moves idf);
+    tight gate 0.85/0.6, off-sf floor 0.5/0.2."""
+    from bigvectorbench_spark.operators import sparse as sp
+
+    mean_thr, min_thr = _gate(sf, tight=(0.85, 0.6), floor=(0.5, 0.2))
+    docs = _docs_wide(spark, sf)
+    base = docs.filter("doc_id % 10 != 7")
+    delta = docs.filter("doc_id % 10 = 7")
+    base_post = sp.lexical_postings(base).persist()
+    absorbed = sp.sparse_postings(base, post=base_post).unionByName(
+        sp.stale_weight_postings(delta, base_post)).persist()
+    rebuilt = sp.sparse_postings(docs, post=sp.lexical_postings(docs)).persist()
+    queries = load_table(spark, sf, "documents").filter("doc_id % 100 = 0").select(
+        F.col("doc_id").alias("qid"))
+    stale = sp.sparse_topk(docs, queries, k=10, wpost=absorbed).groupBy(
+        "qid").agg(F.collect_list("doc_id").alias("neighbors"))
+    fresh = sp.sparse_topk(docs, queries, k=10, wpost=rebuilt).groupBy(
+        "qid").agg(F.collect_list("doc_id").alias("neighbors"))
+    per_q = mx.recall_per_query(stale, fresh)
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg("recall") >= mean_thr).alias("mean_recall_ok"),
+        (F.min("recall") >= min_thr).alias("min_recall_ok"),
+    )
+
+
 def q_bloom_decontaminate(spark, sf):
     """Bloom-filter decontamination (the third memory regime beside the
     broadcast semi-join and the sorted-array kernel: ~3.6 bytes per
@@ -2843,10 +2890,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ==== below the 50-slot window from here ===========================
         # ROUND-9 HEAD-OF-WINDOW: the round-8-late declarations (sq8_knn,
         # sq8_recall, sparse_knn, sparse_prune_recall, bloom_decontaminate,
-        # weighted_sample, stratified_sample, hybrid_sparse_rrf — each
-        # sweep-verified at both sfs this round by scripts/check_oracle.py,
-        # never driver-checked) plus these 11 r6-green aggregates at age 2
-        # must lead the round-9 window.
+        # weighted_sample, stratified_sample, hybrid_sparse_rrf,
+        # sparse_delta_report, sparse_delta_parity — each sweep-verified at
+        # both sfs this round by scripts/check_oracle.py, never
+        # driver-checked) plus these 11 r6-green aggregates at age 2 must
+        # lead the round-9 window.
         "sq8_knn": q_sq8_knn,
         "sq8_recall": q_sq8_recall,
         "sparse_knn": q_sparse_knn,
@@ -2855,6 +2903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "stratified_sample": q_stratified_sample,
         "hybrid_sparse_rrf": q_hybrid_sparse_rrf,
+        "sparse_delta_report": q_sparse_delta_report,
+        "sparse_delta_parity": q_sparse_delta_parity,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "corpus_rollup": q_corpus_rollup,
@@ -4825,6 +4875,41 @@ r AS (SELECT doc_id, source,
       FROM u)
 SELECT doc_id, source, srank FROM r WHERE srank <= 5
 """,
+        # sparse_delta_report: base/delta unigram+bigram postings, df
+        # tables, and the idf-drift arithmetic replayed — 9-dp per-term
+        # drift, DECIMAL sum, double division, 6-dp mean.
+        "sparse_delta_report": f"""
+WITH tk0 AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+ftk AS (SELECT doc_id,
+               list_concat(tk, list_transform(range(1, greatest(len(tk), 1)),
+                   i -> tk[i] || ' ' || tk[i+1])) AS ft
+        FROM tk0),
+bt AS (SELECT DISTINCT doc_id, unnest(ft) AS term FROM ftk
+       WHERE doc_id % 10 != 7),
+dt AS (SELECT DISTINCT doc_id, unnest(ft) AS term FROM ftk
+       WHERE doc_id % 10 = 7),
+df0 AS (SELECT term, count(*) AS df0 FROM bt GROUP BY term),
+dfd AS (SELECT term, count(*) AS dfd FROM dt GROUP BY term),
+s AS (SELECT (SELECT count(DISTINCT doc_id) FROM bt) AS n0,
+             (SELECT count(DISTINCT doc_id) FROM dt) AS nd),
+touched AS (SELECT df0.df0, dfd.dfd, s.n0, s.nd
+            FROM df0 JOIN dfd USING (term) CROSS JOIN s),
+dr AS (SELECT round(abs(ln(n0::DOUBLE / df0::DOUBLE)
+                      - ln((n0 + nd)::DOUBLE / (df0 + dfd)::DOUBLE)),
+               9)::DECIMAL(28,10) AS d
+       FROM touched)
+SELECT s.n0::BIGINT AS n_base_docs, s.nd::BIGINT AS n_delta_docs,
+       (SELECT count(*) FROM df0)::BIGINT AS vocab_base,
+       (SELECT count(*) FROM dfd WHERE term NOT IN (SELECT term FROM df0))
+           ::BIGINT AS vocab_new,
+       (SELECT sum(df0) FROM df0)::BIGINT AS postings_base,
+       (SELECT sum(dfd) FROM dfd)::BIGINT AS postings_delta,
+       (SELECT count(*) FROM dr)::BIGINT AS terms_touched,
+       (SELECT round(CAST(sum(d) AS DOUBLE) / count(*), 6) FROM dr)
+           AS mean_idf_drift
+FROM s
+""",
+        "sparse_delta_parity": _SPARSE_GATE_SQL,
         # hybrid_sparse_rrf: the sparse-IP leg (unigram+bigram TF-IDF,
         # %250 queries, top-20) + the hashed-embed cosine leg + the RRF
         # tail — every stage the rounding-ladder twin of its Spark form.

@@ -108,6 +108,8 @@ HEADLINE = [
     "weighted_sample",
     "stratified_sample",
     "hybrid_sparse_rrf",
+    "sparse_delta_report",
+    "sparse_delta_parity",
     "retrieval_eval",
     "quality_classifier",
     "hybrid_rrf_topk",

@@ -105,6 +105,90 @@ def sparse_postings(
     )
 
 
+def stale_weight_postings(
+    delta_docs: DataFrame,
+    base_post: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Weighted postings for ARRIVING documents under the BASE corpus
+    statistics — the incremental-maintenance move (the IVF analog assigns
+    arrivals to existing centroids, similarity.py ivf_delta): tf comes
+    from the new documents, but idf keeps the already-published n and df,
+    so NO existing posting is touched and the delta is a map-side append.
+    Terms unseen in the base corpus get the rarest-known idf (df = 1) —
+    the optimistic convention for fresh vocabulary.
+
+    The price is idf staleness (scores drift as true df moves under the
+    frozen weights); ``sparse_delta_report`` meters exactly that drift so
+    the rebuild can be scheduled on evidence, and the declared parity
+    gate bounds the ranking impact."""
+    dpost = lexical_postings(delta_docs, id_col=id_col, text_col=text_col)
+    dfr0 = base_post.groupBy("term").agg(F.count("*").alias("df0"))
+    stats0 = stats_from_postings(base_post)
+    n0 = F.col("n_docs").cast("double")
+    return (
+        dpost.join(dfr0, "term", "left")
+        .crossJoin(F.broadcast(stats0))
+        .select(
+            "term",
+            "doc_id",
+            _weight(
+                F.col("tf"), n0,
+                F.coalesce(F.col("df0"), F.lit(1)).cast("double"),
+            ).alias("w"),
+        )
+    )
+
+
+def sparse_delta_report(
+    base_post: DataFrame, delta_post: DataFrame
+) -> DataFrame:
+    """One-row idf-staleness meter after absorbing a delta batch with
+    frozen base statistics: posting/vocab volumes plus the mean absolute
+    idf drift |ln(n0/df0) − ln((n0+nΔ)/(df0+dfΔ))| over the base terms
+    the delta touched — the quantity that says when the cheap stale-idf
+    appends have drifted far enough to pay for a rebuild (the
+    ivf_delta_report convention: drift metered, rebuild on evidence).
+    Engine-stable: per-term drift rounds to 9 dp, accumulates in DECIMAL,
+    and the mean rounds to 6 dp."""
+    dfr0 = base_post.groupBy("term").agg(F.count("*").alias("df0"))
+    dfrd = delta_post.groupBy("term").agg(F.count("*").alias("dfd"))
+    s0 = stats_from_postings(base_post).select(
+        F.col("n_docs").alias("n0"))
+    sd = stats_from_postings(delta_post).select(
+        F.col("n_docs").alias("nd"))
+    touched = dfr0.join(dfrd, "term").crossJoin(F.broadcast(s0)).crossJoin(
+        F.broadcast(sd))
+    n0, df0 = F.col("n0").cast("double"), F.col("df0").cast("double")
+    n1 = (F.col("n0") + F.col("nd")).cast("double")
+    df1 = (F.col("df0") + F.col("dfd")).cast("double")
+    drift = F.round(F.abs(F.log(n0 / df0) - F.log(n1 / df1)), 9).cast(
+        "decimal(28,10)")
+    agg = touched.agg(
+        F.count("*").alias("terms_touched"),
+        F.round(F.sum(drift).cast("double") / F.count("*"), 6)
+        .alias("mean_idf_drift"),
+    )
+    counts = (
+        dfr0.agg(F.count("*").alias("vocab_base"),
+                 F.sum("df0").cast("bigint").alias("postings_base"))
+        .crossJoin(dfrd.join(dfr0, "term", "left_anti")
+                   .agg(F.count("*").alias("vocab_new")))
+        .crossJoin(dfrd.agg(F.sum("dfd").cast("bigint")
+                            .alias("postings_delta")))
+        .crossJoin(F.broadcast(s0)).crossJoin(F.broadcast(sd))
+    )
+    return counts.crossJoin(agg).select(
+        F.col("n0").cast("bigint").alias("n_base_docs"),
+        F.col("nd").cast("bigint").alias("n_delta_docs"),
+        "vocab_base", "vocab_new", "postings_base", "postings_delta",
+        F.col("terms_touched").cast("bigint").alias("terms_touched"),
+        "mean_idf_drift",
+    )
+
+
 def prune_postings(wpost: DataFrame, m: int) -> DataFrame:
     """Impact-ordered truncation: keep each term's top-``m`` documents by
     weight (ties by ascending doc id).  Index-build-time and

@@ -149,3 +149,67 @@ def test_plan_has_no_cartesian(spark, docs):
     assert "BroadcastHashJoin" in plan
     # the corpus never shuffles for the query joins
     assert "WindowGroupLimit" in plan
+
+
+def _py_lexical(text):
+    tk = text.split()
+    return tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+
+
+def test_stale_weight_postings_freeze_base_stats(spark, docs):
+    base = docs.filter("doc_id < 5")
+    delta = docs.filter("doc_id >= 5")
+    base_post = sp.lexical_postings(base)
+    got = {(r["term"], r["doc_id"]): r["w"]
+           for r in sp.stale_weight_postings(delta, base_post).collect()}
+    corpus = {r["doc_id"]: _py_lexical(r["text"]) for r in docs.collect()}
+    bdocs = {i: f for i, f in corpus.items() if i < 5}
+    n0 = len(bdocs)
+    df0 = {}
+    for f in bdocs.values():
+        for t in set(f):
+            df0[t] = df0.get(t, 0) + 1
+    import math
+    for i, feats in corpus.items():
+        if i < 5:
+            continue
+        for t in set(feats):
+            expect = round((1 + math.log(feats.count(t)))
+                           * math.log(n0 / df0.get(t, 1)), 6)
+            assert got[(t, i)] == pytest.approx(expect), (t, i)
+    # unseen-in-base terms got the rarest-known idf (df=1): spot one
+    unseen = [t for t in corpus[5] if t not in df0]
+    assert unseen, "fixture must contain fresh vocabulary"
+
+
+def test_sparse_delta_report_matches_python(spark, docs):
+    base = docs.filter("doc_id < 5")
+    delta = docs.filter("doc_id >= 5")
+    row = sp.sparse_delta_report(
+        sp.lexical_postings(base), sp.lexical_postings(delta)).collect()[0]
+    corpus = {r["doc_id"]: _py_lexical(r["text"]) for r in docs.collect()}
+    bsets = {i: set(f) for i, f in corpus.items() if i < 5}
+    dsets = {i: set(f) for i, f in corpus.items() if i >= 5}
+    df0, dfd = {}, {}
+    for s in bsets.values():
+        for t in s:
+            df0[t] = df0.get(t, 0) + 1
+    for s in dsets.values():
+        for t in s:
+            dfd[t] = dfd.get(t, 0) + 1
+    assert row["n_base_docs"] == len(bsets)
+    assert row["n_delta_docs"] == len(dsets)
+    assert row["vocab_base"] == len(df0)
+    assert row["vocab_new"] == len(set(dfd) - set(df0))
+    assert row["postings_base"] == sum(df0.values())
+    assert row["postings_delta"] == sum(dfd.values())
+    import math
+    shared = set(df0) & set(dfd)
+    assert row["terms_touched"] == len(shared)
+    n0, nd = len(bsets), len(dsets)
+    drifts = [round(abs(math.log(n0 / df0[t])
+                        - math.log((n0 + nd) / (df0[t] + dfd[t]))), 9)
+              for t in shared]
+    assert row["mean_idf_drift"] == pytest.approx(
+        round(sum(drifts) / len(drifts), 6))
+    assert row["mean_idf_drift"] >= 0
