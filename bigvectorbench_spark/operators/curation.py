@@ -837,8 +837,8 @@ def bloom_decontaminate_report(
 
     train = tokenized.filter(~F.col("is_eval"))
     probed = bl.bloom_probe_any(
-        train.select(id_col, group_col, "whs"), "whs", bm, k=k,
-        out_col="bloom_hit").drop("whs")
+        train.select(id_col, group_col, "whs"), "whs", bm, m_bits=m_bits,
+        k=k, out_col="bloom_hit").drop("whs")
     exact_ids = (
         train.select(id_col, F.explode("whs").alias("wh"))
         .join(F.broadcast(eval_whs), "wh", "left_semi")

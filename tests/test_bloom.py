@@ -10,8 +10,15 @@ from bigvectorbench_spark.operators import bloom as bl
 def test_params_monotone_and_sane():
     m1, k1 = bl.bloom_params(1000, 0.01)
     m2, k2 = bl.bloom_params(1000, 0.0001)
-    assert m2 > m1 and m1 % 8 == 0 and m2 % 8 == 0
+    assert m2 > m1 >= 64
     assert 1 <= k1 <= 16 and 1 <= k2 <= 16
+    # prime m (the full-period guarantee) and minimal-k fp contract
+    for m, k, p in ((m1, k1, 0.01), (m2, k2, 0.0001)):
+        assert all(m % f for f in range(2, int(m ** 0.5) + 1)), m
+        import math
+        assert (1 - math.exp(-k * 1000 / m)) ** k <= p
+        if k > 1:
+            assert (1 - math.exp(-(k - 1) * 1000 / m)) ** (k - 1) > p
     with pytest.raises(ValueError):
         bl.bloom_params(10, 1.5)
 
@@ -20,7 +27,7 @@ def test_no_false_negatives(spark):
     items = spark.range(0, 2000).select((F.col("id") * 7919 + 13).alias("v"))
     m, k = bl.bloom_params(2000, 0.01)
     bm = bl.bloom_build(items, "v", m_bits=m, k=k)
-    probed = bl.bloom_probe(items, "v", bm, k=k)
+    probed = bl.bloom_probe(items, "v", bm, m_bits=m, k=k)
     assert probed.filter(~F.col("maybe_member")).count() == 0
 
 
@@ -31,7 +38,7 @@ def test_fp_rate_near_theory(spark):
     m, k = bl.bloom_params(2000, 0.01)
     bm = bl.bloom_build(items, "v", m_bits=m, k=k)
     others = spark.range(0, 20000).select((-F.col("id") * 104729 - 7).alias("v"))
-    fp = bl.bloom_probe(others, "v", bm, k=k).filter("maybe_member").count()
+    fp = bl.bloom_probe(others, "v", bm, m_bits=m, k=k).filter("maybe_member").count()
     assert fp / 20000 < 0.03
 
 
@@ -57,7 +64,7 @@ def test_probe_any_segments_rows(spark):
          (4, [99])],
         "doc_id bigint, whs array<bigint>")
     got = {r["doc_id"]: r["any_member"]
-           for r in bl.bloom_probe_any(docs, "whs", bm, k=k).collect()}
+           for r in bl.bloom_probe_any(docs, "whs", bm, m_bits=m, k=k).collect()}
     assert got[0] is True and got[3] is True and got[4] is True
     assert got[1] is False
     # doc 2 could only be True via a false positive; at p=1e-4 over 2
@@ -71,7 +78,7 @@ def test_probe_keeps_all_columns(spark):
     bm = bl.bloom_build(items, "v", m_bits=m, k=k)
     df = spark.createDataFrame([(1, 5, "a"), (2, 123456, "b")],
                                "id bigint, v bigint, tag string")
-    out = bl.bloom_probe(df, "v", bm, k=k)
+    out = bl.bloom_probe(df, "v", bm, m_bits=m, k=k)
     assert set(out.columns) == {"id", "v", "tag", "maybe_member"}
     rows = {r["id"]: (r["tag"], r["maybe_member"]) for r in out.collect()}
     assert rows[1] == ("a", True)
@@ -108,7 +115,7 @@ def test_probe_any_plan_is_map_only(spark):
     bm = bl.bloom_build(items, "v", m_bits=m, k=k)
     docs = spark.createDataFrame([(0, [1, 2]), (1, [3])],
                                  "doc_id bigint, whs array<bigint>")
-    plan = bl.bloom_probe_any(docs, "whs", bm, k=k)._jdf.queryExecution() \
+    plan = bl.bloom_probe_any(docs, "whs", bm, m_bits=m, k=k)._jdf.queryExecution() \
         .executedPlan().toString()
     for op in ("Join", "Exchange", "Generate"):
         assert op not in plan, op
