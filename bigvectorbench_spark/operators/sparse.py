@@ -189,6 +189,25 @@ def sparse_delta_report(
     )
 
 
+def text_query_weights(
+    queries: DataFrame,
+    base_post: DataFrame,
+    *,
+    qid_col: str = "qid",
+    text_col: str = "text",
+) -> DataFrame:
+    """(qid, term, qwv) weights for EXTERNAL query text — queries that are
+    not corpus rows (a serving stream, ad-hoc requests): lexical features
+    weighted under the CORPUS statistics via ``stale_weight_postings``
+    (the query is a zero-size 'delta'; unseen terms get the rarest-known
+    idf and simply match nothing).  Feed ``sparse_topk(qweights=...)``."""
+    qp = stale_weight_postings(
+        queries.select(F.col(qid_col).alias("doc_id"), F.col(text_col)),
+        base_post)
+    return qp.select(F.col("doc_id").alias("qid"), "term",
+                     F.col("w").alias("qwv"))
+
+
 def prune_postings(wpost: DataFrame, m: int) -> DataFrame:
     """Impact-ordered truncation: keep each term's top-``m`` documents by
     weight (ties by ascending doc id).  Index-build-time and
@@ -213,6 +232,7 @@ def sparse_topk(
     qid_col: str = "qid",
     wpost: DataFrame | None = None,
     qwpost: DataFrame | None = None,
+    qweights: DataFrame | None = None,
 ) -> DataFrame:
     """Exact sparse inner-product top-k: for each query document, the ``k``
     documents with the highest TF-IDF inner product.  Returns
@@ -225,6 +245,9 @@ def sparse_topk(
     full exact index is built in-plan.  ``qwpost``: where the QUERY
     vectors' weights come from (default: ``wpost``) — pass the full index
     here when ``wpost`` is pruned, since real queries arrive untruncated.
+    ``qweights``: a ready (qid, term, qwv) frame for queries that are NOT
+    corpus documents (external text, a query stream — see
+    ``text_query_weights``); when given, ``queries`` is ignored.
 
     Only postings whose term occurs in some query survive the broadcast
     semi-join, so a rare-vocabulary query set touches a sliver of the
@@ -234,13 +257,16 @@ def sparse_topk(
     """
     if wpost is None:
         wpost = sparse_postings(docs, id_col=id_col, text_col=text_col)
-    if qwpost is None:
-        qwpost = wpost
-    qids = queries.select(F.col(qid_col).alias("qid"))
-    # Query-side sparse vectors: the query docs' own rows of the index.
-    qw = qwpost.join(
-        F.broadcast(qids), wpost["doc_id"] == F.col("qid")
-    ).select("qid", "term", F.col("w").alias("qwv"))
+    if qweights is not None:
+        qw = qweights.select("qid", "term", "qwv")
+    else:
+        if qwpost is None:
+            qwpost = wpost
+        qids = queries.select(F.col(qid_col).alias("qid"))
+        # Query-side sparse vectors: the query docs' own rows of the index.
+        qw = qwpost.join(
+            F.broadcast(qids), qwpost["doc_id"] == F.col("qid")
+        ).select("qid", "term", F.col("w").alias("qwv"))
     qvocab = qw.select("term").distinct()
 
     hits = wpost.join(F.broadcast(qvocab), "term")

@@ -213,3 +213,21 @@ def test_sparse_delta_report_matches_python(spark, docs):
     assert row["mean_idf_drift"] == pytest.approx(
         round(sum(drifts) / len(drifts), 6))
     assert row["mean_idf_drift"] >= 0
+
+
+def test_text_query_weights_parity_with_in_corpus_queries(spark, docs):
+    """An external query whose text equals a corpus document gets the
+    SAME weights as that document's own index rows (same corpus stats),
+    so qweights-path results equal the in-corpus query path exactly."""
+    base_post = sp.lexical_postings(docs)
+    wpost = sp.sparse_postings(docs, post=base_post).cache()
+    in_q = spark.createDataFrame([(3,)], "qid bigint")
+    expect = sorted((r["rank"], r["doc_id"], r["score"]) for r in
+                    sp.sparse_topk(docs, in_q, k=5, wpost=wpost).collect())
+    text3 = docs.filter("doc_id = 3").collect()[0]["text"]
+    ext_q = spark.createDataFrame([(3, text3)], "qid bigint, text string")
+    got = sorted((r["rank"], r["doc_id"], r["score"]) for r in
+                 sp.sparse_topk(None, None, k=5, wpost=wpost,
+                                qweights=sp.text_query_weights(
+                                    ext_q, base_post)).collect())
+    assert got == expect

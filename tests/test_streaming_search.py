@@ -163,3 +163,73 @@ def test_streaming_search_absorbs_ivf_delta_mid_stream(spark, tmp_path, corpus):
         v in (q, 1000 + q) for q, v in top1.items())
     assert not [r for r in b0.collect() if r["id"] >= 1000]
     assert [r for r in b1.collect() if r["id"] >= 1000]
+
+
+def test_streaming_lexical_search_absorbs_sparse_delta_mid_stream(spark, tmp_path):
+    """The sparse twin of the IVF∘streaming composition: a TEXT query
+    stream serves over the sparse inverted index (external queries
+    weighted under frozen corpus stats — text_query_weights); between
+    micro-batches a delta document arrives and absorbs stale-idf
+    (stale_weight_postings union, zero existing postings touched); the
+    next micro-batch surfaces it at rank 1.  Batch-0 parity: streaming
+    results equal the batch sparse_topk with the same external queries."""
+    from bigvectorbench_spark.operators import sparse as sp
+
+    rows = [
+        (0, "spark shuffles partitions across the cluster machines"),
+        (1, "the lazy dog sleeps in the warm afternoon sun"),
+        (2, "gardening roses need water sun and patient care"),
+        (3, "distributed joins shuffle rows between cluster machines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    base_post = sp.lexical_postings(docs).cache()
+    holder = {"idx": sp.sparse_postings(docs, post=base_post).cache()}
+    holder["idx"].count()
+
+    def _search(qbatch):
+        qw = sp.text_query_weights(qbatch, base_post)
+        return sp.sparse_topk(None, None, k=3, wpost=holder["idx"],
+                              qweights=qw)
+
+    out = str(tmp_path / "lex_results")
+    ckpt = str(tmp_path / "lex_ckpt")
+    src = tmp_path / "queries"
+    src.mkdir()
+
+    def _serve():
+        stream = spark.readStream.schema("qid bigint, text string").json(
+            str(src))
+        streaming_search(stream, out, ckpt, search_fn=_search)
+
+    q_text = "spark cluster machines shuffle partitions"
+    (src / "a.json").write_text(json.dumps({"qid": 100, "text": q_text}))
+    _serve()
+
+    # batch parity for generation 1
+    qdf = spark.createDataFrame([(100, q_text)], "qid bigint, text string")
+    expect = sorted(
+        (r["qid"], r["rank"], r["doc_id"])
+        for r in sp.sparse_topk(None, None, k=3, wpost=holder["idx"],
+                                qweights=sp.text_query_weights(
+                                    qdf, base_post)).collect())
+    got0 = spark.read.parquet(out).filter("batch = 0")
+    assert sorted((r["qid"], r["rank"], r["doc_id"])
+                  for r in got0.collect()) == expect
+
+    # absorb a delta doc that is an exact copy of the NEXT query's text
+    q2_text = "quantum gardening manual for patient roses"
+    delta = spark.createDataFrame([(50, q2_text)], "doc_id bigint, text string")
+    holder["idx"] = holder["idx"].unionByName(
+        sp.stale_weight_postings(delta, base_post)).cache()
+    holder["idx"].count()
+
+    (src / "b.json").write_text(json.dumps({"qid": 101, "text": q2_text}))
+    _serve()
+
+    got = spark.read.parquet(out)
+    assert sorted(r["batch"] for r in
+                  got.select("batch").distinct().collect()) == [0, 1]
+    top1 = got.filter("batch = 1 AND qid = 101 AND rank = 1").collect()
+    assert [r["doc_id"] for r in top1] == [50]
+    # generation 1 could not have seen doc 50
+    assert got0.filter("doc_id = 50").count() == 0
