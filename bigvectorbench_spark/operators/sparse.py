@@ -189,6 +189,20 @@ def sparse_delta_report(
     )
 
 
+def save_index(wpost: DataFrame, path: str, *, buckets: int = 32) -> None:
+    """Persist the weighted inverted index bucketed BY TERM — the layout
+    the search join wants: a reloaded index is already hash-distributed on
+    the join key, so the broadcast-query probe touches co-located posting
+    buckets (the IVFIndex.write_indexed convention, term-bucketed instead
+    of cluster-partitioned).  Build once, serve across jobs."""
+    (wpost.repartition(buckets, "term")
+     .write.mode("overwrite").parquet(path))
+
+
+def load_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def text_query_weights(
     queries: DataFrame,
     base_post: DataFrame,
