@@ -2006,6 +2006,17 @@ def q_bloom_decontaminate(spark, sf):
     return cur.bloom_decontaminate_report(_docs_wide(spark, sf)).orderBy("source")
 
 
+def q_cm_heavy_hitters(spark, sf):
+    """Count-Min watchlist counts (the third sketch family beside the
+    HLL/KLL pair sketch_bounds gates): corpus-wide frequencies for the
+    exact top-10 tokens from ONE mergeable count_min_sketch aggregate —
+    no token-stream shuffle at estimate time, O(ln(1/δ)/ε) sketch bytes
+    at any corpus size.  The oracle re-derives the watchlist and exact
+    counts in SQL and asserts the CM contract booleans: never
+    undercounts, overshoots ≤ ε·N (deterministic at the fixed seed)."""
+    return mx.cm_watchlist_report(_docs_wide(spark, sf))
+
+
 def q_weighted_sample(spark, sf):
     """Exact-size weighted sampling without replacement (Efraimidis-
     Spirakis exponential keys): 100 documents drawn ∝ token count.  The
@@ -2891,10 +2902,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ROUND-9 HEAD-OF-WINDOW: the round-8-late declarations (sq8_knn,
         # sq8_recall, sparse_knn, sparse_prune_recall, bloom_decontaminate,
         # weighted_sample, stratified_sample, hybrid_sparse_rrf,
-        # sparse_delta_report, sparse_delta_parity — each sweep-verified at
-        # both sfs this round by scripts/check_oracle.py, never
-        # driver-checked) plus these 11 r6-green aggregates at age 2 must
-        # lead the round-9 window.
+        # sparse_delta_report, sparse_delta_parity, cm_heavy_hitters —
+        # each sweep-verified at both sfs this round by
+        # scripts/check_oracle.py, never driver-checked) plus these 11
+        # r6-green aggregates at age 2 must lead the round-9 window.
         "sq8_knn": q_sq8_knn,
         "sq8_recall": q_sq8_recall,
         "sparse_knn": q_sparse_knn,
@@ -2905,6 +2916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_sparse_rrf": q_hybrid_sparse_rrf,
         "sparse_delta_report": q_sparse_delta_report,
         "sparse_delta_parity": q_sparse_delta_parity,
+        "cm_heavy_hitters": q_cm_heavy_hitters,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "corpus_rollup": q_corpus_rollup,
@@ -4849,6 +4861,17 @@ c AS (SELECT DISTINCT doc_id FROM
 SELECT source, count(*)::BIGINT AS n_train,
        count(c.doc_id)::BIGINT AS n_contaminated
 FROM t LEFT JOIN c USING (doc_id) GROUP BY source
+""",
+        # cm_heavy_hitters: watchlist + exact counts re-derived; the CM
+        # contract booleans (no undercount, ≤ ε·N overshoot) asserted.
+        "cm_heavy_hitters": f"""
+WITH tk AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+t AS (SELECT unnest(tk) AS term FROM tk),
+c AS (SELECT term, count(*) AS exact_count FROM t GROUP BY term
+      ORDER BY exact_count DESC, term LIMIT 10)
+SELECT term, exact_count::BIGINT AS exact_count,
+       TRUE AS overcount_ok, TRUE AS within_eps_ok
+FROM c
 """,
         # weighted_sample / stratified_sample: the sampling pipelines
         # replayed end-to-end — portable md5 u on the 2^40 grid, A-ES key

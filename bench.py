@@ -110,6 +110,7 @@ HEADLINE = [
     "hybrid_sparse_rrf",
     "sparse_delta_report",
     "sparse_delta_parity",
+    "cm_heavy_hitters",
     "retrieval_eval",
     "quality_classifier",
     "hybrid_rrf_topk",

@@ -143,3 +143,59 @@ def approx_quantile_buckets(
         (F.lit(1) + F.size(F.filter("_th", lambda t: F.col(col) > t))).cast("bigint"),
     )
     return tagged.drop("_th")
+
+
+def cm_watchlist_report(
+    docs: DataFrame,
+    *,
+    top_n: int = 10,
+    eps: float = 1e-3,
+    confidence: float = 0.99,
+    seed: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min watchlist counts with their exactness contract asserted —
+    the third sketch family beside HLL (distinct) and KLL (quantiles):
+    approximate FREQUENCIES for a fixed term watchlist from ONE mergeable
+    aggregate pass (Spark's native ``count_min_sketch``), no groupBy
+    shuffle of the token stream at estimate time.
+
+    The 100 TB shape: a watchlist (contamination markers, PII keywords,
+    competitor names) needs corpus-wide counts per monitoring pass; the
+    CM sketch is O(ln(1/δ)/ε) bytes, mergeable across partitions and
+    days, and never reshuffles the corpus.  Here the watchlist is the
+    exact top-``top_n`` tokens (deterministic, SQL-recomputable), so the
+    driver's oracle can re-derive every row.
+
+    Returns (term, exact_count, overcount_ok, within_eps_ok) ordered by
+    (count desc, term): CM never undercounts (est ≥ exact — a sketch
+    implementation bug trips this) and overshoots by at most ε·N with
+    probability ≥ confidence (N = total insertions; deterministic given
+    the seed, so the boolean is stable, not threshold-lucky).
+
+    Driver-side work is bounded: top_n estimates against the collected
+    sketch (the IVF/PQ fit-collect convention)."""
+    from bigvectorbench_spark.functions import text as tx
+
+    tk = docs.select(F.explode(tx.tokens(F.col(text_col))).alias("term"))
+    tk = tk.persist()
+    top = (tk.groupBy("term").count()
+           .orderBy(F.col("count").desc(), "term").limit(top_n).collect())
+    sk_bytes = tk.agg(F.expr(
+        f"count_min_sketch(term, {eps}d, {confidence}d, {seed})")).collect()[0][0]
+    spark = docs.sparkSession
+    jcm = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_bytes))
+    n_total = jcm.totalCount()
+    bound = int(eps * n_total) + 1
+    rows = []
+    for r in top:
+        est = jcm.estimateCount(r["term"])
+        rows.append((r["term"], int(r["count"]),
+                     bool(est >= r["count"]),
+                     bool(est - r["count"] <= bound)))
+    tk.unpersist()
+    out = spark.createDataFrame(
+        rows, "term string, exact_count bigint, overcount_ok boolean, "
+              "within_eps_ok boolean")
+    return out.orderBy(F.col("exact_count").desc(), "term")

@@ -23,3 +23,22 @@ def test_corpus_stats_approx_close_to_exact(spark, sf_dir):
         assert abs(ap["n_distinct_texts_approx"] - ex["nd"]) <= max(2, 0.05 * ex["nd"])
         # percentile_approx with 10k accuracy: near-exact at test scales
         assert abs(ap["p50_chars_approx"] - ex["p50"]) <= max(2.0, 0.05 * ex["p50"])
+
+
+def test_cm_watchlist_report_contract(spark):
+    """Exact counts match a python recount; the CM contract booleans hold;
+    a planted heavy term leads the watchlist."""
+    from bigvectorbench_spark.operators.metrics import cm_watchlist_report
+
+    rows = [(i, ("common " * 20) + f"tail{i} word{i % 5}", "s")
+            for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = cm_watchlist_report(docs, top_n=5).collect()
+    counts = {}
+    for _, text, _ in rows:
+        for t in text.split():
+            counts[t] = counts.get(t, 0) + 1
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["term"], r["exact_count"]) for r in got] == expect
+    assert got[0]["term"] == "common" and got[0]["exact_count"] == 1000
+    assert all(r["overcount_ok"] and r["within_eps_ok"] for r in got)
