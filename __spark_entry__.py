@@ -3422,13 +3422,16 @@ SELECT qid, id, dist, rank FROM r WHERE rank <= 10
 # corpus-wide df, SMART-ltn weights (6 dp), per-term products (9 dp →
 # DECIMAL sum), 6-dp score before (score desc, doc asc) ranking —
 # operators/sparse.py's exact ladder, so scores and ranks hash-match.
+# n counts docs WITH >=1 feature (len(tk) > 0) — the stats_from_postings
+# convention (a zero-token doc contributes no posting row, so it must not
+# shift idf here either); the delta-report oracle counts the same way.
 _SPARSE_KNN_SQL = f"""
 WITH tk0 AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
 tk AS (SELECT doc_id,
               list_concat(tk, list_transform(range(1, greatest(len(tk), 1)),
                   i -> tk[i] || ' ' || tk[i+1])) AS tk
        FROM tk0),
-stats AS (SELECT count(*)::DOUBLE AS n FROM tk),
+stats AS (SELECT count(*)::DOUBLE AS n FROM tk WHERE len(tk) > 0),
 post AS (SELECT doc_id, unnest(tk) AS term FROM tk),
 tfs AS (SELECT term, doc_id, count(*) AS tf FROM post GROUP BY term, doc_id),
 dfr AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
@@ -3446,9 +3449,13 @@ r AS (SELECT qid, doc_id, score,
 SELECT qid, doc_id, score, rank FROM r WHERE rank <= 10
 """
 
-_SPARSE_GATE_SQL = """
+# n_queries restricts to docs with >=1 token: the Spark gates derive the
+# query count from the truth side of recall_per_query, and a zero-token
+# query document has no sparse vector (no posting rows), so it never
+# reaches the truth frame — the oracle must not count it either.
+_SPARSE_GATE_SQL = f"""
 SELECT count(*) AS n_queries, TRUE AS mean_recall_ok, TRUE AS min_recall_ok
-FROM documents WHERE doc_id % 100 = 0
+FROM documents WHERE doc_id % 100 = 0 AND len({_TOKENS}) > 0
 """
 
 # srp_recall: DuckDB independently recomputes the exact brute-force pair
@@ -4942,7 +4949,7 @@ ftk AS (SELECT doc_id,
                list_concat(tk, list_transform(range(1, greatest(len(tk), 1)),
                    i -> tk[i] || ' ' || tk[i+1])) AS ft
         FROM tk0),
-sstats AS (SELECT count(*)::DOUBLE AS n FROM ftk),
+sstats AS (SELECT count(*)::DOUBLE AS n FROM ftk WHERE len(ft) > 0),
 spost AS (SELECT doc_id, unnest(ft) AS term FROM ftk),
 stfs AS (SELECT term, doc_id, count(*) AS tf FROM spost GROUP BY term, doc_id),
 sdfr AS (SELECT term, count(*) AS df FROM stfs GROUP BY term),

@@ -88,13 +88,22 @@ def bloom_positions(col: Column, m_bits: int, k: int) -> Column:
     return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)])
 
 
+# Per-row bitmap chunk emitted by the build fold.  Arrow 'binary' carries
+# int32 offsets (~2 GB per VALUE); one row per 256 MB chunk keeps the
+# billion-window regime (m ≈ 29G bits → ~3.6 GB bitmap at fp=1e-6)
+# inside the format instead of overflowing a single binary cell.
+_BUILD_CHUNK_BYTES = 1 << 28
+
+
 def bloom_build(df: DataFrame, col: str, *, m_bits: int, k: int) -> bytes:
     """Fold ``df[col]`` (any hashable type) into an m-bit Bloom bitmap.
 
     One narrow job: positions explode JVM-side, each partition's Arrow
-    kernel ORs them into a local bitmap, the driver ORs the per-partition
-    bitmaps.  Driver memory = partitions × m/8 bytes — the fixed-size
-    index-build collect envelope (IVF/PQ convention), NOT O(rows)."""
+    kernel ORs them into a local bitmap and emits it as 256 MB
+    ``(chunk, bm)`` rows (no single Arrow binary value nears the int32
+    offset cap), the driver ORs per-chunk.  Driver memory =
+    partitions × m/8 bytes — the fixed-size index-build collect envelope
+    (IVF/PQ convention), NOT O(rows)."""
     import pyarrow as pa
 
     n_bytes = (m_bits + 7) // 8
@@ -107,12 +116,19 @@ def bloom_build(df: DataFrame, col: str, *, m_bits: int, k: int) -> bytes:
             p = batch.column(0).to_numpy(zero_copy_only=False)
             # bitwise_or.at handles duplicate byte indices in one pass
             np.bitwise_or.at(bm, p >> 3, (1 << (p & 7)).astype(np.uint8))
-        yield pa.RecordBatch.from_arrays([pa.array([bm.tobytes()])], ["bm"])
+        chunks = range(0, n_bytes, _BUILD_CHUNK_BYTES)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([c // _BUILD_CHUNK_BYTES for c in chunks],
+                      type=pa.int32()),
+             pa.array([bm[c:c + _BUILD_CHUNK_BYTES].tobytes()
+                       for c in chunks])],
+            ["chunk", "bm"])
 
-    parts = pos.mapInArrow(fold, schema="bm binary").collect()
+    parts = pos.mapInArrow(fold, schema="chunk int, bm binary").collect()
     out = np.zeros(n_bytes, dtype=np.uint8)
     for r in parts:
-        out |= np.frombuffer(r["bm"], dtype=np.uint8)
+        c = r["chunk"] * _BUILD_CHUNK_BYTES
+        out[c:c + _BUILD_CHUNK_BYTES] |= np.frombuffer(r["bm"], dtype=np.uint8)
     return out.tobytes()
 
 

@@ -799,7 +799,8 @@ def bloom_decontaminate_report(
     per-doc fp rate is ~windows-per-doc × p; 1e-6 keeps the expected fp
     doc count ≪ 1 per declared corpus, making the gate deterministic-green
     rather than threshold-lucky.  Both oracle sfs measured clean at every
-    rate once bloom_params forced the power-of-two/odd-h2 period.)  The error is one-sided by construction: **no false
+    rate once bloom_params forced the full double-hashing period — now
+    via a PRIME m with minimal k, bloom.py.)  The error is one-sided by construction: **no false
     negatives** (every truly contaminated doc flags), a bounded rate of
     false positives (extra docs removed — the direction decontamination
     tolerates).
@@ -855,13 +856,21 @@ def bloom_decontaminate_report(
         F.sum((F.col("exact_hit") & ~F.col("bloom_hit")).cast("int"))
         .alias("__missed"),
     )
-    return agg.select(
+    out = agg.select(
         group_col, "n_train", "n_contaminated",
         (F.col("__missed") == 0).alias("superset_ok"),
         ((F.col("__n_bloom") - F.col("n_contaminated")) <=
          F.greatest(F.lit(1), F.ceil(F.lit(max_extra_frac) * F.col("n_train"))))
         .alias("fp_extra_ok"),
     )
+    # The report is one tiny row per group: materialize it (truncating the
+    # lineage) so the cached tokenize/inventory frames can be RELEASED here
+    # instead of leaking for the session (the sibling decontaminate paths
+    # bound or release their intermediates the same way).
+    out = out.localCheckpoint(eager=True)
+    tokenized.unpersist()
+    eval_whs.unpersist()
+    return out
 
 
 # ------------------------------------------------------- substring-level dedup
