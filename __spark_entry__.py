@@ -2383,17 +2383,19 @@ def q_sparse_knn(spark, sf):
 
 def q_sparse_prune_recall(spark, sf):
     """Closes the sparse scale path the ivf_recall way: the impact-ordered
-    pruned index (per-term posting lists truncated to the top-64 documents
-    by weight — the knob that caps stopword-term join cost at 100 TB)
-    serves the same queries with FULL query-side vectors, and its top-10
-    recall against the exact join is emitted as oracle-asserted threshold
-    booleans.  m=64 removes 26-28% of all postings here (every cut from
-    the high-df unigram head, whose idf≈0.25 weights carry little score
-    mass; the df≈28 bigram tail survives whole) at measured recall
-    mean 0.96/min 0.9 (sf0.001) and 0.98/0.9 (sf0.01).  Tight gate 0.9/0.8
-    trips on a pruning-order defect; the off-sf floor 0.6/0.3 only on a
-    cratering bug (corpus density grows with sf, so fixed-m recall
-    legitimately falls)."""
+    pruned index (per-term posting lists truncated to the top-``auto_m``
+    documents by weight — the knob that caps stopword-term join cost at
+    100 TB) serves the same queries with FULL query-side vectors, and its
+    top-10 recall against the exact join is emitted as oracle-asserted
+    threshold booleans.  m resolves via sparse.auto_m (VERDICT r8 ask #2 —
+    the hnsw auto_ef twin: m ∝ corpus holds the cut fraction ≈14% and
+    recall ≈constant across decades, SCALE_SPARSE_r9.json); at the
+    500-doc oracle corpora the floor gives m=64, which removes 26-28% of
+    all postings (every cut from the high-df unigram head, whose idf≈0.25
+    weights carry little score mass; the df≈28 bigram tail survives whole)
+    at measured recall mean 0.96/min 0.9 (sf0.001) and 0.98/0.9 (sf0.01).
+    Tight gate 0.9/0.8 trips on a pruning-order defect; the off-sf floor
+    0.6/0.3 only on a cratering bug."""
     from bigvectorbench_spark.operators import sparse as sp
 
     mean_thr, min_thr = _gate(sf, tight=(0.9, 0.8), floor=(0.6, 0.3))
@@ -2404,7 +2406,8 @@ def q_sparse_prune_recall(spark, sf):
     exact = sp.sparse_topk(docs, queries, k=10, wpost=wpost).groupBy("qid").agg(
         F.collect_list("doc_id").alias("neighbors"))
     pruned = sp.sparse_topk(
-        docs, queries, k=10, wpost=sp.prune_postings(wpost, m=64), qwpost=wpost
+        docs, queries, k=10, wpost=sp.prune_postings(wpost, m="auto"),
+        qwpost=wpost
     ).groupBy("qid").agg(F.collect_list("doc_id").alias("neighbors"))
     per_q = mx.recall_per_query(pruned, exact)
     return per_q.agg(

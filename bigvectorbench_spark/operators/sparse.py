@@ -222,12 +222,38 @@ def text_query_weights(
                      F.col("w").alias("qwv"))
 
 
-def prune_postings(wpost: DataFrame, m: int) -> DataFrame:
+# auto_m calibration (the hnsw.auto_ef twin — VERDICT r8 ask #2): the
+# measured operating rule from the 50k→500k Zipf decade
+# (SCALE_SPARSE_r8/r9.json) is LINEAR — m ∝ corpus holds the postings cut
+# fraction ≈14% and recall ≈constant (0.81 → 0.79 across the decade at
+# ~10× under exact search cost), where a FIXED m decays 0.81 → 0.53.
+# m/n_docs = 2000/50k = 20000/500k = 0.04 is the calibrated coefficient;
+# the floor keeps tiny corpora (and the oracle sfs' 500-doc tables, where
+# 0.04·n ≪ 64) at the declared-gate operating point.
+_AUTO_M_FRAC = 0.04
+_AUTO_M_MIN = 64
+
+
+def auto_m(n_docs: int) -> int:
+    """Per-term posting cap for a corpus of ``n_docs`` documents, holding
+    the postings cut fraction (≈14% on a Zipf df spectrum) — and with it
+    pruned-vs-exact recall — constant as the corpus grows."""
+    return int(max(_AUTO_M_MIN, round(_AUTO_M_FRAC * n_docs)))
+
+
+def prune_postings(wpost: DataFrame, m: int | str = "auto") -> DataFrame:
     """Impact-ordered truncation: keep each term's top-``m`` documents by
     weight (ties by ascending doc id).  Index-build-time and
     query-independent, so the pruned index serves any workload; recall loss
     is bounded by how much query-relevant mass sits past rank ``m`` — gated
-    by the declared recall query."""
+    by the declared recall query.
+
+    ``m="auto"`` (default) resolves via :func:`auto_m` from the corpus
+    size (one distinct-count job over the index) — the rule that holds
+    recall constant across corpus decades instead of letting a fixed cap
+    decay (SCALE_SPARSE_r8.json: 0.81 → 0.53 over one decade at m=2000)."""
+    if m == "auto":
+        m = auto_m(wpost.select("doc_id").distinct().count())
     w = Window.partitionBy("term").orderBy(F.col("w").desc(), F.col("doc_id"))
     return (
         wpost.withColumn("__r", F.row_number().over(w))

@@ -19,7 +19,11 @@ by the cut fraction of the QUERY-TERM postings, which skew to the head
 since Zipf queries contain stopwords) while idf-weighting keeps recall
 high — the property that makes the m-knob safe to turn at 100 TB.
 
-Usage: python scripts/scale_sparse.py [N_SMALL N_BIG] [M] [OUT_JSON]
+Usage: python scripts/scale_sparse.py [N_SMALL N_BIG] [M|auto] [OUT_JSON]
+
+M defaults to "auto": the sparse.auto_m rule (m = 0.04 * corpus docs,
+floor 64) — the round-9 claim is that this holds the cut fraction and
+recall constant across the decade WITHOUT hand-picking m per size.
 """
 
 from __future__ import annotations
@@ -41,14 +45,18 @@ from scale_retrieval import best_of, ensure_corpus
 RUNS = 3
 
 
-def measure(spark, n: int, m: int, root: str) -> dict:
+def measure(spark, n: int, m, root: str) -> dict:
     path = ensure_corpus(n, root)
     docs = spark.read.parquet(os.path.join(path, "documents.parquet"))
-    out = {"corpus_rows": n, "m": m}
 
     t0 = time.perf_counter()
     wpost = sp.sparse_postings(docs, post=sp.lexical_postings(docs)).persist()
     total = wpost.count()
+    # m="auto": the auto_m rule under test (VERDICT r8 ask #2) — resolve
+    # here so the artifact records the value the rule picked, and the
+    # prune below exercises the same resolution path users get.
+    m_resolved = sp.auto_m(n) if m == "auto" else int(m)
+    out = {"corpus_rows": n, "m": m_resolved, "m_mode": m}
     out["index_build_s"] = round(time.perf_counter() - t0, 3)
     out["postings_total"] = total
 
@@ -96,8 +104,10 @@ def main() -> None:
     args = [a for a in sys.argv[1:]]
     n_small = int(args[0]) if len(args) > 0 else 50_000
     n_big = int(args[1]) if len(args) > 1 else 500_000
-    m = int(args[2]) if len(args) > 2 else 2_000
-    out_json = args[3] if len(args) > 3 else "SCALE_SPARSE_r8.json"
+    m = args[2] if len(args) > 2 else "auto"
+    if m != "auto":
+        m = int(m)
+    out_json = args[3] if len(args) > 3 else "SCALE_SPARSE_r9.json"
     root = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/bvb_scale")
 
     spark = get_spark("scale-sparse")

@@ -247,3 +247,26 @@ def test_index_save_load_roundtrip(spark, docs, tmp_path):
     r1 = sorted(map(tuple, sp.sparse_topk(docs, q, k=5, wpost=wpost).collect()))
     r2 = sorted(map(tuple, sp.sparse_topk(docs, q, k=5, wpost=back).collect()))
     assert r1 == r2
+
+
+def test_auto_m_rule():
+    """auto_m is the calibrated linear rule (m = 0.04·n, floor 64) — the
+    measured decade invariant (SCALE_SPARSE_r9.json): 50k→2000, 500k→20000
+    (the hand-picked r8 values), small corpora land on the floor the
+    declared gates were calibrated at."""
+    assert sp.auto_m(500) == 64          # oracle-sf corpora: the floor
+    assert sp.auto_m(1600) == 64         # floor holds to 0.04·n = 64
+    assert sp.auto_m(50_000) == 2_000    # the r8 calibration point
+    assert sp.auto_m(500_000) == 20_000  # m ∝ corpus across the decade
+    assert sp.auto_m(5_000_000) == 200_000
+
+
+def test_prune_postings_auto_resolves_from_corpus(spark, docs):
+    """m="auto" (the default) resolves via auto_m on the index's distinct
+    doc count — identical output to passing the resolved integer."""
+    wpost = sp.sparse_postings(docs).cache()
+    n_docs = wpost.select("doc_id").distinct().count()
+    auto = sorted(map(tuple, sp.prune_postings(wpost).collect()))
+    explicit = sorted(map(tuple, sp.prune_postings(
+        wpost, m=sp.auto_m(n_docs)).collect()))
+    assert auto == explicit and len(auto) > 0
