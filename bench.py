@@ -8,6 +8,13 @@ Prints ONE JSON line:
 Each query runs once, timed end-to-end (plan + execute) against the noop
 sink so results are fully materialized but never collected to the driver —
 the same action a cluster job would perform.
+
+Controlled-artifact protocol (VERDICT r8 ask #4): the checked-in
+BENCH_sf0.1_rN.json artifacts are produced by scripts/controlled_bench.py,
+which merges N full invocations by PER-QUERY cross-invocation minimum —
+never by picking one "better invocation" wholesale (that pinned a noisy
+patch of the shared machine into r8b's substring_rewrite at 3.98s when six
+sibling runs said ~1.0s).
 """
 
 from __future__ import annotations
@@ -258,7 +265,7 @@ def main() -> None:
     prior_path = os.environ.get("SPARK_GRAFT_BENCH_PRIOR",
                                 os.path.join(os.path.dirname(
                                     os.path.abspath(__file__)),
-                                    "BENCH_sf0.1_r7c.json"))
+                                    "BENCH_sf0.1_r8b.json"))
     try:
         with open(prior_path) as f:
             prior = json.load(f).get("queries", {})

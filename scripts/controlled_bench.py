@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Controlled headline bench: N FULL bench.py invocations, merged by
+per-query cross-invocation minimum.
+
+Protocol (VERDICT r8 ask #4): earlier rounds ran bench.py twice and
+checked in the better WHOLE invocation — which pinned one noisy patch of
+the shared machine into the artifact (r8b recorded substring_rewrite at
+3.98s when six sibling runs said ~1.0s).  The controlled artifact must
+instead take each query's minimum ACROSS invocations: each invocation is
+already best-of-3 per query, so the merged number is the min over
+N x 3 runs — the closest observable to the query's uncontended cost on a
+shared machine.  The merged file records, per query, the min and the
+per-invocation minima (`spread` > 1.5x flags a query that never saw a
+quiet window and should be re-run, not trusted).
+
+Usage: python scripts/controlled_bench.py [N_INVOCATIONS] [OUT_JSON]
+Env: SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS / SPARK_GRAFT_BENCH_RUNS pass
+through to bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_once(i: int) -> tuple[dict, dict]:
+    """One full bench.py invocation -> (headline dict, per-run map)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, cwd=REPO)
+    headline = None
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            headline = json.loads(line)
+    runs = {}
+    for line in proc.stderr.splitlines():
+        line = line.strip()
+        if line.startswith('{"runs":'):
+            runs = json.loads(line)["runs"]
+    if headline is None:
+        sys.stderr.write(proc.stderr[-3000:])
+        raise RuntimeError(f"invocation {i}: no headline JSON on stdout")
+    if headline.get("errors"):
+        raise RuntimeError(f"invocation {i}: errors {headline['errors']}")
+    return headline, runs
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_sf0.1_r9.json"
+
+    invocations = []
+    for i in range(n):
+        headline, runs = run_once(i)
+        invocations.append({"headline": headline, "runs": runs})
+        sys.stderr.write(
+            f"invocation {i}: total {headline['value']}s, "
+            f"{len(runs)} queries\n")
+
+    # Per-query min across invocations (each invocation's value is already
+    # its best-of-3).  Full precision comes from the runs maps.
+    names = sorted({q for inv in invocations for q in inv["runs"]})
+    queries, per_inv, spread = {}, {}, {}
+    for q in names:
+        mins = [min(inv["runs"][q]) for inv in invocations
+                if q in inv["runs"]]
+        queries[q] = round(min(mins), 3)
+        per_inv[q] = [round(m, 3) for m in mins]
+        spread[q] = round(max(mins) / max(min(mins), 1e-9), 2)
+    total = round(sum(queries.values()), 3)
+
+    base = invocations[0]["headline"]
+    merged = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "sf": base.get("sf"),
+        "protocol": (f"per-query min across {n} full invocations, "
+                     "each best-of-3 (VERDICT r8 ask #4)"),
+        "queries": queries,
+    }
+    with open(os.path.join(REPO, out_json), "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+    runs_out = out_json.replace(".json", "_runs.json")
+    with open(os.path.join(REPO, runs_out), "w") as f:
+        json.dump({"per_invocation_min": per_inv, "spread": spread,
+                   "invocations": [inv["runs"] for inv in invocations]},
+                  f, indent=1, sort_keys=True)
+
+    noisy = {q: s for q, s in spread.items() if s > 1.5}
+    print(json.dumps({"total": total, "n_queries": len(queries),
+                      "noisy_gt_1.5x": noisy}))
+
+
+if __name__ == "__main__":
+    main()
