@@ -183,6 +183,29 @@ def random_mv(spark: SparkSession, n: int = 10_000, v: int = 4, d: int = 100,
     return train, test
 
 
+def random_text(spark: SparkSession, n: int = 4_000, vocab: int = 2_000,
+                alpha: float = 1.1, seed: int = DEFAULT_SEED):
+    """Zipf text corpus for the sparse (SPARSE_FLOAT_VECTOR-analog) grid:
+    word i drawn with probability ∝ 1/(i+1)^alpha from a ``vocab``-word
+    vocabulary, doc lengths uniform in [30, 120) — so the df spectrum has
+    the stopword head impact pruning is built for.  1% of docs become
+    EXTERNAL text queries (they are removed from the corpus; the sparse
+    runner weighs them under corpus statistics via text_query_weights).
+    Returns (train(id, text), test(qid, text))."""
+    rng = np.random.RandomState(seed)
+    p = 1.0 / np.power(np.arange(1, vocab + 1), alpha)
+    p /= p.sum()
+    lens = rng.randint(30, 120, size=n)
+    docs = [" ".join(f"w{w:04d}" for w in rng.choice(vocab, size=l, p=p))
+            for l in lens]
+    tr, te = docs[: n - n // 100], docs[n - n // 100:]
+    train = spark.createDataFrame(
+        list(enumerate(tr)), "id bigint, text string")
+    test = spark.createDataFrame(
+        list(enumerate(te)), "qid bigint, text string")
+    return train, test
+
+
 REGISTRY = {
     "random-xs-32-euclidean": lambda spark: random_float(spark, 10_000, 32),
     "random-xs-20-angular": lambda spark: random_float(spark, 10_000, 20),
@@ -190,4 +213,5 @@ REGISTRY = {
     "random-s-jaccard": lambda spark: random_jaccard(spark, 10_000),
     "random-xs-32-euclidean-2filter": lambda spark: random_filter(spark, 10_000, 32, 2),
     "random-mv": lambda spark: random_mv(spark, 10_000, 4, 100),
+    "random-s-text-zipf": lambda spark: random_text(spark, 4_000, 2_000),
 }

@@ -333,6 +333,154 @@ def _run_hybrid():
     return _build, _search
 
 
+def _hashed_text_vectors(df: DataFrame, id_col: str) -> DataFrame:
+    """Derived dense vectors for text rows — the hashed-embedding fold
+    (functions/embed.py): (id, v int array, nsq), zero-norm rows dropped."""
+    from bigvectorbench_spark.functions import embed as em
+    from bigvectorbench_spark.functions import text as tx
+
+    return (df
+            .select(F.col(id_col).alias("id"), tx.tokens(F.col("text")).alias("tk"))
+            .select("id", em.token_hashes(F.col("tk")).alias("th"))
+            .select("id", em.hashed_embedding(F.col("th")).alias("v"))
+            .withColumn("nsq", F.aggregate("v", F.lit(0).cast("bigint"),
+                                           lambda a, x: a + x * x))
+            .filter(F.col("nsq") > 0))
+
+
+def sparse_exact_groundtruth(train: DataFrame, queries: DataFrame,
+                             k: int) -> DataFrame:
+    """Exact sparse-IP ground truth for a text dataset (train(id, text),
+    queries(qid, text)): the unpruned inverted-index search with external
+    queries weighted under corpus statistics — the truth the sparse grid's
+    recall is honest against (dist = −score, the rrf_fuse convention)."""
+    from bigvectorbench_spark.operators import sparse as sp
+
+    post = sp.lexical_postings(train, id_col="id", text_col="text")
+    wpost = sp.sparse_postings(train, post=post)
+    qw = sp.text_query_weights(queries, post, qid_col="qid", text_col="text")
+    topk = sp.sparse_topk(train, queries, k=k, wpost=wpost, qweights=qw)
+    topk = topk.select("qid", F.col("doc_id").alias("id"),
+                       (-F.col("score")).alias("dist"), "rank")
+    return pack_results(topk, queries, k)
+
+
+def _run_sparse():
+    """Sparse inner-product family through the grid harness (the Milvus
+    SPARSE_FLOAT_VECTOR analog, operators/sparse.py — VERDICT r8 ask #7):
+    documents become SMART-ltn TF-IDF vectors over unigram+bigram
+    features; build knob ``m`` is the impact-ordered per-term posting cap
+    (0 = exact/unpruned, "auto" = the calibrated auto_m rule); queries are
+    EXTERNAL text weighted under corpus statistics (text_query_weights).
+    dist = −score so smaller is better (the rrf_fuse convention), scored
+    against sparse_exact_groundtruth."""
+    from bigvectorbench_spark.operators import sparse as sp
+
+    def _build(train, args):
+        post = sp.lexical_postings(train, id_col="id", text_col="text").cache()
+        wpost = sp.sparse_postings(train, post=post)
+        m = args.get("m", "auto")
+        idx = wpost if m in (0, "0", None, "exact") else sp.prune_postings(
+            wpost, m=m)
+        idx = idx.cache()
+        idx.count()  # materialize: index build cost belongs to build_time
+        return post, idx
+
+    def _search(art, queries, count, qargs):
+        post, idx = art
+        qw = sp.text_query_weights(queries, post, qid_col="qid",
+                                   text_col="text")
+        r = sp.sparse_topk(None, queries, k=count, wpost=idx, qweights=qw)
+        return r.select("qid", F.col("doc_id").alias("id"),
+                        (-F.col("score")).alias("dist"),
+                        F.col("rank").cast("int"))
+
+    return _build, _search
+
+
+def _run_sparse_hybrid():
+    """Sparse+dense multi-field hybrid through the grid harness (the
+    Milvus 2.4 SPARSE_FLOAT_VECTOR + dense field form the declared
+    hybrid_sparse_rrf pins at oracle scale): the sparse leg retrieves
+    top-2k through the (optionally impact-pruned) inverted index, the
+    dense leg through cosine over derived hashed embeddings — brute or
+    BQ-indexed per the ``leg`` knob — and RRF merges them (query knobs
+    ``k0`` and ``w2``).  Scored against the exact SPARSE ground truth, so
+    the metrics CSV shows what the dense field adds/costs against the
+    lexical truth."""
+    from bigvectorbench_spark.operators import retrieval as rt
+    from bigvectorbench_spark.operators import sparse as sp
+
+    def _build(train, args):
+        post = sp.lexical_postings(train, id_col="id", text_col="text").cache()
+        wpost = sp.sparse_postings(train, post=post)
+        m = args.get("m", "auto")
+        idx = wpost if m in (0, "0", None, "exact") else sp.prune_postings(
+            wpost, m=m)
+        idx = idx.cache()
+        idx.count()
+        vecs = _hashed_text_vectors(train, "id").cache()
+        leg = str(args.get("leg", "brute"))
+        if leg == "brute":
+            vecs.count()
+            return post, idx, ("brute", vecs)
+        if leg != "bq":
+            raise ValueError(f"unknown dense leg {leg!r}; expected brute|bq")
+        from bigvectorbench_spark.operators.bq import BQIndex
+
+        fvec = vecs.select("id", F.col("v").cast("array<double>").alias("vec"))
+        bq = BQIndex.fit(fvec, sort_col="id")
+        codes = bq.encode(fvec, keep=["id"]).cache()
+        codes.count()
+        return post, idx, ("bq", vecs, bq, codes)
+
+    def _search(art, queries, count, qargs):
+        post, idx, dense = art
+        k0 = int(qargs.get("k0", 60))
+        w2 = float(qargs.get("w2", 1.0))
+        k_leg = count * 2
+        qw = sp.text_query_weights(queries, post, qid_col="qid",
+                                   text_col="text")
+        lex = sp.sparse_topk(None, queries, k=k_leg, wpost=idx,
+                             qweights=qw).select("qid", "doc_id", "rank")
+        qv = _hashed_text_vectors(queries, "qid").select(
+            F.col("id").alias("qid"), F.col("v").alias("qv"),
+            F.col("nsq").alias("qn"))
+        dot = F.aggregate(F.zip_with("qv", "tv", lambda a, b: a * b),
+                          F.lit(0).cast("bigint"), lambda a, x: a + x)
+        dist = (F.lit(1.0) - dot.cast("double")
+                / (F.sqrt(F.col("qn").cast("double"))
+                   * F.sqrt(F.col("tn").cast("double"))))
+        if dense[0] == "brute":
+            tv = dense[1].select(F.col("id").alias("doc_id"),
+                                 F.col("v").alias("tv"),
+                                 F.col("nsq").alias("tn"))
+            joined = tv.crossJoin(F.broadcast(qv)).select(
+                "qid", "doc_id", dist.alias("d"))
+        else:
+            _, vecs, bq, codes = dense
+            qvec = qv.select("qid", F.col("qv").cast("array<double>")
+                             .alias("vec"))
+            cand = bq.search(codes, qvec, k=k_leg * 4).select("qid", "id")
+            tv = vecs.select(F.col("id"), F.col("v").alias("tv"),
+                             F.col("nsq").alias("tn"))
+            joined = (F.broadcast(cand).join(tv, "id")
+                      .join(F.broadcast(qv), "qid")
+                      .select("qid", F.col("id").alias("doc_id"),
+                              dist.alias("d")))
+        from pyspark.sql import Window
+        w = Window.partitionBy("qid").orderBy(F.col("d"), F.col("doc_id"))
+        vec = (joined.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k_leg)
+               .select("qid", "doc_id", "rank"))
+        fused = rt.rrf_fuse([lex, vec], k=count, k0=k0, weights=[1.0, w2])
+        return fused.select("qid", F.col("doc_id").alias("id"),
+                            (-F.col("score")).alias("dist"),
+                            F.col("rank").cast("int"))
+
+    return _build, _search
+
+
 ALGORITHMS: dict[str, Callable] = {
     "flat-expr": lambda: _run_flat("expr"),
     "flat-gemm": lambda: _run_flat("gemm"),
@@ -344,6 +492,8 @@ ALGORITHMS: dict[str, Callable] = {
     "bq": _run_bq,
     "opq": _run_opq,
     "hybrid": _run_hybrid,
+    "sparse": _run_sparse,
+    "sparse-hybrid": _run_sparse_hybrid,
 }
 
 

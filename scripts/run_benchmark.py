@@ -50,7 +50,20 @@ GRIDS = {
     # fusion knobs — recall/QPS Pareto points for fusion configs
     "hybrid": dict(build_grid={"leg": ["brute", "bq"]},
                    query_grid={"k0": [20, 60], "w2": [0.5, 1.0]}),
+    # sparse IP (SPARSE_FLOAT_VECTOR analog) on a TEXT dataset: per-term
+    # posting cap m build-time (0 = exact, "auto" = the auto_m rule);
+    # sparse+dense hybrid adds the derived-hashed-embedding dense leg
+    # (brute|bq) and the RRF fusion knobs (VERDICT r8 ask #7)
+    "sparse": dict(build_grid={"m": [64, 256, 1024, "auto", 0]},
+                   query_grid=None),
+    "sparse-hybrid": dict(build_grid={"m": ["auto"], "leg": ["brute", "bq"]},
+                          query_grid={"k0": [20, 60], "w2": [0.5, 1.0]}),
 }
+
+# Text datasets feed the text algorithms; every other algorithm expects a
+# dense/binary `vec` column — `--algorithm all` expands to the compatible
+# subset so the default invocation stays runnable.
+TEXT_ALGOS = {"sparse", "sparse-hybrid"}
 
 
 def main() -> int:
@@ -75,7 +88,16 @@ def main() -> int:
     loaded = fx.REGISTRY[args.dataset](spark)
     train, test = loaded[0].cache(), loaded[1].limit(args.max_queries).cache()
 
-    algos = sorted(GRIDS) if args.algorithm == "all" else [args.algorithm]
+    is_text = "vec" not in train.columns and "text" in train.columns
+    if args.algorithm == "all":
+        algos = sorted(TEXT_ALGOS if is_text else set(GRIDS) - TEXT_ALGOS)
+    else:
+        algos = [args.algorithm]
+        if is_text != (args.algorithm in TEXT_ALGOS):
+            kind = "text" if is_text else "vector"
+            raise SystemExit(
+                f"--algorithm {args.algorithm} does not run on a {kind} "
+                f"dataset ({args.dataset})")
     defs = []
     for algo in algos:
         defs += hz.expand_definitions(algo, args.dataset, args.count, **GRIDS[algo])
@@ -92,8 +114,11 @@ def main() -> int:
     todo = hz.filter_already_run(spark, defs, catalog)
     print(f"{len(defs)} definitions, {len(todo)} to run", file=sys.stderr)
 
-    from bigvectorbench_spark.operators.groundtruth import build_groundtruth
-    gt = build_groundtruth(train, test, k=args.count, method="expr").cache()
+    if is_text:
+        gt = hz.sparse_exact_groundtruth(train, test, k=args.count).cache()
+    else:
+        from bigvectorbench_spark.operators.groundtruth import build_groundtruth
+        gt = build_groundtruth(train, test, k=args.count, method="expr").cache()
 
     results = []
     for d in todo:

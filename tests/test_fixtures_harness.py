@@ -282,3 +282,27 @@ def test_run_definition_hybrid_grid(spark, small_ds):
     assert bq.mean_recall > 0.15             # 1-bit legs do real work
     assert brute.qps > 0 and bq.qps > 0
     assert brute.results.count() == te.count()
+
+
+def test_run_definition_sparse_text_grid(spark):
+    """The sparse family through the grid harness on the Zipf text fixture
+    (VERDICT r8 ask #7): exact (m=0) reaches recall 1.0 against the sparse
+    ground truth; a tight cap only loses recall; the sparse+dense hybrid
+    runs end-to-end and emits a sane recall."""
+    tr, te = fx.random_text(spark, n=400, vocab=300)
+    tr, te = tr.cache(), te.cache()
+    gt = hz.sparse_exact_groundtruth(tr, te, k=5).cache()
+    exact = hz.run_definition(
+        spark, hz.Definition("sparse", "fx", 5, (("m", 0),)), tr, te, gt)
+    assert exact.mean_recall == 1.0
+    tight = hz.run_definition(
+        spark, hz.Definition("sparse", "fx", 5, (("m", 8),)), tr, te, gt)
+    assert tight.mean_recall <= 1.0 and tight.qps > 0
+    hyb = hz.run_definition(
+        spark,
+        hz.Definition("sparse-hybrid", "fx", 5,
+                      (("leg", "brute"), ("m", "auto")),
+                      (("k0", 60), ("w2", 0.5))),
+        tr, te, gt)
+    assert 0.0 < hyb.mean_recall <= 1.0
+    assert hyb.results.count() == te.count()
