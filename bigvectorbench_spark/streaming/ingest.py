@@ -255,3 +255,57 @@ def stream_append_shards(stream: DataFrame, path: str,
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def bloom_probe_batch(batch_df: DataFrame, bloom: bytes, *, m_bits: int,
+                      k: int, ngram: int = 8, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      group_col: str = "source") -> DataFrame:
+    """One stateless decontamination pass over a (micro-)batch of
+    documents: tokenize → token hashes → distinct rolling ``ngram``-window
+    hashes → ``bloom_probe_any`` against the STATIC bitmap — the exact
+    hash ladder of ``curation.bloom_decontaminate_report``'s probe side,
+    so streamed flags are bit-identical to the batch report's.  Returns
+    (id, group, bloom_hit); the text column is dropped after hashing so
+    only fixed-width rows flow to the sink."""
+    from bigvectorbench_spark.functions import text as tx
+    from bigvectorbench_spark.operators import bloom as bl
+    from bigvectorbench_spark.operators.curation import (
+        rolling_window_hashes, token_hashes)
+
+    whs = batch_df.select(
+        F.col(id_col), F.col(group_col),
+        F.array_distinct(rolling_window_hashes(
+            token_hashes(tx.tokens(F.col(text_col))), ngram)).alias("whs"))
+    return bl.bloom_probe_any(whs, "whs", bloom, m_bits=m_bits, k=k,
+                              out_col="bloom_hit").drop("whs")
+
+
+def streaming_bloom_decontaminate(
+    doc_stream: DataFrame, bloom: bytes, path: str, checkpoint_path: str, *,
+    m_bits: int, k: int, ngram: int = 8, id_col: str = "doc_id",
+    text_col: str = "text", group_col: str = "source",
+    await_termination: bool = True):
+    """Mid-stream eval decontamination (VERDICT r8 ask #8): arriving
+    documents probe a STATIC Bloom bitmap artifact — the zero-state
+    streaming shape ``streaming/search.py`` establishes (the bitmap is
+    built once from the eval inventory by ``bloom.bloom_build``, is
+    broadcast per micro-batch, and holds NO stream state), composed into
+    the same dedup/PII ingest stage family.  One-sided error carries
+    over: a flagged document is possibly contaminated (bounded fp), an
+    unflagged one is definitely clean — the direction decontamination
+    tolerates, so downstream consumers can drop flagged rows in-flight.
+
+    Results land under ``batch=<id>/`` with dynamic partition overwrite
+    (the ``search_batch`` sink): a crash-replayed micro-batch overwrites
+    its own partitions — exactly-once file-sink semantics.  Final-state
+    parity with the batch ``bloom_decontaminate_report`` is pinned in
+    test_streaming_bloom."""
+    from bigvectorbench_spark.streaming.search import streaming_search
+
+    return streaming_search(
+        doc_stream, path, checkpoint_path,
+        search_fn=lambda b: bloom_probe_batch(
+            b, bloom, m_bits=m_bits, k=k, ngram=ngram, id_col=id_col,
+            text_col=text_col, group_col=group_col),
+        await_termination=await_termination)
