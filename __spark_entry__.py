@@ -2782,19 +2782,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order (observed cap: 50 per round).  The window ROTATES so no query's
     # last green row ages more than two rounds (VERDICT r3 ask #8).
     #
-    # ROUND-8 WINDOW (VERDICT r7 asks #1/#2/#4): the 11 round-7-late
-    # declarations take the first slots (sweep-green at both sfs last
-    # round, never driver-checked), then the 4 NEW round-8 declarations
-    # (the BQ-indexed hybrid/MMR scale twins + their parity gate, and the
-    # value-oracled IUD end state), then the age-2 boundary: the 14 core
-    # ANN/GT queries the r7 judge named plus 21 more of the 46 r6-green
-    # queries rotated out in round 7.  The remaining 11 r6-green queries
-    # (simple relational aggregates, lowest code-coupling: see the
-    # round-9 head-of-window block below) sit at exactly age 2 after this
-    # round — still within the ≤2 policy — and MUST lead the round-9
-    # window.  Everything else below the window is r7-green (age 1).
+    # ROUND-9 WINDOW (VERDICT r8 asks #1 + the r9 refactors): the 11
+    # round-8-late declarations lead (sweep-green at both sfs in rounds 8
+    # AND 9, never driver-checked), then the 11 r6-green aggregates at
+    # exactly age 2, then the three r8-green queries whose CODE changed
+    # this round (the brute-leg envelope refactor: hybrid_rrf_topk,
+    # mmr_rerank, hybrid_rrf_parity — fresh driver-green after a refactor
+    # beats the age policy; hybrid_sparse_rrf and sparse_prune_recall,
+    # also touched, are already in the first 11), then 25 of the 50
+    # r7-green queries reaching age 2 after this round (core ANN /
+    # dedup / curation, highest code-coupling first).
+    #
+    # ROUND-10 HEAD-OF-WINDOW: the remaining 25 r7-green queries (marked
+    # below) sit at exactly age 2 after this round and MUST lead the
+    # round-10 window.  Everything else below the window is r8-green
+    # (age 1 — recheck by round 11).
     return {
-        # --- 11 round-7-late declarations (VERDICT r7 ask #1) -------------
+        # --- 11 round-8-late declarations (VERDICT r8 ask #1) -------------
+        "sq8_knn": q_sq8_knn,
+        "sq8_recall": q_sq8_recall,
+        "sparse_knn": q_sparse_knn,
+        "sparse_prune_recall": q_sparse_prune_recall,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "weighted_sample": q_weighted_sample,
+        "stratified_sample": q_stratified_sample,
+        "hybrid_sparse_rrf": q_hybrid_sparse_rrf,
+        "sparse_delta_report": q_sparse_delta_report,
+        "sparse_delta_parity": q_sparse_delta_parity,
+        "cm_heavy_hitters": q_cm_heavy_hitters,
+        # --- 11 r6-green aggregates at age 2 (VERDICT r8 ask #1) ----------
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "corpus_rollup": q_corpus_rollup,
+        "user_gap_stats": q_user_gap_stats,
+        "quality_deciles": q_quality_deciles,
+        "topk_per_group": q_topk_per_group,
+        "events_hourly": q_events_hourly,
+        "latency_percentiles": q_latency_percentiles,
+        "recall_summary": q_recall_summary,
+        "doclen_percentiles": q_doclen_percentiles,
+        "corpus_stats": q_corpus_stats,
+        # --- r8-green but refactored this round (brute-leg envelope) ------
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "mmr_rerank": q_mmr_rerank,
+        "hybrid_rrf_parity": q_hybrid_rrf_parity,
+        # --- 25 r7-green at age 2: core ANN / distance ---------------------
+        "knn_angular": q_knn_angular,
+        "knn_hamming": q_knn_hamming,
+        "mv_knn_fused": q_mv_knn_fused,
+        "jl_knn": q_jl_knn,
+        "mm_knn": q_mm_knn,
+        "ivfpq_knn": q_ivfpq_knn,
+        "filter_knn_range": q_filter_knn_range,
+        "srp_recall": q_srp_recall,
+        "filter_ivf_knn": q_filter_ivf_knn,
+        "filter_ivf_recall": q_filter_ivf_recall,
+        "hnsw_scale_recall": q_hnsw_scale_recall,
+        # --- (cont.) dedup family -----------------------------------------
+        "embedding_cosine_dups": q_embedding_cosine_dups,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "lsh_dedup": q_lsh_dedup,
+        "semantic_dups": q_semantic_dups,
+        "incremental_dedup": q_incremental_dedup,
+        # --- (cont.) curation / LM family ----------------------------------
+        "substring_spans": q_substring_spans,
+        "substring_rewrite": q_substring_rewrite,
+        "paragraph_dedup": q_paragraph_dedup,
+        "c4_line_filter": q_c4_line_filter,
+        "gopher_repetition": q_gopher_repetition,
+        "bpe_train": q_bpe_train,
+        "bpe_token_stats": q_bpe_token_stats,
+        "lm_fluency": q_lm_fluency,
+        "dsir_select": q_dsir_select,
+        # ==== below the 50-slot window from here ===========================
+        # ROUND-10 HEAD-OF-WINDOW: these 25 r7-green queries are at age 2
+        # after round 9 and must lead the round-10 window.
+        "video_features": q_video_features,
+        "pack_blocks": q_pack_blocks,
+        "block_manifest": q_block_manifest,
+        "llm_data_mix": q_llm_data_mix,
+        "temperature_sample": q_temperature_sample,
+        "ccnet_bins": q_ccnet_bins,
+        "doc_chunks": q_doc_chunks,
+        "training_shards": q_training_shards,
+        "epoch_mix": q_epoch_mix,
+        "mix_shards": q_mix_shards,
+        "corpus_curation_scale": q_corpus_curation_scale,
+        "hashed_embed_knn": q_hashed_embed_knn,
+        "revenue_running": q_revenue_running,
+        "sessionize": q_sessionize,
+        "clicks_before_purchase": q_clicks_before_purchase,
+        "qps_by_type": q_qps_by_type,
+        "pareto_frontier": q_pareto_frontier,
+        "interval_clicks": q_interval_clicks,
+        "best_search_time": q_best_search_time,
+        "train_test_split": q_train_test_split,
+        "customers_semi_returns": q_customers_semi_returns,
+        "customers_anti_urgent": q_customers_anti_urgent,
+        "lang_pivot": q_lang_pivot,
+        "peak_events": q_peak_events,
+        "top_revenue_orders": q_top_revenue_orders,
+        # --- r8-green (CORRECTNESS_r08.json 50/50; age 1, recheck by
+        # round 11) ---------------------------------------------------------
         "bq_knn": q_bq_knn,
         "bq_recall": q_bq_recall,
         "opq_knn": q_opq_knn,
@@ -2803,16 +2892,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_delta_report": q_ivf_delta_report,
         "retrieval_eval": q_retrieval_eval,
         "quality_classifier": q_quality_classifier,
-        "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "filter_knn_2label": q_filter_knn_2label,
-        "mmr_rerank": q_mmr_rerank,
-        # --- 4 NEW round-8 declarations (VERDICT r7 asks #2/#4): first
-        # declaration must be driver-checked -------------------------------
         "hybrid_rrf_scale": q_hybrid_rrf_scale,
-        "hybrid_rrf_parity": q_hybrid_rrf_parity,
         "mmr_scale": q_mmr_scale,
         "iud_final_state": q_iud_final_state,
-        # --- age-2 boundary, core ANN/GT (named in VERDICT r7 ask #1) -----
         "knn_euclid": q_knn_euclid,
         "knn_euclid_gemm": q_knn_euclid_gemm,
         "knn_hamming_packed": q_knn_hamming_packed,
@@ -2827,7 +2910,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_knn": q_pq_knn,
         "ivf_recall": q_ivf_recall,
         "pq_recall": q_pq_recall,
-        # --- age-2 boundary, text/dedup/media/retrieval -------------------
         "asof_clicks": q_asof_clicks,
         "audio_features": q_audio_features,
         "bm25_topk": q_bm25_topk,
@@ -2849,91 +2931,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "token_stats": q_token_stats,
         "top_terms_per_source": q_top_terms_per_source,
-        # ==== below the 50-slot window from here ===========================
-        # ROUND-9 HEAD-OF-WINDOW: the round-8-late declarations (sq8_knn,
-        # sq8_recall, sparse_knn, sparse_prune_recall, bloom_decontaminate,
-        # weighted_sample, stratified_sample, hybrid_sparse_rrf,
-        # sparse_delta_report, sparse_delta_parity, cm_heavy_hitters —
-        # each sweep-verified at both sfs this round by
-        # scripts/check_oracle.py, never driver-checked) plus these 11
-        # r6-green aggregates at age 2 must lead the round-9 window.
-        "sq8_knn": q_sq8_knn,
-        "sq8_recall": q_sq8_recall,
-        "sparse_knn": q_sparse_knn,
-        "sparse_prune_recall": q_sparse_prune_recall,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "weighted_sample": q_weighted_sample,
-        "stratified_sample": q_stratified_sample,
-        "hybrid_sparse_rrf": q_hybrid_sparse_rrf,
-        "sparse_delta_report": q_sparse_delta_report,
-        "sparse_delta_parity": q_sparse_delta_parity,
-        "cm_heavy_hitters": q_cm_heavy_hitters,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "corpus_rollup": q_corpus_rollup,
-        "user_gap_stats": q_user_gap_stats,
-        "quality_deciles": q_quality_deciles,
-        "topk_per_group": q_topk_per_group,
-        "events_hourly": q_events_hourly,
-        "latency_percentiles": q_latency_percentiles,
-        "recall_summary": q_recall_summary,
-        "doclen_percentiles": q_doclen_percentiles,
-        "corpus_stats": q_corpus_stats,
-        # --- r7-green (CORRECTNESS_r07.json 50/50; age 1, recheck by r9) ---
-        "video_features": q_video_features,
-        "bpe_token_stats": q_bpe_token_stats,
-        "substring_spans": q_substring_spans,
-        "pack_blocks": q_pack_blocks,
-        "block_manifest": q_block_manifest,
-        "lm_fluency": q_lm_fluency,
-        "semantic_dups": q_semantic_dups,
-        "gopher_repetition": q_gopher_repetition,
-        "substring_rewrite": q_substring_rewrite,
-        "c4_line_filter": q_c4_line_filter,
-        "paragraph_dedup": q_paragraph_dedup,
-        "dsir_select": q_dsir_select,
-        "llm_data_mix": q_llm_data_mix,
-        "temperature_sample": q_temperature_sample,
-        "ccnet_bins": q_ccnet_bins,
-        "bpe_train": q_bpe_train,
-        "doc_chunks": q_doc_chunks,
-        "incremental_dedup": q_incremental_dedup,
-        "training_shards": q_training_shards,
-        "epoch_mix": q_epoch_mix,
-        "mix_shards": q_mix_shards,
-        "lsh_dedup": q_lsh_dedup,
-        "corpus_curation_scale": q_corpus_curation_scale,
-        "hashed_embed_knn": q_hashed_embed_knn,
-        "revenue_running": q_revenue_running,
-        "sessionize": q_sessionize,
-        "clicks_before_purchase": q_clicks_before_purchase,
-        "qps_by_type": q_qps_by_type,
-        "pareto_frontier": q_pareto_frontier,
-        "knn_angular": q_knn_angular,
-        "knn_hamming": q_knn_hamming,
-        "mv_knn_fused": q_mv_knn_fused,
-        "jl_knn": q_jl_knn,
-        "mm_knn": q_mm_knn,
-        "ivfpq_knn": q_ivfpq_knn,
-        "filter_knn_range": q_filter_knn_range,
-        "interval_clicks": q_interval_clicks,
-        "best_search_time": q_best_search_time,
-        "train_test_split": q_train_test_split,
-        "customers_semi_returns": q_customers_semi_returns,
-        "customers_anti_urgent": q_customers_anti_urgent,
-        "lang_pivot": q_lang_pivot,
-        "peak_events": q_peak_events,
-        "top_revenue_orders": q_top_revenue_orders,
-        "embedding_cosine_dups": q_embedding_cosine_dups,
-        "ngram_jaccard_dups": q_ngram_jaccard_dups,
-        "hnsw_scale_recall": q_hnsw_scale_recall,
-        "srp_recall": q_srp_recall,
-        "filter_ivf_knn": q_filter_ivf_knn,
-        "filter_ivf_recall": q_filter_ivf_recall,
         # --- rows-only by nature: approximate/sketch outputs gated by the
-        # in-window sketch_bounds / srp_recall / hnsw_scale_recall rows, and
-        # machine-timed IUD latency sweeps (end state value-oracled by the
-        # in-window iud_final_state) ----------------------------------------
+        # oracled sketch_bounds / srp_recall / hnsw_scale_recall rows, and
+        # machine-timed IUD latency sweeps (end state value-oracled by
+        # iud_final_state) ---------------------------------------------------
         "hnsw_scale_search": q_hnsw_scale_search,
         "corpus_stats_approx": q_corpus_stats_approx,
         "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
