@@ -2417,6 +2417,26 @@ def q_sparse_prune_recall(spark, sf):
     )
 
 
+def q_sparse_filter_knn(spark, sf):
+    """Filtered sparse search — the sparse twin of Q4's filtered kNN (the
+    Milvus form: SPARSE_FLOAT_VECTOR ANN under a scalar filter
+    expression, milvus/module.py:142 + the search-expr path): candidates
+    restrict to lang = 'en' documents (~40% selective here) BEFORE
+    scoring via a posting-side semi-join, while weights keep whole-corpus
+    statistics — so ranks equal post-filtering the exact search and the
+    join cost is O(allowed postings).  Fully value-oracled: the SQL twin
+    applies the same candidate restriction at the scoring join on top of
+    the corpus-global weight ladder, so scores and ranks hash-match."""
+    from bigvectorbench_spark.operators import sparse as sp
+
+    docs = _docs_wide(spark, sf)
+    queries = load_table(spark, sf, "documents").filter("doc_id % 100 = 0").select(
+        F.col("doc_id").alias("qid"))
+    wpost = sp.sparse_postings(docs, post=sp.lexical_postings(docs)).persist()
+    return sp.filtered_sparse_topk(
+        docs, queries, predicate="lang = 'en'", k=10, wpost=wpost)
+
+
 def q_hybrid_rrf_topk(spark, sf):
     """Hybrid search: the SAME query documents retrieve through BOTH
     modalities — BM25 over their 3 alphabetically-first terms AND cosine
@@ -2798,6 +2818,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-10 window.  Everything else below the window is r8-green
     # (age 1 — recheck by round 11).
     return {
+        # --- NEW round-9 declaration: first declaration must be
+        # driver-checked (the recurring rotation rule) ----------------------
+        "sparse_filter_knn": q_sparse_filter_knn,
         # --- 11 round-8-late declarations (VERDICT r8 ask #1) -------------
         "sq8_knn": q_sq8_knn,
         "sq8_recall": q_sq8_recall,
@@ -2853,10 +2876,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_token_stats": q_bpe_token_stats,
         "lm_fluency": q_lm_fluency,
-        "dsir_select": q_dsir_select,
         # ==== below the 50-slot window from here ===========================
-        # ROUND-10 HEAD-OF-WINDOW: these 25 r7-green queries are at age 2
-        # after round 9 and must lead the round-10 window.
+        # ROUND-10 HEAD-OF-WINDOW: these 26 r7-green queries are at age 2
+        # after round 9 and must lead the round-10 window (dsir_select was
+        # displaced from slot 50 by the new sparse_filter_knn declaration).
+        "dsir_select": q_dsir_select,
         "video_features": q_video_features,
         "pack_blocks": q_pack_blocks,
         "block_manifest": q_block_manifest,
@@ -3377,7 +3401,13 @@ SELECT qid, id, dist, rank FROM r WHERE rank <= 10
 # n counts docs WITH >=1 feature (len(tk) > 0) — the stats_from_postings
 # convention (a zero-token doc contributes no posting row, so it must not
 # shift idf here either); the delta-report oracle counts the same way.
-_SPARSE_KNN_SQL = f"""
+# doc_where (the filtered form): candidate docs restrict AT SCORING —
+# weights/df/idf stay corpus-global, exactly filtered_sparse_topk's
+# prefilter ≡ postfilter semantics.
+def _sparse_knn_sql(doc_where: str = "") -> str:
+    cand = (f" WHERE w.doc_id IN (SELECT doc_id FROM documents"
+            f" WHERE {doc_where})" if doc_where else "")
+    return f"""
 WITH tk0 AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
 tk AS (SELECT doc_id,
               list_concat(tk, list_transform(range(1, greatest(len(tk), 1)),
@@ -3392,7 +3422,7 @@ w AS (SELECT t.term, t.doc_id,
       FROM tfs t JOIN dfr ON t.term = dfr.term CROSS JOIN stats s),
 qw AS (SELECT doc_id AS qid, term, w AS qwv FROM w WHERE doc_id % 100 = 0),
 sc AS (SELECT qw.qid, w.doc_id, round(w.w * qw.qwv, 9)::DECIMAL(28,10) AS c
-       FROM w JOIN qw ON w.term = qw.term),
+       FROM w JOIN qw ON w.term = qw.term{cand}),
 agg AS (SELECT qid, doc_id, CAST(round(sum(c), 6) AS DOUBLE) AS score
         FROM sc GROUP BY qid, doc_id),
 r AS (SELECT qid, doc_id, score,
@@ -3400,6 +3430,10 @@ r AS (SELECT qid, doc_id, score,
       FROM agg)
 SELECT qid, doc_id, score, rank FROM r WHERE rank <= 10
 """
+
+
+_SPARSE_KNN_SQL = _sparse_knn_sql()
+_SPARSE_FILTER_KNN_SQL = _sparse_knn_sql("lang = 'en'")
 
 # n_queries restricts to docs with >=1 token: the Spark gates derive the
 # query count from the truth side of recall_per_query, and a zero-token
@@ -3876,6 +3910,7 @@ def oracle_sql() -> dict[str, str]:
         "sq8_knn": _SQ8_KNN_SQL,
         "sq8_recall": _RECALL_GATE_SQL,
         "sparse_knn": _SPARSE_KNN_SQL,
+        "sparse_filter_knn": _SPARSE_FILTER_KNN_SQL,
         "sparse_prune_recall": _SPARSE_GATE_SQL,
         "opq_recall": _RECALL_GATE_SQL,
         "srp_recall": _SRP_RECALL_SQL,

@@ -110,6 +110,7 @@ HEADLINE = [
     "hashed_embed_knn",
     "bm25_topk",
     "sparse_knn",
+    "sparse_filter_knn",
     "sparse_prune_recall",
     "bloom_decontaminate",
     "weighted_sample",

@@ -262,6 +262,42 @@ def prune_postings(wpost: DataFrame, m: int | str = "auto") -> DataFrame:
     )
 
 
+def filtered_sparse_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    predicate: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "qid",
+    wpost: DataFrame | None = None,
+    qwpost: DataFrame | None = None,
+    qweights: DataFrame | None = None,
+) -> DataFrame:
+    """Filtered sparse search — the sparse twin of the dense filtered kNN
+    (Q4): Milvus serves SPARSE_FLOAT_VECTOR ANN under a scalar filter
+    expression (milvus/module.py:142 + the search-expr path the dense
+    operators mirror in operators/filter_knn.py); here ``predicate`` is a
+    Catalyst SQL expression over the DOCUMENT table selecting the allowed
+    candidates, and their ids semi-join the posting side BEFORE scoring —
+    the prefilter plan: scored rows shrink with selectivity while weights
+    keep WHOLE-corpus statistics, so ranks equal post-filtering the
+    unfiltered exact search (prefilter ≡ postfilter when idf is
+    corpus-global; pinned in test_sparse) at O(allowed postings) join
+    cost.  Query-side vectors default to the FULL index (``qwpost``):
+    query documents need not satisfy the predicate themselves."""
+    if wpost is None:
+        wpost = sparse_postings(docs, id_col=id_col, text_col=text_col)
+    if qwpost is None:
+        qwpost = wpost
+    allowed = docs.filter(predicate).select(F.col(id_col).alias("doc_id"))
+    fpost = wpost.join(allowed, "doc_id", "left_semi")
+    return sparse_topk(docs, queries, k=k, id_col=id_col, text_col=text_col,
+                       qid_col=qid_col, wpost=fpost, qwpost=qwpost,
+                       qweights=qweights)
+
+
 def sparse_topk(
     docs: DataFrame,
     queries: DataFrame,

@@ -15,6 +15,14 @@ the axis that matters:
     fp=1e-6 design point), one-sided error (superset of exact, asserted
     here against the expr result).
 
+Round 9 adds the WINNING-regime measurement (VERDICT r8 ask #5): a
+cross-corpus decontamination shape (eval_mod=2 over a 1M-doc corpus →
+~50M distinct window hashes, a ~0.4 GB exact inventory) and an honest
+probe-only timing — bloom_decontaminate_report also runs the exact
+semi-join pass for its gate booleans, so its wall time can never beat
+expr; the serving path a user deploys is build-bitmap-once + map-only
+probe (streaming/ingest.bloom_probe_batch), timed separately here.
+
 Usage: python scripts/scale_bloom.py [N_DOCS] [EVAL_MOD] [OUT_JSON]
 """
 
@@ -71,13 +79,41 @@ def main() -> None:
         best, runs = best_of(fn)
         out[f"{label}_s"], out[f"{label}_runs"] = best, runs
 
-    _time("expr", lambda: cur.decontaminate_report(
+    def _try(label, fn):
+        # "degrades or refuses" is a RESULT here: a method that cannot
+        # carry the inventory records its failure instead of killing the
+        # harness (VERDICT r8 ask #5).
+        try:
+            _time(label, fn)
+        except Exception as e:  # noqa: BLE001
+            out[f"{label}_error"] = str(e).splitlines()[0][:300]
+
+    _try("expr", lambda: cur.decontaminate_report(
         docs, eval_mod=eval_mod).write.format("noop").mode("overwrite").save())
-    _time("arrow", lambda: cur.decontaminate_report(
+    _try("arrow", lambda: cur.decontaminate_report(
         docs, eval_mod=eval_mod, method="arrow").write.format(
         "noop").mode("overwrite").save())
-    _time("bloom", lambda: cur.bloom_decontaminate_report(
+    _try("bloom", lambda: cur.bloom_decontaminate_report(
         docs, eval_mod=eval_mod).write.format("noop").mode("overwrite").save())
+
+    # The SERVING split: bitmap built once (index-build cost), probes are
+    # map-only passes over the train side — the deployable Bloom path
+    # (streaming_bloom_decontaminate runs exactly this per micro-batch).
+    from bigvectorbench_spark.streaming.ingest import bloom_probe_batch
+
+    inv_c = inv.persist()
+    inv_c.count()
+    t0 = time.perf_counter()
+    bm = bl.bloom_build(inv_c, "wh", m_bits=m_bits, k=k)
+    out["bloom_build_s"] = round(time.perf_counter() - t0, 3)
+    train = docs.filter(F.col("doc_id") % eval_mod != 0)
+    _try("bloom_probe_only", lambda: (
+        bloom_probe_batch(train, bm, m_bits=m_bits, k=k)
+        .groupBy("source").agg(
+            F.count("*").alias("n_train"),
+            F.sum(F.col("bloom_hit").cast("int")).alias("n_bloom"))
+        .write.format("noop").mode("overwrite").save()))
+    inv_c.unpersist()
 
     # one-sided-error check at this scale (not just the oracle sf)
     rep = cur.bloom_decontaminate_report(docs, eval_mod=eval_mod)

@@ -270,3 +270,26 @@ def test_prune_postings_auto_resolves_from_corpus(spark, docs):
     explicit = sorted(map(tuple, sp.prune_postings(
         wpost, m=sp.auto_m(n_docs)).collect()))
     assert auto == explicit and len(auto) > 0
+
+
+def test_filtered_sparse_equals_postfilter(spark, docs):
+    """Prefilter (posting-side semi-join) equals post-filtering the exact
+    unfiltered search: weights stay corpus-global, only candidates
+    shrink.  Every returned doc satisfies the predicate."""
+    wpost = sp.sparse_postings(docs).cache()
+    queries = spark.createDataFrame([(0,), (3,)], "qid bigint")
+    got = sp.filtered_sparse_topk(
+        docs, queries, predicate="source = 'web'", k=5, wpost=wpost)
+    rows = got.collect()
+    web_ids = {r["doc_id"] for r in
+               docs.filter("source = 'web'").select("doc_id").collect()}
+    assert rows and all(r["doc_id"] in web_ids for r in rows)
+    exact = sp.sparse_topk(docs, queries, k=100, wpost=wpost).collect()
+    expect = {}
+    for r in sorted(exact, key=lambda r: (r["qid"], r["rank"])):
+        if r["doc_id"] in web_ids:
+            expect.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    for qid, lst in expect.items():
+        mine = [(r["doc_id"], r["score"]) for r in
+                sorted(rows, key=lambda r: r["rank"]) if r["qid"] == qid]
+        assert mine == lst[:5], f"qid={qid}"
