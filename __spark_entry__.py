@@ -2489,6 +2489,34 @@ def q_hybrid_sparse_rrf(spark, sf):
                         F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_hybrid_sparse_scale(spark, sf):
+    """The 100× form of q_hybrid_sparse_rrf — the multi-FIELD Milvus 2.4
+    hybrid with BOTH legs indexed: the sparse leg serves from the auto_m
+    impact-pruned inverted index (query-side vectors stay FULL, the
+    sparse_prune_recall-gated configuration), the dense leg from the BQ
+    candidate scan + exact integer-cosine refine (the hybrid_rrf_scale
+    leg), fused by the engine-exact RRF tail.  Fully value-oracled: the
+    pruning is deterministic SQL (row_number over (w desc, doc_id) per
+    term at the auto_m cap, recomputed by DuckDB), the BQ candidate sets
+    are recomputed at oracle-generation time and embedded as literals
+    (the hybrid_rrf_scale convention), and the fusion ladder replays —
+    so the 100× multi-field plan is hash-checked end to end, not just
+    overlap-gated."""
+    from bigvectorbench_spark.operators import sparse as sp
+
+    docs = _docs_wide(spark, sf)
+    qids = load_table(spark, sf, "documents").filter("doc_id % 250 = 0").select(
+        F.col("doc_id").alias("qid"))
+    wpost = sp.sparse_postings(docs, post=sp.lexical_postings(docs)).persist()
+    lex = sp.sparse_topk(docs, qids, k=20, wpost=sp.prune_postings(wpost),
+                         qwpost=wpost).select("qid", "doc_id", "rank")
+    vec = _bq_vec_leg(spark, sf, out_k=20).select(
+        "qid", F.col("id").alias("doc_id"), "rank")
+    fused = rt.rrf_fuse([lex, vec], k=10, k0=60)
+    return fused.select("qid", "doc_id", "score",
+                        F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_mmr_rerank(spark, sf):
     """Diversity-aware re-ranking (Carbonell & Goldstein's Maximal
     Marginal Relevance — the standard RAG diversity stage): the
@@ -2821,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW round-9 declaration: first declaration must be
         # driver-checked (the recurring rotation rule) ----------------------
         "sparse_filter_knn": q_sparse_filter_knn,
+        "hybrid_sparse_scale": q_hybrid_sparse_scale,
         # --- 11 round-8-late declarations (VERDICT r8 ask #1) -------------
         "sq8_knn": q_sq8_knn,
         "sq8_recall": q_sq8_recall,
@@ -2875,11 +2904,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "bpe_train": q_bpe_train,
         "bpe_token_stats": q_bpe_token_stats,
-        "lm_fluency": q_lm_fluency,
         # ==== below the 50-slot window from here ===========================
-        # ROUND-10 HEAD-OF-WINDOW: these 26 r7-green queries are at age 2
-        # after round 9 and must lead the round-10 window (dsir_select was
-        # displaced from slot 50 by the new sparse_filter_knn declaration).
+        # ROUND-10 HEAD-OF-WINDOW: these 27 r7-green queries are at age 2
+        # after round 9 and must lead the round-10 window (lm_fluency and
+        # dsir_select were displaced from the last slots by the two new
+        # round-9 declarations sparse_filter_knn / hybrid_sparse_scale).
+        "lm_fluency": q_lm_fluency,
         "dsir_select": q_dsir_select,
         "video_features": q_video_features,
         "pack_blocks": q_pack_blocks,
@@ -3887,7 +3917,71 @@ SELECT qid, doc_id, rel, v FROM r WHERE rank <= 30 ORDER BY qid, doc_id
 WITH m(qid, doc_id, objective, rank) AS (VALUES {", ".join(vals)})
 SELECT qid, doc_id, objective, rank FROM m
 """
-    return {"hybrid_rrf_scale": hybrid_sql, "mmr_scale": mmr_scale_sql}
+    # hybrid_sparse_scale: BOTH legs indexed — the sparse leg replays the
+    # full weight ladder PLUS the impact-pruning row_number cut at the
+    # auto_m cap (deterministic SQL: w is 6-dp rounded, ties by doc_id,
+    # so both engines cut identical keep-sets); the dense leg reuses the
+    # embedded BQ candidates + integer-cosine refine; the RRF tail is the
+    # hybrid_sparse_rrf ladder.  m resolves via sparse.auto_m over the
+    # count of tokenized docs (the wpost distinct-doc convention).
+    from bigvectorbench_spark.operators.sparse import auto_m
+
+    n_tok = duckdb.connect().execute(f"""
+        SELECT count(*) FROM (SELECT {_TOKENS} AS tk
+                              FROM read_parquet('{path}')) WHERE len(tk) > 0
+    """).fetchone()[0]
+    m_auto = auto_m(int(n_tok))
+    hybrid_sparse_sql = f"""
+WITH cand(qid, doc_id) AS (VALUES {_cand_pairs(160)}),
+tk0 AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),
+ftk AS (SELECT doc_id,
+               list_concat(tk, list_transform(range(1, greatest(len(tk), 1)),
+                   i -> tk[i] || ' ' || tk[i+1])) AS ft
+        FROM tk0),
+sstats AS (SELECT count(*)::DOUBLE AS n FROM ftk WHERE len(ft) > 0),
+spost AS (SELECT doc_id, unnest(ft) AS term FROM ftk),
+stfs AS (SELECT term, doc_id, count(*) AS tf FROM spost GROUP BY term, doc_id),
+sdfr AS (SELECT term, count(*) AS df FROM stfs GROUP BY term),
+sw AS (SELECT t.term, t.doc_id,
+              round((1.0 + ln(t.tf::DOUBLE)) * ln(s.n / sdfr.df::DOUBLE), 6) AS w
+       FROM stfs t JOIN sdfr ON t.term = sdfr.term CROSS JOIN sstats s),
+swp AS (SELECT term, doc_id, w FROM (
+            SELECT term, doc_id, w,
+                   row_number() OVER (PARTITION BY term
+                                      ORDER BY w DESC, doc_id) AS pr
+            FROM sw) WHERE pr <= {m_auto}),
+sqw AS (SELECT doc_id AS qid, term, w AS qwv FROM sw WHERE doc_id % 250 = 0),
+ssc AS (SELECT sqw.qid, swp.doc_id, round(swp.w * sqw.qwv, 9)::DECIMAL(28,10) AS c
+        FROM swp JOIN sqw ON swp.term = sqw.term),
+sagg AS (SELECT qid, doc_id, CAST(round(sum(c), 6) AS DOUBLE) AS score
+         FROM ssc GROUP BY qid, doc_id),
+lexr AS (SELECT qid, doc_id,
+                row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+                AS rank
+         FROM sagg QUALIFY rank <= 20),
+{emb_ctes},
+vs AS (SELECT c.qid, b.doc_id,
+   1.0 - list_sum(list_transform(list_zip(vq.qv, b.v), p -> p[1] * p[2]))::DOUBLE
+       / (sqrt(vq.qn::DOUBLE) * sqrt(b.nsq::DOUBLE)) AS dd
+   FROM cand c JOIN vbase b ON b.doc_id = c.doc_id JOIN vq ON vq.qid = c.qid),
+vecr AS (SELECT qid, doc_id,
+                row_number() OVER (PARTITION BY qid ORDER BY dd, doc_id) AS rank
+         FROM vs QUALIFY rank <= 20),
+u AS (SELECT qid, doc_id,
+             round(1.0 / (60.0 + rank), 9)::DECIMAL(28,10) AS t FROM lexr
+      UNION ALL
+      SELECT qid, doc_id,
+             round(1.0 / (60.0 + rank), 9)::DECIMAL(28,10) AS t FROM vecr),
+f AS (SELECT qid, doc_id, CAST(round(sum(t), 6) AS DOUBLE) AS score
+      FROM u GROUP BY qid, doc_id),
+rr AS (SELECT qid, doc_id, score,
+              row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+              AS rank
+       FROM f)
+SELECT qid, doc_id, score, rank FROM rr WHERE rank <= 10
+"""
+    return {"hybrid_rrf_scale": hybrid_sql, "mmr_scale": mmr_scale_sql,
+            "hybrid_sparse_scale": hybrid_sparse_sql}
 
 
 def oracle_sql() -> dict[str, str]:

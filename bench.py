@@ -116,6 +116,7 @@ HEADLINE = [
     "weighted_sample",
     "stratified_sample",
     "hybrid_sparse_rrf",
+    "hybrid_sparse_scale",
     "sparse_delta_report",
     "sparse_delta_parity",
     "cm_heavy_hitters",
