@@ -98,15 +98,20 @@ _BUILD_CHUNK_BYTES = 1 << 28
 def bloom_build(df: DataFrame, col: str, *, m_bits: int, k: int) -> bytes:
     """Fold ``df[col]`` (any hashable type) into an m-bit Bloom bitmap.
 
-    One narrow job: positions explode JVM-side, each partition's Arrow
-    kernel ORs them into a local bitmap and emits it as 256 MB
-    ``(chunk, bm)`` rows (no single Arrow binary value nears the int32
-    offset cap), the driver ORs per-chunk.  Driver memory =
-    partitions × m/8 bytes — the fixed-size index-build collect envelope
-    (IVF/PQ convention), NOT O(rows)."""
+    Two distributed stages, then ONE bitmap to the driver: positions
+    explode JVM-side; each partition's Arrow kernel ORs them into a local
+    bitmap emitted as 256 MB ``(chunk, bm)`` rows (no single Arrow binary
+    value nears the int32 offset cap); the per-partition chunk copies
+    then shuffle BY CHUNK and OR executor-side in a streaming kernel, so
+    the driver collects exactly one copy of each chunk — m/8 bytes total,
+    independent of partition count.  (The earlier single-stage fold
+    collected partitions × m/8 bytes: at a measured ~29M-hash inventory
+    that is 32 × ~52 MB ≈ 1.7 GB and trips the default 1 GiB
+    spark.driver.maxResultSize — SCALE_BLOOM_r9.json's regime.)"""
     import pyarrow as pa
 
     n_bytes = (m_bits + 7) // 8
+    n_chunks = (n_bytes + _BUILD_CHUNK_BYTES - 1) // _BUILD_CHUNK_BYTES
     pos = df.select(
         F.explode(bloom_positions(F.col(col), m_bits, k)).alias("pos"))
 
@@ -124,9 +129,32 @@ def bloom_build(df: DataFrame, col: str, *, m_bits: int, k: int) -> bytes:
                        for c in chunks])],
             ["chunk", "bm"])
 
-    parts = pos.mapInArrow(fold, schema="chunk int, bm binary").collect()
+    def merge(batches):
+        # Streaming OR per chunk: rows arrive co-partitioned by chunk id;
+        # accumulators hold one copy per chunk ASSIGNED HERE (bounded by
+        # chunks/partitions, not by upstream partition count).
+        accs: dict[int, np.ndarray] = {}
+        for batch in batches:
+            cs = batch.column(0).to_pylist()
+            bms = batch.column(1)
+            for i, c in enumerate(cs):
+                a = np.frombuffer(bms[i].as_py(), dtype=np.uint8)
+                if c in accs:
+                    accs[c] |= a
+                else:
+                    accs[c] = a.copy()
+        if accs:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(list(accs), type=pa.int32()),
+                 pa.array([a.tobytes() for a in accs.values()])],
+                ["chunk", "bm"])
+
+    parts = pos.mapInArrow(fold, schema="chunk int, bm binary")
+    merged = (parts.repartition(min(n_chunks, 32), "chunk")
+              .mapInArrow(merge, schema="chunk int, bm binary")
+              .collect())
     out = np.zeros(n_bytes, dtype=np.uint8)
-    for r in parts:
+    for r in merged:
         c = r["chunk"] * _BUILD_CHUNK_BYTES
         out[c:c + _BUILD_CHUNK_BYTES] |= np.frombuffer(r["bm"], dtype=np.uint8)
     return out.tobytes()

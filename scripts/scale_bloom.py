@@ -103,16 +103,19 @@ def main() -> None:
 
     inv_c = inv.persist()
     inv_c.count()
-    t0 = time.perf_counter()
-    bm = bl.bloom_build(inv_c, "wh", m_bits=m_bits, k=k)
-    out["bloom_build_s"] = round(time.perf_counter() - t0, 3)
-    train = docs.filter(F.col("doc_id") % eval_mod != 0)
-    _try("bloom_probe_only", lambda: (
-        bloom_probe_batch(train, bm, m_bits=m_bits, k=k)
-        .groupBy("source").agg(
-            F.count("*").alias("n_train"),
-            F.sum(F.col("bloom_hit").cast("int")).alias("n_bloom"))
-        .write.format("noop").mode("overwrite").save()))
+    try:
+        t0 = time.perf_counter()
+        bm = bl.bloom_build(inv_c, "wh", m_bits=m_bits, k=k)
+        out["bloom_build_s"] = round(time.perf_counter() - t0, 3)
+        train = docs.filter(F.col("doc_id") % eval_mod != 0)
+        _try("bloom_probe_only", lambda: (
+            bloom_probe_batch(train, bm, m_bits=m_bits, k=k)
+            .groupBy("source").agg(
+                F.count("*").alias("n_train"),
+                F.sum(F.col("bloom_hit").cast("int")).alias("n_bloom"))
+            .write.format("noop").mode("overwrite").save()))
+    except Exception as e:  # noqa: BLE001
+        out["bloom_build_error"] = str(e).splitlines()[0][:300]
     inv_c.unpersist()
 
     # one-sided-error check at this scale (not just the oracle sf)
