@@ -119,3 +119,16 @@ def test_probe_any_plan_is_map_only(spark):
         .executedPlan().toString()
     for op in ("Join", "Exchange", "Generate"):
         assert op not in plan, op
+
+
+def test_multichunk_build_is_byte_identical(spark, monkeypatch):
+    """The chunked two-stage merge (256MB rows, per-chunk executor OR —
+    the >1GiB-bitmap path) produces the same bitmap as the single-chunk
+    build: force multi-chunk by shrinking the chunk size."""
+    items = spark.range(0, 3000).select((F.col("id") * 104729 + 7).alias("v"))
+    m, k = bl.bloom_params(3000, 0.01)
+    one = bl.bloom_build(items.repartition(8), "v", m_bits=m, k=k)
+    n_bytes = (m + 7) // 8
+    monkeypatch.setattr(bl, "_BUILD_CHUNK_BYTES", max(64, n_bytes // 5))
+    many = bl.bloom_build(items.repartition(8), "v", m_bits=m, k=k)
+    assert many == one and len(many) == n_bytes
