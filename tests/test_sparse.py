@@ -293,3 +293,19 @@ def test_filtered_sparse_equals_postfilter(spark, docs):
         mine = [(r["doc_id"], r["score"]) for r in
                 sorted(rows, key=lambda r: r["rank"]) if r["qid"] == qid]
         assert mine == lst[:5], f"qid={qid}"
+
+
+def test_filtered_sparse_plan_semi_join_no_cartesian(spark, docs):
+    """The filter reaches the posting side as a (broadcast) LEFT SEMI
+    join; the only nested-loop join in the plan is the one-row stats
+    broadcast — never a doc x doc or doc x query cartesian."""
+    wpost = sp.sparse_postings(docs)
+    queries = spark.createDataFrame([(0,)], "qid bigint")
+    plan = sp.filtered_sparse_topk(
+        docs, queries, predicate="source = 'web'", k=5, wpost=wpost
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    for line in plan.splitlines():
+        if "NestedLoopJoin" in line:
+            # only the broadcast one-row stats cross survives
+            assert "BroadcastNestedLoopJoin" in line and "Cross" in line
