@@ -273,10 +273,20 @@ def bloom_probe_batch(batch_df: DataFrame, bloom: bytes, *, m_bits: int,
     from bigvectorbench_spark.operators.curation import (
         rolling_window_hashes, token_hashes)
 
-    whs = batch_df.select(
-        F.col(id_col), F.col(group_col),
-        F.array_distinct(rolling_window_hashes(
-            token_hashes(tx.tokens(F.col(text_col))), ngram)).alias("whs"))
+    # Staged projections, NOT one inline expression: rolling_window_hashes
+    # references its input in the per-window lambda, and an INLINE
+    # tokenize+hash expression would re-evaluate there PER WINDOW (~100x
+    # per doc — measured: the 500k-doc probe went from minutes-grade to
+    # 24+ min before this split).  With th materialized as a column, the
+    # CollapseProject duplicate-reference guard keeps it evaluated once
+    # (the curation.py tokenized-frame discipline).
+    whs = (batch_df
+           .select(F.col(id_col), F.col(group_col),
+                   tx.tokens(F.col(text_col)).alias("tk"))
+           .select(id_col, group_col, token_hashes(F.col("tk")).alias("th"))
+           .select(id_col, group_col,
+                   F.array_distinct(rolling_window_hashes(F.col("th"), ngram))
+                   .alias("whs")))
     return bl.bloom_probe_any(whs, "whs", bloom, m_bits=m_bits, k=k,
                               out_col="bloom_hit").drop("whs")
 
