@@ -2406,7 +2406,9 @@ def q_sparse_prune_recall(spark, sf):
     exact = sp.sparse_topk(docs, queries, k=10, wpost=wpost).groupBy("qid").agg(
         F.collect_list("doc_id").alias("neighbors"))
     pruned = sp.sparse_topk(
-        docs, queries, k=10, wpost=sp.prune_postings(wpost, m="auto"),
+        docs, queries, k=10,
+        wpost=sp.prune_postings(wpost, m="auto",
+                                n_docs=load_table(spark, sf, "documents").count()),
         qwpost=wpost
     ).groupBy("qid").agg(F.collect_list("doc_id").alias("neighbors"))
     per_q = mx.recall_per_query(pruned, exact)
@@ -2508,8 +2510,11 @@ def q_hybrid_sparse_scale(spark, sf):
     qids = load_table(spark, sf, "documents").filter("doc_id % 250 = 0").select(
         F.col("doc_id").alias("qid"))
     wpost = sp.sparse_postings(docs, post=sp.lexical_postings(docs)).persist()
-    lex = sp.sparse_topk(docs, qids, k=20, wpost=sp.prune_postings(wpost),
-                         qwpost=wpost).select("qid", "doc_id", "rank")
+    lex = sp.sparse_topk(
+        docs, qids, k=20,
+        wpost=sp.prune_postings(
+            wpost, n_docs=load_table(spark, sf, "documents").count()),
+        qwpost=wpost).select("qid", "doc_id", "rank")
     vec = _bq_vec_leg(spark, sf, out_k=20).select(
         "qid", F.col("id").alias("doc_id"), "rank")
     fused = rt.rrf_fuse([lex, vec], k=10, k0=60)
@@ -3923,14 +3928,15 @@ SELECT qid, doc_id, objective, rank FROM m
     # so both engines cut identical keep-sets); the dense leg reuses the
     # embedded BQ candidates + integer-cosine refine; the RRF tail is the
     # hybrid_sparse_rrf ladder.  m resolves via sparse.auto_m over the
-    # count of tokenized docs (the wpost distinct-doc convention).
+    # documents row count — the same n_docs the declared queries pass
+    # (a metadata-only parquet count; the 0.04 coefficient carries enough
+    # slack that all-docs vs tokenized-docs never moves m materially,
+    # and at the oracle corpora both land on the floor).
     from bigvectorbench_spark.operators.sparse import auto_m
 
-    n_tok = duckdb.connect().execute(f"""
-        SELECT count(*) FROM (SELECT {_TOKENS} AS tk
-                              FROM read_parquet('{path}')) WHERE len(tk) > 0
-    """).fetchone()[0]
-    m_auto = auto_m(int(n_tok))
+    n_rows = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
+    m_auto = auto_m(int(n_rows))
     hybrid_sparse_sql = f"""
 WITH cand(qid, doc_id) AS (VALUES {_cand_pairs(160)}),
 tk0 AS (SELECT doc_id, {_TOKENS} AS tk FROM documents),

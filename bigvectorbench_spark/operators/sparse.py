@@ -241,19 +241,25 @@ def auto_m(n_docs: int) -> int:
     return int(max(_AUTO_M_MIN, round(_AUTO_M_FRAC * n_docs)))
 
 
-def prune_postings(wpost: DataFrame, m: int | str = "auto") -> DataFrame:
+def prune_postings(wpost: DataFrame, m: int | str = "auto",
+                   *, n_docs: int | None = None) -> DataFrame:
     """Impact-ordered truncation: keep each term's top-``m`` documents by
     weight (ties by ascending doc id).  Index-build-time and
     query-independent, so the pruned index serves any workload; recall loss
     is bounded by how much query-relevant mass sits past rank ``m`` — gated
     by the declared recall query.
 
-    ``m="auto"`` (default) resolves via :func:`auto_m` from the corpus
-    size (one distinct-count job over the index) — the rule that holds
-    recall constant across corpus decades instead of letting a fixed cap
-    decay (SCALE_SPARSE_r8.json: 0.81 → 0.53 over one decade at m=2000)."""
+    ``m="auto"`` (default) resolves via :func:`auto_m` — the rule that
+    holds recall constant across corpus decades instead of letting a
+    fixed cap decay (SCALE_SPARSE_r8.json: 0.81 → 0.53 over one decade at
+    m=2000).  Pass ``n_docs`` (the corpus row count — a metadata-only
+    parquet count) to skip the fallback distinct-count job over the
+    index; the 0.04 coefficient carries enough slack that the
+    all-docs vs docs-with-≥1-feature distinction never moves m
+    materially."""
     if m == "auto":
-        m = auto_m(wpost.select("doc_id").distinct().count())
+        m = auto_m(n_docs if n_docs is not None
+                   else wpost.select("doc_id").distinct().count())
     w = Window.partitionBy("term").orderBy(F.col("w").desc(), F.col("doc_id"))
     return (
         wpost.withColumn("__r", F.row_number().over(w))
