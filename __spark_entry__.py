@@ -2439,6 +2439,66 @@ def q_sparse_filter_knn(spark, sf):
         docs, queries, predicate="lang = 'en'", k=10, wpost=wpost)
 
 
+def q_sparse_filter_adaptive(spark, sf):
+    """Adaptive filtered sparse search — the G5 pre/post-filter flip for
+    the sparse family (the dense filtered kNN's plans/selectivity.py
+    treatment; reference policy create_artificial_datasets.py:165-283 +
+    the pgvector filtered-search SQL, pgvector/module.py:90-102): the
+    predicate here keeps ~85% of documents (lang <> 'zh'), so
+    ``mode="auto"`` measures selectivity, lands PAST
+    sparse.FILTER_SPARSE_PRE_MAX_SEL, and picks the POSTFILTER plan —
+    score the full query-vocabulary postings, semi-join the allowed ids
+    on the small aggregated (qid, doc_id, score) frame, then rank.  Both
+    plans return identical rows (weights are corpus-global), so this is
+    fully value-oracled by the same filtered SQL form as
+    sparse_filter_knn; the plan crossover itself is measured at the
+    500k-doc regime in SCALE_FILTER_SPARSE_r10.json."""
+    from bigvectorbench_spark.operators import sparse as sp
+
+    docs = _docs_wide(spark, sf)
+    queries = load_table(spark, sf, "documents").filter("doc_id % 100 = 0").select(
+        F.col("doc_id").alias("qid"))
+    wpost = sp.sparse_postings(docs, post=sp.lexical_postings(docs)).persist()
+    return sp.filtered_sparse_topk(
+        docs, queries, predicate="lang <> 'zh'", k=10, wpost=wpost,
+        mode="auto", n_docs=load_table(spark, sf, "documents").count())
+
+
+def q_sparse_quantile_recall(spark, sf):
+    """The spectrum-general auto_m gate (VERDICT r9 ask #4): ``m`` is
+    resolved by sparse.auto_m_spectrum — a bounded df-spectrum aggregate
+    holding the postings CUT FRACTION at the Zipf-decade operating point
+    (≈14.2%, SCALE_SPARSE_r9.json) on ANY term-frequency shape, where the
+    0.04·n fast path assumes Zipf.  Same gate shape as
+    sparse_prune_recall: the spectrum-pruned index serves the queries
+    with full query-side vectors, and top-10 recall vs the exact join is
+    emitted as oracle-asserted threshold booleans.  Holding the cut at
+    ≈14% prunes LESS than the 500-doc floor m=64 (which cuts 26-28%
+    here), so recall sits at/above prune_recall's 0.96-0.98 floor; tight
+    gate 0.9/0.8, off-sf floor 0.6/0.3.  Both spectra validated at the
+    500k regime in SCALE_SPARSE_r10.json (Zipf + uniform-df)."""
+    from bigvectorbench_spark.operators import sparse as sp
+
+    mean_thr, min_thr = _gate(sf, tight=(0.9, 0.8), floor=(0.6, 0.3))
+    docs = _docs_wide(spark, sf)
+    queries = load_table(spark, sf, "documents").filter("doc_id % 100 = 0").select(
+        F.col("doc_id").alias("qid"))
+    wpost = sp.sparse_postings(docs, post=sp.lexical_postings(docs)).persist()
+    exact = sp.sparse_topk(docs, queries, k=10, wpost=wpost).groupBy("qid").agg(
+        F.collect_list("doc_id").alias("neighbors"))
+    pruned = sp.sparse_topk(
+        docs, queries, k=10,
+        wpost=sp.prune_postings(wpost, m="spectrum"),
+        qwpost=wpost
+    ).groupBy("qid").agg(F.collect_list("doc_id").alias("neighbors"))
+    per_q = mx.recall_per_query(pruned, exact)
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg("recall") >= mean_thr).alias("mean_recall_ok"),
+        (F.min("recall") >= min_thr).alias("min_recall_ok"),
+    )
+
+
 def q_hybrid_rrf_topk(spark, sf):
     """Hybrid search: the SAME query documents retrieve through BOTH
     modalities — BM25 over their 3 alphabetically-first terms AND cosine
@@ -2454,7 +2514,8 @@ def q_hybrid_rrf_topk(spark, sf):
     anchor; past 200k corpus rows it refuses fast and points at
     hybrid_rrf_scale (VERDICT r8 "what's wrong" #1)."""
     lex = _lex_leg(spark, sf, k=20)
-    vec = _brute_vec_leg(spark, sf, out_k=20).select("qid", "doc_id", "rank")
+    vec = _brute_vec_leg(spark, sf, out_k=20, twin="hybrid_rrf_scale").select(
+        "qid", "doc_id", "rank")
     fused = rt.rrf_fuse([lex, vec], k=10, k0=60)
     return fused.select("qid", "doc_id", "score",
                         F.col("rank").cast("bigint").alias("rank"))
@@ -2485,7 +2546,9 @@ def q_hybrid_sparse_rrf(spark, sf):
     wpost = sp.sparse_postings(docs, post=sp.lexical_postings(docs)).persist()
     lex = sp.sparse_topk(docs, qids, k=20, wpost=wpost).select(
         "qid", "doc_id", "rank")
-    vec = _brute_vec_leg(spark, sf, out_k=20).select("qid", "doc_id", "rank")
+    vec = _brute_vec_leg(spark, sf, out_k=20,
+                         twin="hybrid_sparse_scale").select(
+        "qid", "doc_id", "rank")
     fused = rt.rrf_fuse([lex, vec], k=10, k0=60)
     return fused.select("qid", "doc_id", "score",
                         F.col("rank").cast("bigint").alias("rank"))
@@ -2536,7 +2599,7 @@ def q_mmr_rerank(spark, sf):
     ivf_knn independent-recomputation pattern.  Candidates come from the
     size-enveloped ``_brute_vec_leg`` anchor — past 200k corpus rows it
     refuses fast and points at mmr_scale."""
-    cand = _brute_vec_leg(spark, sf, out_k=30).select(
+    cand = _brute_vec_leg(spark, sf, out_k=30, twin="mmr_scale").select(
         "qid", "doc_id",
         F.round(F.lit(1.0) - F.col("d"), 6).alias("rel"),
         F.col("tv").alias("vec"))
@@ -2568,7 +2631,8 @@ def _hashed_base_int(spark, sf, *, persist: bool = False):
     return base.persist() if persist else base
 
 
-def _brute_vec_leg(spark, sf, *, out_k: int, mod: int = 250, base=None):
+def _brute_vec_leg(spark, sf, *, out_k: int, mod: int = 250, base=None,
+                   twin: str = "hybrid_rrf_scale / mmr_scale"):
     """The BRUTE exact-cosine vector leg shared by the hybrid/MMR oracle
     anchors: every (query, doc) pair scored — O(docs × queries) by
     construction, so it wears the dedup.py ALL_PAIRS_MAX_ROWS envelope
@@ -2580,6 +2644,11 @@ def _brute_vec_leg(spark, sf, *, out_k: int, mod: int = 250, base=None):
     anchor: exact integer dot/norms, 4-IEEE-op cosine distance, (d, id)
     rank — identical arithmetic to the inline forms it replaced.
 
+    ``twin`` names the declared indexed counterpart of the CALLER so the
+    refusal steers users at the right scale path per call site (ADVICE
+    r9 #1 — q_hybrid_sparse_rrf's twin is hybrid_sparse_scale, not the
+    dense pair).
+
     Returns (qid, doc_id, tv, d, rank) with rank <= out_k."""
     if base is None:
         base = _hashed_base_int(spark, sf, persist=True)
@@ -2588,7 +2657,7 @@ def _brute_vec_leg(spark, sf, *, out_k: int, mod: int = 250, base=None):
         raise ValueError(
             f"brute hybrid/MMR vector leg is O(docs × queries) "
             f"({n_rows} rows > {dd.ALL_PAIRS_MAX_ROWS}) — use the indexed "
-            "twins (hybrid_rrf_scale / mmr_scale: BQ candidate scan + "
+            f"twin ({twin}: BQ candidate scan + "
             "exact integer refine) at this size")
     qv = (base.filter(F.pmod(F.col("doc_id"), F.lit(mod)) == 0)
           .select(F.col("doc_id").alias("qid"), F.col("v").alias("qv"),
@@ -2698,7 +2767,8 @@ def q_hybrid_rrf_parity(spark, sf):
     lex = _lex_leg(spark, sf, k=20)
 
     base = _hashed_base_int(spark, sf, persist=True)
-    brute_vec = _brute_vec_leg(spark, sf, out_k=20, base=base).select(
+    brute_vec = _brute_vec_leg(spark, sf, out_k=20, base=base,
+                               twin="hybrid_rrf_scale").select(
         "qid", "doc_id", "rank")
     bq_vec = _bq_vec_leg(spark, sf, out_k=20, base=base).select(
         "qid", F.col("id").alias("doc_id"), "rank")
@@ -2832,88 +2902,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate checks queries in dict
-    # order (observed cap: 50 per round).  The window ROTATES so no query's
-    # last green row ages more than two rounds (VERDICT r3 ask #8).
+    # order (observed cap: 50 per round).  AGE POLICY (amended per VERDICT
+    # r9 ask #1 — the registry outgrew the original ≤2-round rule at 124
+    # oracled queries / 50 slots ≈ a 2.5-round cycle): every oracled query
+    # is DRIVER-checked at least once every 3 rounds via window rotation,
+    # AND sweep-checked by scripts/check_oracle.py at BOTH oracle sfs
+    # EVERY round (ORACLE_SWEEP_r{N}.json + _sf0.01) — the sweep is the
+    # per-round correctness net; the driver window re-validates through
+    # the driver's own harness on the ≤3-round cadence.  New declarations
+    # always lead their first window; queries whose CODE changed in-round
+    # re-enter the window regardless of age.
     #
-    # ROUND-9 WINDOW (VERDICT r8 asks #1 + the r9 refactors): the 11
-    # round-8-late declarations lead (sweep-green at both sfs in rounds 8
-    # AND 9, never driver-checked), then the 11 r6-green aggregates at
-    # exactly age 2, then the three r8-green queries whose CODE changed
-    # this round (the brute-leg envelope refactor: hybrid_rrf_topk,
-    # mmr_rerank, hybrid_rrf_parity — fresh driver-green after a refactor
-    # beats the age policy; hybrid_sparse_rrf and sparse_prune_recall,
-    # also touched, are already in the first 11), then 25 of the 50
-    # r7-green queries reaching age 2 after this round (core ANN /
-    # dedup / curation, highest code-coupling first).
+    # ROUND-10 WINDOW (VERDICT r9 ask #1): new round-10 declarations
+    # first, then the 27 r7-green queries at age 2 (the exact list r9's
+    # verdict names), then the 4 r9-green queries whose code the round-10
+    # brute-leg twin-param refactor touched (hybrid_rrf_topk,
+    # hybrid_sparse_rrf, mmr_rerank, hybrid_rrf_parity), then the oldest
+    # r8-green queries filling the remaining slots (age 2 after this
+    # round — checking them now spreads the round-11 load).
     #
-    # ROUND-10 HEAD-OF-WINDOW: the remaining 25 r7-green queries (marked
-    # below) sit at exactly age 2 after this round and MUST lead the
-    # round-10 window.  Everything else below the window is r8-green
-    # (age 1 — recheck by round 11).
+    # ROUND-11 HEAD-OF-WINDOW: the r8-green queries below the window
+    # (postfilter_knn .. top_terms_per_source, marked) reach age 2 after
+    # this round and must lead the round-11 window; the r9-green block is
+    # age 1 (recheck by round 12).
     return {
-        # --- NEW round-9 declaration: first declaration must be
+        # --- NEW round-10 declarations: first declaration must be
         # driver-checked (the recurring rotation rule) ----------------------
-        "sparse_filter_knn": q_sparse_filter_knn,
-        "hybrid_sparse_scale": q_hybrid_sparse_scale,
-        # --- 11 round-8-late declarations (VERDICT r8 ask #1) -------------
-        "sq8_knn": q_sq8_knn,
-        "sq8_recall": q_sq8_recall,
-        "sparse_knn": q_sparse_knn,
-        "sparse_prune_recall": q_sparse_prune_recall,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "weighted_sample": q_weighted_sample,
-        "stratified_sample": q_stratified_sample,
-        "hybrid_sparse_rrf": q_hybrid_sparse_rrf,
-        "sparse_delta_report": q_sparse_delta_report,
-        "sparse_delta_parity": q_sparse_delta_parity,
-        "cm_heavy_hitters": q_cm_heavy_hitters,
-        # --- 11 r6-green aggregates at age 2 (VERDICT r8 ask #1) ----------
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "corpus_rollup": q_corpus_rollup,
-        "user_gap_stats": q_user_gap_stats,
-        "quality_deciles": q_quality_deciles,
-        "topk_per_group": q_topk_per_group,
-        "events_hourly": q_events_hourly,
-        "latency_percentiles": q_latency_percentiles,
-        "recall_summary": q_recall_summary,
-        "doclen_percentiles": q_doclen_percentiles,
-        "corpus_stats": q_corpus_stats,
-        # --- r8-green but refactored this round (brute-leg envelope) ------
-        "hybrid_rrf_topk": q_hybrid_rrf_topk,
-        "mmr_rerank": q_mmr_rerank,
-        "hybrid_rrf_parity": q_hybrid_rrf_parity,
-        # --- 25 r7-green at age 2: core ANN / distance ---------------------
-        "knn_angular": q_knn_angular,
-        "knn_hamming": q_knn_hamming,
-        "mv_knn_fused": q_mv_knn_fused,
-        "jl_knn": q_jl_knn,
-        "mm_knn": q_mm_knn,
-        "ivfpq_knn": q_ivfpq_knn,
-        "filter_knn_range": q_filter_knn_range,
-        "srp_recall": q_srp_recall,
-        "filter_ivf_knn": q_filter_ivf_knn,
-        "filter_ivf_recall": q_filter_ivf_recall,
-        "hnsw_scale_recall": q_hnsw_scale_recall,
-        # --- (cont.) dedup family -----------------------------------------
-        "embedding_cosine_dups": q_embedding_cosine_dups,
-        "ngram_jaccard_dups": q_ngram_jaccard_dups,
-        "lsh_dedup": q_lsh_dedup,
-        "semantic_dups": q_semantic_dups,
-        "incremental_dedup": q_incremental_dedup,
-        # --- (cont.) curation / LM family ----------------------------------
-        "substring_spans": q_substring_spans,
-        "substring_rewrite": q_substring_rewrite,
-        "paragraph_dedup": q_paragraph_dedup,
-        "c4_line_filter": q_c4_line_filter,
-        "gopher_repetition": q_gopher_repetition,
-        "bpe_train": q_bpe_train,
-        "bpe_token_stats": q_bpe_token_stats,
-        # ==== below the 50-slot window from here ===========================
-        # ROUND-10 HEAD-OF-WINDOW: these 27 r7-green queries are at age 2
-        # after round 9 and must lead the round-10 window (lm_fluency and
-        # dsir_select were displaced from the last slots by the two new
-        # round-9 declarations sparse_filter_knn / hybrid_sparse_scale).
+        "sparse_filter_adaptive": q_sparse_filter_adaptive,
+        "sparse_quantile_recall": q_sparse_quantile_recall,
+        # --- 27 r7-green at age 2 (VERDICT r9 ask #1) ----------------------
         "lm_fluency": q_lm_fluency,
         "dsir_select": q_dsir_select,
         "video_features": q_video_features,
@@ -2941,8 +2958,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pivot": q_lang_pivot,
         "peak_events": q_peak_events,
         "top_revenue_orders": q_top_revenue_orders,
-        # --- r8-green (CORRECTNESS_r08.json 50/50; age 1, recheck by
-        # round 11) ---------------------------------------------------------
+        # --- r9-green but refactored this round (brute-leg twin param,
+        # ADVICE r9 #1): fresh driver-green after a refactor ----------------
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "hybrid_sparse_rrf": q_hybrid_sparse_rrf,
+        "mmr_rerank": q_mmr_rerank,
+        "hybrid_rrf_parity": q_hybrid_rrf_parity,
+        # --- oldest r8-green (age 2 after this round) filling the window ---
         "bq_knn": q_bq_knn,
         "bq_recall": q_bq_recall,
         "opq_knn": q_opq_knn,
@@ -2960,6 +2982,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hamming_packed": q_knn_hamming_packed,
         "knn_jaccard": q_knn_jaccard,
         "hnsw_knn": q_hnsw_knn,
+        # ==== below the 50-slot window from here ===========================
+        # ROUND-11 HEAD-OF-WINDOW: r8-green queries at age 2 after round 10
+        # (hnsw_recall .. top_terms_per_source) — these must lead the
+        # round-11 window.
         "hnsw_recall": q_hnsw_recall,
         "filter_knn_eq": q_filter_knn_eq,
         "postfilter_knn": q_postfilter_knn,
@@ -2990,6 +3016,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "token_stats": q_token_stats,
         "top_terms_per_source": q_top_terms_per_source,
+        # --- r9-green (CORRECTNESS_r09.json 50/50; age 1, recheck by
+        # round 12) ---------------------------------------------------------
+        "sparse_filter_knn": q_sparse_filter_knn,
+        "hybrid_sparse_scale": q_hybrid_sparse_scale,
+        "sq8_knn": q_sq8_knn,
+        "sq8_recall": q_sq8_recall,
+        "sparse_knn": q_sparse_knn,
+        "sparse_prune_recall": q_sparse_prune_recall,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "weighted_sample": q_weighted_sample,
+        "stratified_sample": q_stratified_sample,
+        "sparse_delta_report": q_sparse_delta_report,
+        "sparse_delta_parity": q_sparse_delta_parity,
+        "cm_heavy_hitters": q_cm_heavy_hitters,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "corpus_rollup": q_corpus_rollup,
+        "user_gap_stats": q_user_gap_stats,
+        "quality_deciles": q_quality_deciles,
+        "topk_per_group": q_topk_per_group,
+        "events_hourly": q_events_hourly,
+        "latency_percentiles": q_latency_percentiles,
+        "recall_summary": q_recall_summary,
+        "doclen_percentiles": q_doclen_percentiles,
+        "corpus_stats": q_corpus_stats,
+        "knn_angular": q_knn_angular,
+        "knn_hamming": q_knn_hamming,
+        "mv_knn_fused": q_mv_knn_fused,
+        "jl_knn": q_jl_knn,
+        "mm_knn": q_mm_knn,
+        "ivfpq_knn": q_ivfpq_knn,
+        "filter_knn_range": q_filter_knn_range,
+        "srp_recall": q_srp_recall,
+        "filter_ivf_knn": q_filter_ivf_knn,
+        "filter_ivf_recall": q_filter_ivf_recall,
+        "hnsw_scale_recall": q_hnsw_scale_recall,
+        "embedding_cosine_dups": q_embedding_cosine_dups,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "lsh_dedup": q_lsh_dedup,
+        "semantic_dups": q_semantic_dups,
+        "incremental_dedup": q_incremental_dedup,
+        "substring_spans": q_substring_spans,
+        "substring_rewrite": q_substring_rewrite,
+        "paragraph_dedup": q_paragraph_dedup,
+        "c4_line_filter": q_c4_line_filter,
+        "gopher_repetition": q_gopher_repetition,
+        "bpe_train": q_bpe_train,
+        "bpe_token_stats": q_bpe_token_stats,
         # --- rows-only by nature: approximate/sketch outputs gated by the
         # oracled sketch_bounds / srp_recall / hnsw_scale_recall rows, and
         # machine-timed IUD latency sweeps (end state value-oracled by
@@ -3469,6 +3543,10 @@ SELECT qid, doc_id, score, rank FROM r WHERE rank <= 10
 
 _SPARSE_KNN_SQL = _sparse_knn_sql()
 _SPARSE_FILTER_KNN_SQL = _sparse_knn_sql("lang = 'en'")
+# sparse_filter_adaptive: same corpus-global-weights filtered form at ~85%
+# selectivity — the Spark side's auto mode picks the POSTFILTER plan there,
+# and prefilter ≡ postfilter by construction, so one SQL oracles both.
+_SPARSE_FILTER_ADAPTIVE_SQL = _sparse_knn_sql("lang <> 'zh'")
 
 # n_queries restricts to docs with >=1 token: the Spark gates derive the
 # query count from the truth side of recall_per_query, and a zero-token
@@ -4011,7 +4089,9 @@ def oracle_sql() -> dict[str, str]:
         "sq8_recall": _RECALL_GATE_SQL,
         "sparse_knn": _SPARSE_KNN_SQL,
         "sparse_filter_knn": _SPARSE_FILTER_KNN_SQL,
+        "sparse_filter_adaptive": _SPARSE_FILTER_ADAPTIVE_SQL,
         "sparse_prune_recall": _SPARSE_GATE_SQL,
+        "sparse_quantile_recall": _SPARSE_GATE_SQL,
         "opq_recall": _RECALL_GATE_SQL,
         "srp_recall": _SRP_RECALL_SQL,
         "hnsw_recall": _HNSW_RECALL_SQL,

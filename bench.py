@@ -111,7 +111,9 @@ HEADLINE = [
     "bm25_topk",
     "sparse_knn",
     "sparse_filter_knn",
+    "sparse_filter_adaptive",
     "sparse_prune_recall",
+    "sparse_quantile_recall",
     "bloom_decontaminate",
     "weighted_sample",
     "stratified_sample",

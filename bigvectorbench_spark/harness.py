@@ -422,7 +422,19 @@ def _run_sparse_hybrid():
         vecs = _hashed_text_vectors(train, "id").cache()
         leg = str(args.get("leg", "brute"))
         if leg == "brute":
-            vecs.count()
+            # The brute dense leg is an O(docs × queries) crossJoin — same
+            # ALL_PAIRS envelope as the entry-level brute legs (ADVICE r9
+            # #3): refuse fast past the cap instead of silently launching
+            # the quadratic job from the CLI grid.
+            from bigvectorbench_spark.operators import dedup as dd
+
+            n_rows = vecs.count()
+            if n_rows > dd.ALL_PAIRS_MAX_ROWS:
+                raise ValueError(
+                    f"sparse-hybrid brute dense leg is O(docs × queries) "
+                    f"({n_rows} rows > {dd.ALL_PAIRS_MAX_ROWS}) — run "
+                    "--algorithm sparse-hybrid with leg=bq (BQ candidate "
+                    "scan + exact refine) at this size")
             return post, idx, ("brute", vecs)
         if leg != "bq":
             raise ValueError(f"unknown dense leg {leg!r}; expected brute|bq")

@@ -241,6 +241,72 @@ def auto_m(n_docs: int) -> int:
     return int(max(_AUTO_M_MIN, round(_AUTO_M_FRAC * n_docs)))
 
 
+# The operating INVARIANT behind auto_m is the postings cut fraction (the
+# Zipf decade held recall because 0.04·n held the cut at ≈14.2%:
+# SCALE_SPARSE_r9.json 0.1424 → 0.1422).  On a non-Zipf df spectrum the
+# 0.04 coefficient silently lands a different cut — so the general rule
+# (VERDICT r9 ask #4) computes m from the spectrum itself, holding the cut
+# fraction; 0.04·n stays the Zipf-validated fast path (no extra job).
+_AUTO_M_CUT = 0.1424
+
+# df histogram resolution cap: exact df buckets up to this value, then a
+# 1%-geometric grid — bounds the collected spectrum to ~4.8k rows no
+# matter the corpus size (df ∈ [1, n_docs] would otherwise make the
+# histogram O(n_docs) driver-side at 100 TB) at ≤1% error on the solved m,
+# far inside the recall gate's slack.
+_DF_HIST_EXACT_MAX = 4096
+
+
+def df_spectrum(wpost: DataFrame) -> list[tuple[int, int]]:
+    """The postings df spectrum as a bounded histogram: (df_bucket,
+    n_terms) pairs, exact for df ≤ 4096 and 1%-geometric above — one
+    small aggregate over the index, collected driver-side (≤ ~4.8k
+    rows by construction)."""
+    import math
+
+    dfr = wpost.groupBy("term").agg(F.count("*").alias("df"))
+    g = math.log(1.01)
+    bucket = F.when(F.col("df") <= _DF_HIST_EXACT_MAX, F.col("df")).otherwise(
+        F.round(F.exp(F.round(F.log(F.col("df").cast("double")) / g) * g))
+        .cast("bigint"))
+    rows = (dfr.select(bucket.alias("df"))
+            .groupBy("df").agg(F.count("*").alias("n_terms"))
+            .collect())
+    return sorted((int(r["df"]), int(r["n_terms"])) for r in rows)
+
+
+def auto_m_spectrum(wpost: DataFrame, *, cut_frac: float = _AUTO_M_CUT,
+                    spectrum: list[tuple[int, int]] | None = None) -> int:
+    """Resolve the per-term posting cap from the df spectrum, holding the
+    postings CUT FRACTION itself (≈14.2%, the Zipf-decade operating point)
+    instead of assuming the spectrum is Zipf: the smallest ``m`` whose
+    per-term truncation removes at most ``cut_frac`` of all postings.
+    cut(m) = Σ_t max(0, df_t − m) is monotone in m, so a driver-side
+    binary search over the bounded histogram solves it exactly (to the
+    histogram's ≤1% bucket error past df=4096).  Index-build-time and
+    query-independent, like :func:`auto_m` — which remains the validated
+    fast path on Zipf-shaped corpora (no spectrum job)."""
+    hist = spectrum if spectrum is not None else df_spectrum(wpost)
+    if not hist:
+        return 1
+    total = sum(df * cnt for df, cnt in hist)
+    target = cut_frac * total
+
+    def cut(m: int) -> int:
+        return sum((df - m) * cnt for df, cnt in hist if df > m)
+
+    lo, hi = 1, hist[-1][0]
+    if cut(lo) <= target:
+        return lo
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if cut(mid) <= target:
+            hi = mid
+        else:
+            lo = mid + 1
+    return lo
+
+
 def prune_postings(wpost: DataFrame, m: int | str = "auto",
                    *, n_docs: int | None = None) -> DataFrame:
     """Impact-ordered truncation: keep each term's top-``m`` documents by
@@ -256,16 +322,33 @@ def prune_postings(wpost: DataFrame, m: int | str = "auto",
     parquet count) to skip the fallback distinct-count job over the
     index; the 0.04 coefficient carries enough slack that the
     all-docs vs docs-with-≥1-feature distinction never moves m
-    materially."""
+    materially.  ``m="spectrum"`` resolves via :func:`auto_m_spectrum` —
+    one extra bounded aggregate over the index that holds the cut
+    fraction on ANY df spectrum (VERDICT r9 ask #4), where the 0.04·n
+    fast path assumes Zipf."""
     if m == "auto":
         m = auto_m(n_docs if n_docs is not None
                    else wpost.select("doc_id").distinct().count())
+    elif m == "spectrum":
+        m = auto_m_spectrum(wpost)
     w = Window.partitionBy("term").orderBy(F.col("w").desc(), F.col("doc_id"))
     return (
         wpost.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= m)
         .drop("__r")
     )
+
+
+# Filtered-search plan threshold (the sparse G5 analog, VERDICT r9 ask
+# #3): BELOW this predicate selectivity the PREFILTER plan (semi-join
+# allowed ids into the postings before scoring) wins — scored rows shrink
+# with selectivity; ABOVE it the POSTFILTER plan wins — scoring everything
+# in the query vocabulary and filtering the (small) aggregated score frame
+# beats semi-joining the mostly-kept posting side first.  The crossover is
+# measured at the 500k-doc Zipf regime in SCALE_FILTER_SPARSE_r10.json
+# (scripts/scale_filter_sparse.py); both plans return IDENTICAL rows
+# (weights are corpus-global), so the knob is pure cost, never recall.
+FILTER_SPARSE_PRE_MAX_SEL = 0.40
 
 
 def filtered_sparse_topk(
@@ -280,6 +363,8 @@ def filtered_sparse_topk(
     wpost: DataFrame | None = None,
     qwpost: DataFrame | None = None,
     qweights: DataFrame | None = None,
+    mode: str = "pre",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Filtered sparse search — the sparse twin of the dense filtered kNN
     (Q4): Milvus serves SPARSE_FLOAT_VECTOR ANN under a scalar filter
@@ -292,16 +377,36 @@ def filtered_sparse_topk(
     unfiltered exact search (prefilter ≡ postfilter when idf is
     corpus-global; pinned in test_sparse) at O(allowed postings) join
     cost.  Query-side vectors default to the FULL index (``qwpost``):
-    query documents need not satisfy the predicate themselves."""
+    query documents need not satisfy the predicate themselves.
+
+    ``mode``: ``"pre"`` (default) semi-joins the postings before scoring;
+    ``"post"`` scores the full query-vocabulary postings and filters the
+    aggregated (qid, doc_id, score) frame before ranking — identical
+    rows, different cost profile; ``"auto"`` picks by measured predicate
+    selectivity against :data:`FILTER_SPARSE_PRE_MAX_SEL` (the adaptive
+    pre/post flip the dense filtered kNN gets from plans/selectivity.py —
+    G5's sparse twin).  ``n_docs`` (metadata-only parquet count) skips
+    the denominator job in auto mode."""
     if wpost is None:
         wpost = sparse_postings(docs, id_col=id_col, text_col=text_col)
     if qwpost is None:
         qwpost = wpost
     allowed = docs.filter(predicate).select(F.col(id_col).alias("doc_id"))
-    fpost = wpost.join(allowed, "doc_id", "left_semi")
+    if mode == "auto":
+        total = n_docs if n_docs is not None else docs.count()
+        sel = allowed.count() / max(total, 1)
+        mode = "pre" if sel <= FILTER_SPARSE_PRE_MAX_SEL else "post"
+    if mode == "pre":
+        fpost = wpost.join(allowed, "doc_id", "left_semi")
+        return sparse_topk(docs, queries, k=k, id_col=id_col,
+                           text_col=text_col, qid_col=qid_col, wpost=fpost,
+                           qwpost=qwpost, qweights=qweights)
+    if mode != "post":
+        raise ValueError(f"unknown filtered-sparse mode {mode!r}; "
+                         "expected pre|post|auto")
     return sparse_topk(docs, queries, k=k, id_col=id_col, text_col=text_col,
-                       qid_col=qid_col, wpost=fpost, qwpost=qwpost,
-                       qweights=qweights)
+                       qid_col=qid_col, wpost=wpost, qwpost=qwpost,
+                       qweights=qweights, allowed=allowed)
 
 
 def sparse_topk(
@@ -315,10 +420,18 @@ def sparse_topk(
     wpost: DataFrame | None = None,
     qwpost: DataFrame | None = None,
     qweights: DataFrame | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact sparse inner-product top-k: for each query document, the ``k``
     documents with the highest TF-IDF inner product.  Returns
     (qid, doc_id, score, rank).
+
+    ``allowed``: a one-column (doc_id) frame restricting CANDIDATES at the
+    aggregated-score stage — the POSTFILTER plan of filtered sparse
+    search: scoring is unrestricted, the semi-join lands on the small
+    (qid, doc_id, score) frame before ranking, so results equal the
+    prefilter plan exactly (scores are per-(qid, doc) sums — dropping a
+    doc after aggregation equals dropping its postings before it).
 
     ``queries`` is a one-column frame of query doc ids (``qid_col``) drawn
     from the corpus — queries are sparse vectors themselves, so their
@@ -360,6 +473,9 @@ def sparse_topk(
     per_doc = scored.groupBy("qid", "doc_id").agg(
         F.round(F.sum("c"), 6).cast("double").alias("score")
     )
+    if allowed is not None:
+        per_doc = per_doc.join(allowed.select("doc_id"), "doc_id",
+                               "left_semi").select("qid", "doc_id", "score")
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
         per_doc.withColumn("rank", F.row_number().over(w).cast("bigint"))

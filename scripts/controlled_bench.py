@@ -33,10 +33,16 @@ def run_once(i: int) -> tuple[dict, dict]:
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, cwd=REPO)
+    # The headline is matched by its required leading key (ADVICE r9 #4),
+    # not by "any JSON-looking line" — a stray '{...}' printed to stdout
+    # after the real result must error, never silently replace it.
     headline = None
     for line in proc.stdout.splitlines():
         line = line.strip()
-        if line.startswith("{"):
+        if line.startswith('{"metric"'):
+            if headline is not None:
+                raise RuntimeError(
+                    f"invocation {i}: multiple headline JSON lines on stdout")
             headline = json.loads(line)
     runs = {}
     for line in proc.stderr.splitlines():

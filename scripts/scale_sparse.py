@@ -61,7 +61,10 @@ def measure(spark, n: int, m, root: str) -> dict:
     out["postings_total"] = total
 
     t0 = time.perf_counter()
-    pruned_idx = sp.prune_postings(wpost, m=m).persist()
+    # Pass the RESOLVED m (ADVICE r9 #2): the applied cap provably equals
+    # the recorded one even on corpora with zero-token docs, and prune_s
+    # times only the cut (no fallback distinct-count job folded in).
+    pruned_idx = sp.prune_postings(wpost, m=m_resolved).persist()
     kept = pruned_idx.count()
     out["prune_s"] = round(time.perf_counter() - t0, 3)
     out["postings_kept"] = kept

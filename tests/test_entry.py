@@ -139,7 +139,11 @@ def test_brute_hybrid_mmr_legs_refuse_at_scale(spark, sf_dir, monkeypatch):
     from bigvectorbench_spark.operators import dedup as dd
 
     monkeypatch.setattr(dd, "ALL_PAIRS_MAX_ROWS", 1)
-    for q in (entry.q_hybrid_rrf_topk, entry.q_hybrid_sparse_rrf,
-              entry.q_mmr_rerank):
-        with pytest.raises(ValueError, match="hybrid_rrf_scale / mmr_scale"):
+    # Each refusal names the CALLER's declared indexed twin (ADVICE r9 #1):
+    # the sparse hybrid must steer at hybrid_sparse_scale, not the dense
+    # pair.
+    for q, twin in ((entry.q_hybrid_rrf_topk, "hybrid_rrf_scale"),
+                    (entry.q_hybrid_sparse_rrf, "hybrid_sparse_scale"),
+                    (entry.q_mmr_rerank, "mmr_scale")):
+        with pytest.raises(ValueError, match=twin):
             q(spark, sf_dir)

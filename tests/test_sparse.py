@@ -309,3 +309,89 @@ def test_filtered_sparse_plan_semi_join_no_cartesian(spark, docs):
         if "NestedLoopJoin" in line:
             # only the broadcast one-row stats cross survives
             assert "BroadcastNestedLoopJoin" in line and "Cross" in line
+
+
+def test_filtered_sparse_modes_identical(spark, docs):
+    """pre / post / auto return identical rows (weights are corpus-global;
+    the postfilter semi-join on the aggregated score frame drops exactly
+    the rows the prefilter never scored) — the plan knob is pure cost."""
+    wpost = sp.sparse_postings(docs).cache()
+    queries = spark.createDataFrame([(0,), (3,)], "qid bigint")
+    frames = {
+        mode: sorted(map(tuple, sp.filtered_sparse_topk(
+            docs, queries, predicate="source = 'web'", k=5, wpost=wpost,
+            mode=mode).collect()))
+        for mode in ("pre", "post", "auto")
+    }
+    assert frames["pre"] == frames["post"] == frames["auto"]
+    assert len(frames["pre"]) > 0
+    with pytest.raises(ValueError, match="pre|post|auto"):
+        sp.filtered_sparse_topk(docs, queries, predicate="source = 'web'",
+                                k=5, wpost=wpost, mode="bogus")
+
+
+def test_filtered_sparse_auto_picks_by_selectivity(spark, docs, monkeypatch):
+    """auto mode flips at FILTER_SPARSE_PRE_MAX_SEL: a 5/7 predicate
+    (~0.71) picks POST, and after forcing the threshold above it the same
+    predicate picks PRE — observed via the ANALYZED plan (the authored
+    shape: the prefilter semi-joins the POSTING side below the score
+    aggregate, the postfilter semi-joins the aggregated frame above it;
+    the OPTIMIZED plan is deliberately not asserted — Catalyst's
+    PushDownLeftSemiAntiJoin may sink the postfilter semi below the
+    aggregate, converging the plans at small scale)."""
+    wpost = sp.sparse_postings(docs).cache()
+    queries = spark.createDataFrame([(0,)], "qid bigint")
+
+    def _semi_above_agg(df):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        semi = plan.find("LeftSemi")
+        agg = plan.find("Aggregate")
+        assert semi != -1 and agg != -1
+        # the plan prints top-down: the POSTFILTER semi sits ABOVE
+        # (before) the score aggregate, the PREFILTER semi below it.
+        return semi < agg
+
+    post = sp.filtered_sparse_topk(docs, queries, predicate="source = 'web'",
+                                   k=5, wpost=wpost, mode="auto")
+    assert _semi_above_agg(post)
+
+    monkeypatch.setattr(sp, "FILTER_SPARSE_PRE_MAX_SEL", 0.99)
+    pre = sp.filtered_sparse_topk(docs, queries, predicate="source = 'web'",
+                                  k=5, wpost=wpost, mode="auto")
+    assert not _semi_above_agg(pre)
+
+
+def test_auto_m_spectrum_holds_cut_fraction():
+    """The spectrum solver holds the postings cut fraction on ANY df
+    shape: uniform df=100 at cut 0.14 -> m=86 (cut exactly 14%); a
+    Zipf-ish mixed spectrum lands the realized cut at/below the target
+    with m minimal (m-1 overshoots)."""
+    uniform = [(100, 50)]
+    m = sp.auto_m_spectrum(None, cut_frac=0.14, spectrum=uniform)
+    assert m == 86
+    zipf = [(1, 1000), (2, 400), (5, 120), (20, 40), (100, 8), (400, 2)]
+    total = sum(df * c for df, c in zipf)
+
+    def cut(m):
+        return sum((df - m) * c for df, c in zipf if df > m)
+
+    m = sp.auto_m_spectrum(None, cut_frac=0.14, spectrum=zipf)
+    assert cut(m) <= 0.14 * total
+    assert m == 1 or cut(m - 1) > 0.14 * total
+    assert sp.auto_m_spectrum(None, spectrum=[]) == 1
+
+
+def test_prune_postings_spectrum_mode(spark, docs):
+    """m="spectrum" resolves via the df-spectrum histogram computed from
+    the index itself — identical output to passing the resolved integer,
+    and the histogram matches a driver-side recount."""
+    wpost = sp.sparse_postings(docs).cache()
+    hist = sp.df_spectrum(wpost)
+    dfs = {}
+    for r in wpost.groupBy("term").count().collect():
+        dfs[r["count"]] = dfs.get(r["count"], 0) + 1
+    assert hist == sorted(dfs.items())
+    m = sp.auto_m_spectrum(wpost)
+    got = sorted(map(tuple, sp.prune_postings(wpost, m="spectrum").collect()))
+    want = sorted(map(tuple, sp.prune_postings(wpost, m=m).collect()))
+    assert got == want and len(got) > 0
