@@ -2440,19 +2440,22 @@ def q_sparse_filter_knn(spark, sf):
 
 
 def q_sparse_filter_adaptive(spark, sf):
-    """Adaptive filtered sparse search — the G5 pre/post-filter flip for
-    the sparse family (the dense filtered kNN's plans/selectivity.py
+    """Adaptive filtered sparse search — the G5 pre/post-filter policy
+    for the sparse family (the dense filtered kNN's plans/selectivity.py
     treatment; reference policy create_artificial_datasets.py:165-283 +
     the pgvector filtered-search SQL, pgvector/module.py:90-102): the
     predicate here keeps ~85% of documents (lang <> 'zh'), so
     ``mode="auto"`` measures selectivity, lands PAST
-    sparse.FILTER_SPARSE_PRE_MAX_SEL, and picks the POSTFILTER plan —
+    sparse.FILTER_SPARSE_PRE_MAX_SEL, and authors the POSTFILTER plan —
     score the full query-vocabulary postings, semi-join the allowed ids
-    on the small aggregated (qid, doc_id, score) frame, then rank.  Both
-    plans return identical rows (weights are corpus-global), so this is
-    fully value-oracled by the same filtered SQL form as
-    sparse_filter_knn; the plan crossover itself is measured at the
-    500k-doc regime in SCALE_FILTER_SPARSE_r10.json."""
+    on the aggregated (qid, doc_id, score) frame, then rank.  Both
+    authorings return identical rows (weights are corpus-global) AND
+    converge physically — Catalyst sinks the postfilter semi below the
+    score aggregate; the 500k sweep measured them equal at every
+    selectivity (SCALE_FILTER_SPARSE_r10.json), which IS the Spark-first
+    answer to the reference's branch policy: declare either, the
+    optimizer picks.  Fully value-oracled by the same filtered SQL form
+    as sparse_filter_knn."""
     from bigvectorbench_spark.operators import sparse as sp
 
     docs = _docs_wide(spark, sf)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_SEED = 1  # the reference's random_state=1
 
@@ -206,6 +207,26 @@ def random_text(spark: SparkSession, n: int = 4_000, vocab: int = 2_000,
     return train, test
 
 
+def sf_documents_text(spark: SparkSession, sf_dir: str | None = None,
+                      query_mod: int = 100):
+    """The driver testdata `documents` table as a text benchmark dataset
+    (VERDICT r9 ask #6 — the sparse family's Pareto points on the same
+    corpus the declared queries run): every ``query_mod``-th doc becomes
+    an EXTERNAL query (removed from the corpus, weighed under corpus
+    statistics by the sparse runner), the rest are the train corpus.
+    ``sf_dir`` defaults to $SPARK_GRAFT_SF_DIR (the bench contract's
+    sf0.1)."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR",
+                                      "/root/testdata/sf0.1")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    is_q = (F.col("doc_id") % query_mod == 0)
+    train = docs.filter(~is_q).select(F.col("doc_id").alias("id"), "text")
+    test = docs.filter(is_q).select(F.col("doc_id").alias("qid"), "text")
+    return train, test
+
+
 REGISTRY = {
     "random-xs-32-euclidean": lambda spark: random_float(spark, 10_000, 32),
     "random-xs-20-angular": lambda spark: random_float(spark, 10_000, 20),
@@ -214,4 +235,5 @@ REGISTRY = {
     "random-xs-32-euclidean-2filter": lambda spark: random_filter(spark, 10_000, 32, 2),
     "random-mv": lambda spark: random_mv(spark, 10_000, 4, 100),
     "random-s-text-zipf": lambda spark: random_text(spark, 4_000, 2_000),
+    "sf-documents-text": sf_documents_text,
 }

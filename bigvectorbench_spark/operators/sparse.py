@@ -340,15 +340,33 @@ def prune_postings(wpost: DataFrame, m: int | str = "auto",
 
 
 # Filtered-search plan threshold (the sparse G5 analog, VERDICT r9 ask
-# #3): BELOW this predicate selectivity the PREFILTER plan (semi-join
-# allowed ids into the postings before scoring) wins — scored rows shrink
-# with selectivity; ABOVE it the POSTFILTER plan wins — scoring everything
-# in the query vocabulary and filtering the (small) aggregated score frame
-# beats semi-joining the mostly-kept posting side first.  The crossover is
-# measured at the 500k-doc Zipf regime in SCALE_FILTER_SPARSE_r10.json
-# (scripts/scale_filter_sparse.py); both plans return IDENTICAL rows
-# (weights are corpus-global), so the knob is pure cost, never recall.
+# #3) — auto mode picks the PREFILTER logical plan at/below this
+# selectivity, POSTFILTER above.  The 500k-doc sweep
+# (SCALE_FILTER_SPARSE_r10.json) found NO physical flip to encode:
+# Catalyst's PushDownLeftSemiAntiJoin sinks the postfilter's
+# aggregated-frame semi-join below the score aggregate onto the posting
+# side (doc_id is a grouping key and left-side-only), so both modes
+# converge to the same physical plan — measured EQUAL wall at all five
+# selectivities (pruned index: 1.5→10.4 s across 0.1%→85%, pre ≈ post
+# within noise at every point; cost is O(allowed ∩ query-vocab
+# postings), monotone in selectivity, for either authoring).  The knob
+# therefore selects the LOGICAL plan only — kept because the adaptive
+# query pins the reference's G5 policy shape and the convergence itself
+# (declare either; the optimizer picks the physical strategy) is the
+# Spark-first answer to it.  Rows are identical by construction (weights
+# are corpus-global), so no setting can affect results.
 FILTER_SPARSE_PRE_MAX_SEL = 0.40
+
+# Largest allowed-id set the prefilter plan will hint as a BROADCAST
+# build side (8 B/id → ~32 MB at the cap).  Measured at 500k
+# (SCALE_FILTER_SPARSE_r10.json pre_bcast vs pre_smj): the hint is
+# cost-neutral there — AQE already converts the runtime semi-join once
+# the filtered side's map stage reports small.  Kept as a planner assist
+# for the cases AQE can't cover (static planning of a first stage, AQE
+# off); past the cap the id set genuinely doesn't fit a broadcast
+# (billions of ids at 100 TB × high selectivity) and the shuffle is the
+# honest cost.
+BROADCAST_IDS_MAX = 4_000_000
 
 
 def filtered_sparse_topk(
@@ -365,6 +383,7 @@ def filtered_sparse_topk(
     qweights: DataFrame | None = None,
     mode: str = "pre",
     n_docs: int | None = None,
+    n_allowed: int | None = None,
 ) -> DataFrame:
     """Filtered sparse search — the sparse twin of the dense filtered kNN
     (Q4): Milvus serves SPARSE_FLOAT_VECTOR ANN under a scalar filter
@@ -382,11 +401,17 @@ def filtered_sparse_topk(
     ``mode``: ``"pre"`` (default) semi-joins the postings before scoring;
     ``"post"`` scores the full query-vocabulary postings and filters the
     aggregated (qid, doc_id, score) frame before ranking — identical
-    rows, different cost profile; ``"auto"`` picks by measured predicate
-    selectivity against :data:`FILTER_SPARSE_PRE_MAX_SEL` (the adaptive
-    pre/post flip the dense filtered kNN gets from plans/selectivity.py —
-    G5's sparse twin).  ``n_docs`` (metadata-only parquet count) skips
-    the denominator job in auto mode."""
+    rows; ``"auto"`` picks by measured predicate selectivity against
+    :data:`FILTER_SPARSE_PRE_MAX_SEL` (the G5 pre/post policy shape the
+    dense filtered kNN gets from plans/selectivity.py).  The choice is
+    LOGICAL-plan-only: Catalyst sinks the postfilter semi-join below the
+    score aggregate, physically converging the modes — measured equal at
+    all five selectivities of the 500k sweep (SCALE_FILTER_SPARSE_r10).  ``n_docs`` (metadata-only parquet count) skips
+    the denominator job in auto mode.  ``n_allowed`` (the allowed-doc
+    count, when the caller knows it) lets the prefilter hint the id set
+    as a broadcast build side below :data:`BROADCAST_IDS_MAX` — without
+    it the planner can't size a filtered scan and sort-merge-shuffles
+    the whole index (auto mode counts, so it always knows)."""
     if wpost is None:
         wpost = sparse_postings(docs, id_col=id_col, text_col=text_col)
     if qwpost is None:
@@ -394,9 +419,13 @@ def filtered_sparse_topk(
     allowed = docs.filter(predicate).select(F.col(id_col).alias("doc_id"))
     if mode == "auto":
         total = n_docs if n_docs is not None else docs.count()
-        sel = allowed.count() / max(total, 1)
+        if n_allowed is None:
+            n_allowed = allowed.count()
+        sel = n_allowed / max(total, 1)
         mode = "pre" if sel <= FILTER_SPARSE_PRE_MAX_SEL else "post"
     if mode == "pre":
+        if n_allowed is not None and n_allowed <= BROADCAST_IDS_MAX:
+            allowed = F.broadcast(allowed)
         fpost = wpost.join(allowed, "doc_id", "left_semi")
         return sparse_topk(docs, queries, k=k, id_col=id_col,
                            text_col=text_col, qid_col=qid_col, wpost=fpost,

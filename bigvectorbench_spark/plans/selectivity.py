@@ -28,6 +28,13 @@ from bigvectorbench_spark.operators import filter_knn as fknn
 POST_FILTER_THRESHOLD = 0.2  # create_artificial_datasets.py:165
 OVERFETCH = 1.5              # create_artificial_datasets.py:167
 
+# The SPARSE family's pre/post flip lives next to its operator
+# (operators/sparse.py: FILTER_SPARSE_PRE_MAX_SEL, measured at the
+# 500k-doc regime in SCALE_FILTER_SPARSE_r10.json) — same G5 policy
+# shape, different cost model: sparse postfilter is exact (the semi-join
+# moves to the aggregated score frame), so its threshold is pure cost
+# where this module's dense-ANN threshold also trades recall.
+
 
 @dataclass(frozen=True)
 class FilterPlan:

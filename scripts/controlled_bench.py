@@ -89,6 +89,13 @@ def main() -> None:
         "sf": base.get("sf"),
         "protocol": (f"per-query min across {n} full invocations, "
                      "each best-of-3 (VERDICT r8 ask #4)"),
+        # Ask r9 #8: queries whose per-invocation minima spread >1.5x never
+        # saw a quiet window on the shared machine — annotated IN the
+        # artifact so downstream comparisons skip them instead of chasing
+        # phantom regressions (the machine-timed IUD latencies live here
+        # by construction).
+        "protocol_flagged_spread_gt_1.5x": {
+            q: s for q, s in sorted(spread.items()) if s > 1.5},
         "queries": queries,
     }
     with open(os.path.join(REPO, out_json), "w") as f:

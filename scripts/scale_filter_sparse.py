@@ -19,8 +19,12 @@ a prefilter, or does filtering + pruning compose into a cliff?
 Per selectivity s ∈ {0.001, 0.01, 0.25, 0.5, 0.85} on the 500k-doc Zipf
 corpus (predicate doc_id % 1000 < s·1000 — uniform, deterministic):
 
-  - pre vs post wall on the auto_m-pruned SERVING index (best-of-2,
-    noop sink) — the regime the 100 TB path actually runs
+  - pre_bcast (allowed-id set hinted broadcast via n_allowed — the plan
+    the operator runs when the id set fits BROADCAST_IDS_MAX) vs
+    pre_smj (unhinted — the planner's sort-merge fallback, what a
+    too-big-to-broadcast id set costs) vs post, all on the
+    auto_m-pruned SERVING index (best-of-2, noop sink) — the regime the
+    100 TB path actually runs
   - pre wall on the EXACT index (1 run; post-exact is measured ONCE —
     its cost is selectivity-independent by construction)
   - top-10 recall of pruned-prefilter vs exact-prefilter (the cliff
@@ -78,11 +82,12 @@ def main() -> None:
                .select(F.col("doc_id").alias("qid"))).persist()
     n_q = queries.count()
 
-    def timed(idx, pred, mode, runs):
+    def timed(idx, pred, mode, runs, n_allowed=None):
         def _run():
             sp.filtered_sparse_topk(
                 docs, queries, predicate=pred, k=K, wpost=idx, qwpost=wpost,
-                mode=mode).write.format("noop").mode("overwrite").save()
+                mode=mode, n_allowed=n_allowed).write.format(
+                "noop").mode("overwrite").save()
         return best_of(_run, runs=runs)
 
     # post-exact once: its scored-row count is the full query-vocabulary
@@ -93,21 +98,25 @@ def main() -> None:
     points = []
     for sel in SELECTIVITIES:
         pred = f"doc_id % 1000 < {int(round(sel * 1000))}"
-        row = {"selectivity": sel, "predicate": pred}
-        row["pre_pruned_s"], row["pre_pruned_runs"] = timed(
+        n_allowed = docs.filter(pred).count()
+        row = {"selectivity": sel, "predicate": pred, "n_allowed": n_allowed}
+        row["pre_bcast_pruned_s"], row["pre_bcast_pruned_runs"] = timed(
+            pruned, pred, "pre", PRUNED_RUNS, n_allowed=n_allowed)
+        row["pre_smj_pruned_s"], row["pre_smj_pruned_runs"] = timed(
             pruned, pred, "pre", PRUNED_RUNS)
         row["post_pruned_s"], row["post_pruned_runs"] = timed(
             pruned, pred, "post", PRUNED_RUNS)
-        row["pre_exact_s"], _ = timed(wpost, pred, "pre", 1)
-        row["pruned_wins_pre"] = row["pre_pruned_s"] < row["post_pruned_s"]
+        row["pre_exact_s"], _ = timed(wpost, pred, "pre", 1,
+                                      n_allowed=n_allowed)
+        row["pre_wins"] = row["pre_bcast_pruned_s"] < row["post_pruned_s"]
 
         truth = sp.filtered_sparse_topk(
             docs, queries, predicate=pred, k=K, wpost=wpost,
-            mode="pre").groupBy("qid").agg(
+            mode="pre", n_allowed=n_allowed).groupBy("qid").agg(
             F.collect_list("doc_id").alias("neighbors"))
         got = sp.filtered_sparse_topk(
             docs, queries, predicate=pred, k=K, wpost=pruned, qwpost=wpost,
-            mode="pre").groupBy("qid").agg(
+            mode="pre", n_allowed=n_allowed).groupBy("qid").agg(
             F.collect_list("doc_id").alias("neighbors"))
         r = mx.recall_per_query(got, truth).agg(
             F.avg("recall").alias("mean"),

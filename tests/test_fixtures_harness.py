@@ -306,3 +306,23 @@ def test_run_definition_sparse_text_grid(spark):
         tr, te, gt)
     assert 0.0 < hyb.mean_recall <= 1.0
     assert hyb.results.count() == te.count()
+
+
+def test_sparse_hybrid_brute_leg_refuses_at_scale(spark, monkeypatch):
+    """The CLI grid's brute dense leg wears the ALL_PAIRS envelope
+    (ADVICE r9 #3): past the cap it refuses at BUILD time with a pointer
+    at leg=bq instead of silently launching the O(docs x queries)
+    crossJoin from run_benchmark."""
+    import pytest as _pytest
+
+    from bigvectorbench_spark.operators import dedup as dd
+
+    tr, te = fx.random_text(spark, n=40, vocab=50)
+    gt = hz.sparse_exact_groundtruth(tr, te, k=3).cache()
+    monkeypatch.setattr(dd, "ALL_PAIRS_MAX_ROWS", 1)
+    with _pytest.raises(ValueError, match="leg=bq"):
+        hz.run_definition(
+            spark,
+            hz.Definition("sparse-hybrid", "fx", 3,
+                          (("leg", "brute"), ("m", 0)), (("k0", 60),)),
+            tr, te, gt)
