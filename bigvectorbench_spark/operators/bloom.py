@@ -173,15 +173,26 @@ def _flat_positions(pos_col) -> tuple[np.ndarray, np.ndarray]:
     return flat, lens
 
 
-def _probe_frame(df: DataFrame, pos_expr, bloom: bytes, fold, out_col: str):
+def _probe_frame(df: DataFrame, pos_expr, bloom, fold, out_col: str):
     """Shared mapInArrow driver for the probes: append ``__pos`` JVM-side,
     run ``fold(bitmap, flat, lens) -> bool ndarray`` per batch on the raw
     Arrow buffers (the earlier to_pandas form put the full 500k-doc bloom
     report at 60.3s; this flat-buffer path halves it to 31.0s —
-    SCALE_BLOOM_r8.json), emit the original columns plus the boolean."""
-    import pyarrow as pa
+    SCALE_BLOOM_r8.json), emit the original columns plus the boolean.
 
-    bc = df.sparkSession.sparkContext.broadcast(bloom)
+    ``bloom`` may be raw bytes OR an already-created ``Broadcast`` handle:
+    a long-lived probe service (the streaming decontamination path calls
+    this once PER MICRO-BATCH) passes the handle so the 188 MB bitmap
+    ships once for the stream's lifetime instead of once per trigger
+    (measured cost-neutral per batch at 500k — workers cache the value —
+    but it stops the per-trigger broadcast churn; the measured per-batch
+    latency defect was partition starvation, fixed in
+    bloom_probe_batch)."""
+    import pyarrow as pa
+    from pyspark.broadcast import Broadcast
+
+    bc = (bloom if isinstance(bloom, Broadcast)
+          else df.sparkSession.sparkContext.broadcast(bloom))
     with_pos = df.withColumn("__pos", pos_expr)
     keep = [f.name for f in with_pos.schema if f.name != "__pos"]
 
@@ -203,7 +214,7 @@ def _probe_frame(df: DataFrame, pos_expr, bloom: bytes, fold, out_col: str):
     return with_pos.mapInArrow(probe, schema=out_schema)
 
 
-def bloom_probe(df: DataFrame, col: str, bloom: bytes, *, m_bits: int,
+def bloom_probe(df: DataFrame, col: str, bloom, *, m_bits: int,
                 k: int, out_col: str = "maybe_member") -> DataFrame:
     """Append a boolean column: True iff every one of the value's k bits is
     set (definitely-not-present ⇒ False; no false negatives).  ``m_bits``
@@ -218,7 +229,7 @@ def bloom_probe(df: DataFrame, col: str, bloom: bytes, *, m_bits: int,
                         fold, out_col)
 
 
-def bloom_probe_any(df: DataFrame, arr_col: str, bloom: bytes, *,
+def bloom_probe_any(df: DataFrame, arr_col: str, bloom, *,
                     m_bits: int, k: int,
                     out_col: str = "any_member") -> DataFrame:
     """Append a boolean column: True iff ANY element of the array column

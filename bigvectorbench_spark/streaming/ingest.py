@@ -257,7 +257,7 @@ def stream_append_shards(stream: DataFrame, path: str,
     return q
 
 
-def bloom_probe_batch(batch_df: DataFrame, bloom: bytes, *, m_bits: int,
+def bloom_probe_batch(batch_df: DataFrame, bloom, *, m_bits: int,
                       k: int, ngram: int = 8, id_col: str = "doc_id",
                       text_col: str = "text",
                       group_col: str = "source") -> DataFrame:
@@ -267,11 +267,29 @@ def bloom_probe_batch(batch_df: DataFrame, bloom: bytes, *, m_bits: int,
     hash ladder of ``curation.bloom_decontaminate_report``'s probe side,
     so streamed flags are bit-identical to the batch report's.  Returns
     (id, group, bloom_hit); the text column is dropped after hashing so
-    only fixed-width rows flow to the sink."""
+    only fixed-width rows flow to the sink.
+
+    ``bloom``: raw bytes or a ``Broadcast`` handle — a per-trigger caller
+    should pass the handle (see ``streaming_bloom_decontaminate``) so the
+    bitmap ships once, not per micro-batch.
+
+    A micro-batch arriving as fewer input splits than the cluster has
+    cores is REPARTITIONED before the hash ladder: a one-file 25k-doc
+    trigger otherwise runs the whole tokenize→hash→probe ladder on ONE
+    core — measured p50 15.8 s/batch where the spread ladder reads ~1 s
+    (SCALE_BLOOM_STREAM_r10.json before/after; the tiny-bitmap control
+    pinned the cost to the single-partition ladder, not the bitmap).
+    The reshuffle moves only the raw micro-batch (bounded by the trigger
+    size) and is skipped when the input already carries ≥cores splits —
+    the backfill/availableNow case."""
     from bigvectorbench_spark.functions import text as tx
     from bigvectorbench_spark.operators import bloom as bl
     from bigvectorbench_spark.operators.curation import (
         rolling_window_hashes, token_hashes)
+
+    par = batch_df.sparkSession.sparkContext.defaultParallelism
+    if batch_df.rdd.getNumPartitions() < par:
+        batch_df = batch_df.repartition(par)
 
     # Staged projections, NOT one inline expression: rolling_window_hashes
     # references its input in the per-window lambda, and an INLINE
@@ -300,11 +318,20 @@ def streaming_bloom_decontaminate(
     documents probe a STATIC Bloom bitmap artifact — the zero-state
     streaming shape ``streaming/search.py`` establishes (the bitmap is
     built once from the eval inventory by ``bloom.bloom_build``, is
-    broadcast per micro-batch, and holds NO stream state), composed into
-    the same dedup/PII ingest stage family.  One-sided error carries
+    broadcast ONCE at stream setup, and holds NO stream state), composed
+    into the same dedup/PII ingest stage family.  One-sided error carries
     over: a flagged document is possibly contaminated (bounded fp), an
     unflagged one is definitely clean — the direction decontamination
     tolerates, so downstream consumers can drop flagged rows in-flight.
+
+    Two serving-path findings from measuring at the 49.9M-hash inventory
+    (SCALE_BLOOM_STREAM_r10.json): the bitmap broadcasts ONCE here and
+    every trigger reuses the handle (hygiene — the 188 MB bitmap must not
+    re-ship per micro-batch; measured cost-neutral at this scale since
+    workers cache the value, but it bounds driver/JVM churn), and — the
+    actual defect the measurement caught — a one-file micro-batch ran the
+    whole hash ladder on one core (p50 15.8 s/batch); bloom_probe_batch
+    now spreads thin micro-batches across the cluster before the ladder.
 
     Results land under ``batch=<id>/`` with dynamic partition overwrite
     (the ``search_batch`` sink): a crash-replayed micro-batch overwrites
@@ -313,9 +340,10 @@ def streaming_bloom_decontaminate(
     test_streaming_bloom."""
     from bigvectorbench_spark.streaming.search import streaming_search
 
+    bc = doc_stream.sparkSession.sparkContext.broadcast(bloom)
     return streaming_search(
         doc_stream, path, checkpoint_path,
         search_fn=lambda b: bloom_probe_batch(
-            b, bloom, m_bits=m_bits, k=k, ngram=ngram, id_col=id_col,
+            b, bc, m_bits=m_bits, k=k, ngram=ngram, id_col=id_col,
             text_col=text_col, group_col=group_col),
         await_termination=await_termination)

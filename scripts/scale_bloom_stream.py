@@ -135,21 +135,36 @@ def main() -> None:
     out["batch_ms_max"] = max(batch_ms)
     out["batch_ms_all"] = batch_ms
 
-    # ---- final-state parity with the batch report ----
+    # ---- final-state parity ----
+    # (a) flag parity: streamed per-source bloom_hit counts equal ONE
+    # batch probe pass with the same bitmap (the exact ladder — the
+    # test_streaming_bloom pin, re-asserted at the real inventory).
+    from bigvectorbench_spark.streaming.ingest import bloom_probe_batch
+
     got = (spark.read.parquet(sink).groupBy("source")
            .agg(F.count("*").alias("n_train"),
                 F.sum(F.col("bloom_hit").cast("int")).alias("n_bloom")))
-    rep = (cur.bloom_decontaminate_report(docs, eval_mod=eval_mod)
-           .select("source", "n_train", "n_bloom"))
-    diff = (got.alias("g").join(rep.alias("r"), "source", "full")
+    bat = (bloom_probe_batch(train, bm, m_bits=m_bits, k=k)
+           .groupBy("source")
+           .agg(F.count("*").alias("n_train"),
+                F.sum(F.col("bloom_hit").cast("int")).alias("n_bloom")))
+    diff = (got.alias("g").join(bat.alias("r"), "source", "full")
             .filter("g.n_train IS DISTINCT FROM r.n_train OR "
                     "g.n_bloom IS DISTINCT FROM r.n_bloom").count())
     out["parity_mismatched_sources"] = diff
     out["streamed_rows"] = spark.read.parquet(sink).count()
     out["streamed_flagged"] = int(
         got.agg(F.sum("n_bloom")).collect()[0][0] or 0)
-    assert diff == 0, "streamed final state diverged from the batch report"
-    assert out["streamed_rows"] == n_train
+    # (b) the batch report's one-sided-error gates hold on the SAME
+    # corpus/inventory (its internally-built bitmap has identical params —
+    # same n_hashes → same m_bits/k → same bits).
+    rep = cur.bloom_decontaminate_report(docs, eval_mod=eval_mod)
+    out["report_gate_violations"] = rep.filter(
+        "NOT superset_ok OR NOT fp_extra_ok").count()
+    out["report_n_train"] = int(rep.agg(F.sum("n_train")).collect()[0][0])
+    assert diff == 0, "streamed flags diverged from the batch probe"
+    assert out["streamed_rows"] == n_train == out["report_n_train"]
+    assert out["report_gate_violations"] == 0
 
     print(json.dumps(out))
     with open(out_json, "w") as f:
