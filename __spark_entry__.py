@@ -160,6 +160,41 @@ def q_hnsw_knn(spark, sf):
     return res.select("qid", "id", F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_hnsw_delta_knn(spark, sf):
+    """Incremental HNSW maintenance (VERDICT-family completion: the
+    M3-inserts × M2-index composition ivf_delta_knn and
+    sparse_delta_report already pin for their families): the graph
+    shards build on the BASE corpus (90%, the ivf_delta split), a later
+    arrival batch (10%) absorbs as its OWN shard(s) via
+    hnsw.hnsw_delta_shards — no existing shard is read or re-linked
+    (a stored-artifact engine appends; rewriting neighbor lists across
+    a persisted graph is the in-memory serving systems' move) — and
+    search runs over base ∪ delta through the unchanged shard-and-merge
+    path.  Declared in the bounded-shard / ef ≥ shard-size regime, where
+    BOTH sides are provably exact, so absorb-then-search ≡ full rebuild
+    and the oracle is the exact kNN SQL (the hnsw_knn convention); the
+    zero-base-mutation property is pinned byte-level in test_hnsw."""
+    from bigvectorbench_spark.operators.hnsw import (
+        build_hnsw_shards, hnsw_delta_shards, hnsw_search)
+    from bigvectorbench_spark.sources.tables import table_rows
+
+    t = _train(spark, sf)
+    base, delta = t.filter("id % 10 != 0"), t.filter("id % 10 = 0")
+    n_rows = table_rows(sf, "embeddings")
+    num_shards = max(4, -(-(n_rows * 9 // 10) // 500))
+    # Persisted: the base artifact is read twice (delta sizing stats +
+    # the union search) — persisting IS the M2 contract (at scale this
+    # frame is the stored parquet artifact, metadata-cheap).
+    base_shards = build_hnsw_shards(base, m=8, ef_construction=64,
+                                    num_shards=num_shards, seed=3).persist()
+    delta_shards = hnsw_delta_shards(
+        delta, base_shards, m=8, ef_construction=64, seed=3,
+        n_delta=n_rows - n_rows * 9 // 10)
+    res = hnsw_search(base_shards.unionByName(delta_shards),
+                      _queries_mod(spark, sf), k=10, ef=2048)
+    return res.select("qid", "id", F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_hnsw_recall(spark, sf):
     """Driver-visible gate for HNSW's APPROXIMATE regime (VERDICT r4 ask
     #2; same contract as ``q_ivf_recall``): recall of beam search at
@@ -2933,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-checked (the recurring rotation rule) ----------------------
         "sparse_filter_adaptive": q_sparse_filter_adaptive,
         "sparse_quantile_recall": q_sparse_quantile_recall,
+        "hnsw_delta_knn": q_hnsw_delta_knn,
         # --- 27 r7-green at age 2 (VERDICT r9 ask #1) ----------------------
         "lm_fluency": q_lm_fluency,
         "dsir_select": q_dsir_select,
@@ -2984,11 +3020,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_euclid_gemm": q_knn_euclid_gemm,
         "knn_hamming_packed": q_knn_hamming_packed,
         "knn_jaccard": q_knn_jaccard,
-        "hnsw_knn": q_hnsw_knn,
         # ==== below the 50-slot window from here ===========================
         # ROUND-11 HEAD-OF-WINDOW: r8-green queries at age 2 after round 10
-        # (hnsw_recall .. top_terms_per_source) — these must lead the
-        # round-11 window.
+        # (hnsw_knn .. top_terms_per_source; hnsw_knn was displaced from
+        # slot 50 by the third round-10 declaration hnsw_delta_knn) —
+        # these must lead the round-11 window.
+        "hnsw_knn": q_hnsw_knn,
         "hnsw_recall": q_hnsw_recall,
         "filter_knn_eq": q_filter_knn_eq,
         "postfilter_knn": q_postfilter_knn,
@@ -4107,6 +4144,10 @@ def oracle_sql() -> dict[str, str]:
         # hnsw.py) — the oracle is the exact kNN ranking
         "hnsw_knn": _knn_oracle(where_q="vec_id % 50 = 0", dist=l2,
                                 cols="qid, id, rank"),
+        # delta absorb at ef >= shard size: base and arrival shards are
+        # BOTH exact, so absorb-then-search == the exact kNN ranking
+        "hnsw_delta_knn": _knn_oracle(where_q="vec_id % 50 = 0", dist=l2,
+                                      cols="qid, id, rank"),
         "knn_angular": _knn_oracle(
             where_q="vec_id % 50 = 0",
             dist=("1.0 - list_sum(list_transform(list_zip(t.v, q.v), x -> x[1]*x[2])) / "

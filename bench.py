@@ -51,6 +51,7 @@ HEADLINE = [
     "mm_knn",
     "jl_knn",
     "hnsw_knn",
+    "hnsw_delta_knn",
     "hnsw_scale_search",
     "hnsw_scale_recall",
     "ivf_knn",

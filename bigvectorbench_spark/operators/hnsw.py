@@ -337,6 +337,56 @@ def build_hnsw_shards(
     return src.mapInPandas(_build, "shard_id int, n bigint, payload binary")
 
 
+def hnsw_delta_shards(
+    delta: DataFrame,
+    base_shards: DataFrame,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    m: int = 8,
+    ef_construction: int = 64,
+    num_shards: int | None = None,
+    seed: int = 1,
+    n_delta: int | None = None,
+) -> DataFrame:
+    """Incremental HNSW maintenance — the M2×M3 composition the IVF and
+    sparse families already have (`similarity.ivf_delta`,
+    `sparse.stale_weight_postings`), in the shape the shard-and-merge
+    architecture makes natural: ARRIVING rows build their own graph
+    shard(s); NO existing shard is read, rewritten, or re-linked (graph
+    inserts into a stored HNSW would rewrite neighbor lists across the
+    artifact — the reference's serving systems do this in-memory; a
+    stored-artifact engine appends instead).  Returns delta shard rows
+    with ids offset past the base's — ``base.unionByName(delta)`` serves
+    through :func:`hnsw_search` unchanged, and with ef ≥ shard size both
+    sides stay provably exact, so absorb-then-search ≡ full rebuild
+    (value-oracled by the declared ``hnsw_delta_knn``).
+
+    Cost: O(delta) build, zero base I/O — at 100 TB an arrival batch
+    absorbs at delta-sized cost while a rebuild pays the full corpus.
+    The trade is search-side: each absorb adds shards, and search cost
+    is Σ per-shard beams, so absorb N times → compact (rebuild) on
+    evidence, the same rebuild-on-drift policy `sparse_delta_report`
+    meters.  ``num_shards`` defaults to matching the BASE's rows/shard
+    (keeping the ef-vs-shard-size contract the exactness rests on);
+    ``n_delta`` (metadata-only count) skips the sizing job."""
+    stats = base_shards.agg(
+        F.max("shard_id").alias("mx"), F.sum("n").alias("rows"),
+        F.count("*").alias("shards")).collect()[0]
+    offset = int(stats["mx"]) + 1
+    if num_shards is None:
+        per = max(1, int(stats["rows"]) // max(1, int(stats["shards"])))
+        if n_delta is None:
+            n_delta = delta.count()
+        num_shards = max(1, -(-n_delta // per))
+    ds = build_hnsw_shards(
+        delta, id_col=id_col, vec_col=vec_col, m=m,
+        ef_construction=ef_construction, num_shards=num_shards,
+        seed=seed + offset)
+    return ds.withColumn(
+        "shard_id", (F.col("shard_id") + F.lit(offset)).cast("int"))
+
+
 def load_or_build_hnsw(
     train: DataFrame,
     *,

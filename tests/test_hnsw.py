@@ -183,3 +183,53 @@ def test_auto_ef_search_exact_on_small_shards(data):
     a = {(r["qid"], r["id"]) for r in approx.collect()}
     b = {(r["qid"], r["id"]) for r in exact.collect()}
     assert a == b
+
+
+def test_delta_absorb_exact_and_base_untouched(data, spark):
+    """Incremental maintenance (the ivf_delta twin): arrivals build their
+    own shard(s) with ids offset past the base's; the base artifact is
+    BYTE-IDENTICAL afterwards (zero reads-modify-writes of stored
+    graphs), and at ef >= shard size the union search equals exact kNN
+    over base+delta — absorb-then-search == full rebuild."""
+    from bigvectorbench_spark.operators.hnsw import hnsw_delta_shards
+
+    train, queries, _ = data
+    base = train.filter("id % 10 != 0").cache()
+    delta = train.filter("id % 10 = 0").cache()
+    base_shards = build_hnsw_shards(base, m=8, ef_construction=64,
+                                    num_shards=4, seed=3).cache()
+    before = {r["shard_id"]: bytes(r["payload"])
+              for r in base_shards.collect()}
+
+    delta_shards = hnsw_delta_shards(delta, base_shards, m=8,
+                                     ef_construction=64, seed=3)
+    drows = delta_shards.collect()
+    assert all(r["shard_id"] >= 4 for r in drows)          # past the base
+    assert sum(r["n"] for r in drows) == delta.count()     # all arrivals
+
+    after = {r["shard_id"]: bytes(r["payload"])
+             for r in base_shards.collect()}
+    assert before == after                                  # byte-identical
+
+    union = base_shards.unionByName(delta_shards)
+    got = hnsw_search(union, queries, k=10, ef=800)
+    want = knn(train, queries, k=10, method="expr")
+    g = [(r["qid"], r["id"], r["rank"])
+         for r in got.orderBy("qid", "rank").collect()]
+    w = [(r["qid"], r["id"], r["rank"])
+         for r in want.orderBy("qid", "rank").collect()]
+    assert g == w
+
+
+def test_delta_shard_sizing_matches_base(data, spark):
+    """num_shards defaults to the BASE's rows/shard so arrival shards
+    keep the ef-vs-shard-size contract; n_delta skips the sizing job."""
+    from bigvectorbench_spark.operators.hnsw import hnsw_delta_shards
+
+    train, _, shards = data                    # 800 rows / 4 shards = 200
+    big_delta = train.filter("id < 500")       # 500 arrivals -> 3 shards
+    ds = hnsw_delta_shards(big_delta, shards, m=8, ef_construction=64,
+                           seed=3, n_delta=500)
+    rows = ds.collect()
+    assert len(rows) == 3
+    assert {r["shard_id"] for r in rows} == {4, 5, 6}
