@@ -2960,7 +2960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round — checking them now spreads the round-11 load).
     #
     # ROUND-11 HEAD-OF-WINDOW: the r8-green queries below the window
-    # (postfilter_knn .. top_terms_per_source, marked) reach age 2 after
+    # (hnsw_knn .. top_terms_per_source, marked — hnsw_knn was displaced
+    # from slot 50 by the third round-10 declaration) reach age 2 after
     # this round and must lead the round-11 window; the r9-green block is
     # age 1 (recheck by round 12).
     return {
