@@ -373,6 +373,10 @@ def hnsw_delta_shards(
     stats = base_shards.agg(
         F.max("shard_id").alias("mx"), F.sum("n").alias("rows"),
         F.count("*").alias("shards")).collect()[0]
+    if stats["mx"] is None:
+        raise ValueError(
+            "base_shards is empty — build the base with build_hnsw_shards "
+            "first, or pass the arrivals there directly")
     offset = int(stats["mx"]) + 1
     if num_shards is None:
         per = max(1, int(stats["rows"]) // max(1, int(stats["shards"])))

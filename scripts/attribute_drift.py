@@ -76,8 +76,10 @@ def main() -> None:
         w = min(per_tree["new"].get(q, [float('inf')]))
         table[q] = {"old_min": round(o, 3), "new_min": round(w, 3),
                     "new_over_old": round(w / max(o, 1e-9), 3),
-                    "old_inv_mins": [round(x, 3) for x in per_tree["old"][q]],
-                    "new_inv_mins": [round(x, 3) for x in per_tree["new"][q]]}
+                    "old_inv_mins": [round(x, 3)
+                                     for x in per_tree["old"].get(q, [])],
+                    "new_inv_mins": [round(x, 3)
+                                     for x in per_tree["new"].get(q, [])]}
     rec = {"ref": ref, "invocations_each": n,
            "protocol": ("interleaved A/B, fresh JVM per invocation, "
                         "best-of-3 per query, per-query min across "

@@ -221,6 +221,19 @@ def test_delta_absorb_exact_and_base_untouched(data, spark):
     assert g == w
 
 
+def test_delta_rejects_empty_base(data, spark):
+    """An empty base has no shard layout to extend — the sizing contract
+    (match the base's rows/shard) is undefined, so refuse loudly instead
+    of crashing on int(None)."""
+    from bigvectorbench_spark.operators.hnsw import hnsw_delta_shards
+
+    train, _, shards = data
+    empty = shards.filter("shard_id < 0")
+    with pytest.raises(ValueError, match="base_shards is empty"):
+        hnsw_delta_shards(train.limit(5), empty, m=8, ef_construction=64,
+                          seed=3, n_delta=5)
+
+
 def test_delta_shard_sizing_matches_base(data, spark):
     """num_shards defaults to the BASE's rows/shard so arrival shards
     keep the ef-vs-shard-size contract; n_delta skips the sizing job."""
