@@ -195,6 +195,44 @@ def q_hnsw_delta_knn(spark, sf):
     return res.select("qid", "id", F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_hnsw_delta_report(spark, sf):
+    """The rebuild-on-evidence meter beside q_hnsw_delta_knn (VERDICT r10
+    ask #2 — the family convention ivf_delta_report and
+    sparse_delta_report already set): TWO consecutive arrival batches
+    (10% each) absorb as append-only shards against an 80% base, then
+    hnsw.hnsw_delta_report emits the search-work accounting — shard
+    counts, row occupancy, and work_growth = shards_total /
+    shards_rebuilt, the per-query beam-invocation multiplier the
+    append-only layout pays vs a same-sizing rebuild (search cost is
+    Σ per-shard beams, so shard count IS the work unit).  The second
+    absorb sizes against base ∪ first-delta — the real N-absorb usage,
+    so the meter reflects accumulated appends, not a single batch.
+    Value-oracled exactly: the report is pure shard-metadata arithmetic
+    (counts, integer division, one 6-dp round), and the shard-sizing
+    rules (max(4, ceil(rows/500)) base shards; delta shards at the
+    prior layout's rows-per-shard) replay in ANSI SQL from the same
+    row counts.  Reference analog: index build/rebuild cost accounting,
+    runner.py:446-489."""
+    from bigvectorbench_spark.operators.hnsw import (
+        build_hnsw_shards, hnsw_delta_shards, hnsw_delta_report)
+    from bigvectorbench_spark.sources.tables import table_rows
+
+    t = _train(spark, sf)
+    base = t.filter("id % 10 >= 2")
+    d1, d2 = t.filter("id % 10 = 0"), t.filter("id % 10 = 1")
+    n = table_rows(sf, "embeddings")
+    n_d1, n_d2 = (n + 9) // 10, (n + 8) // 10   # ids are 0..n-1 contiguous
+    n_base = n - n_d1 - n_d2
+    num_shards = max(4, -(-n_base // 500))
+    base_shards = build_hnsw_shards(base, m=8, ef_construction=64,
+                                    num_shards=num_shards, seed=3).persist()
+    s1 = hnsw_delta_shards(d1, base_shards, m=8, ef_construction=64,
+                           seed=3, n_delta=n_d1).persist()
+    s2 = hnsw_delta_shards(d2, base_shards.unionByName(s1), m=8,
+                           ef_construction=64, seed=3, n_delta=n_d2)
+    return hnsw_delta_report(base_shards, s1.unionByName(s2))
+
+
 def q_hnsw_recall(spark, sf):
     """Driver-visible gate for HNSW's APPROXIMATE regime (VERDICT r4 ask
     #2; same contract as ``q_ivf_recall``): recall of beam search at
@@ -2965,6 +3003,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round and must lead the round-11 window; the r9-green block is
     # age 1 (recheck by round 12).
     return {
+        # --- NEW round-11 declarations: first declaration must be
+        # driver-checked (the recurring rotation rule) ----------------------
+        "hnsw_delta_report": q_hnsw_delta_report,
         # --- NEW round-10 declarations: first declaration must be
         # driver-checked (the recurring rotation rule) ----------------------
         "sparse_filter_adaptive": q_sparse_filter_adaptive,
@@ -3647,6 +3688,38 @@ FROM embeddings
 WHERE vec_id % greatest(1, (SELECT count(*) FROM embeddings) // 100) = 0
 """
 
+# hnsw_delta_report: the report is pure shard-metadata arithmetic, so the
+# oracle REPLAYS the sizing rules from the raw row counts — base shards
+# max(4, ceil(rows_base/500)) (the q_hnsw_knn bounded-shard derivation),
+# first absorb sized at the base's rows/shard, second absorb at the
+# base∪first layout's rows/shard, rebuild at the base's rows/shard — and
+# recomputes every column including the 6-dp work_growth ratio.  A sizing
+# bug on the Spark side (wrong per-shard target, off-by-one ceil, offset
+# arithmetic dropping a shard) breaks the match.
+_HNSW_DELTA_REPORT_SQL = """
+WITH c AS (SELECT count(*) AS n,
+                  count(*) FILTER (WHERE vec_id % 10 = 0) AS nd1,
+                  count(*) FILTER (WHERE vec_id % 10 = 1) AS nd2
+           FROM embeddings),
+p AS (SELECT n - nd1 - nd2 AS rows_base, nd1, nd2,
+             GREATEST(4, CAST(CEIL((n - nd1 - nd2) / 500.0) AS BIGINT)) AS nbs
+      FROM c),
+s1 AS (SELECT *, CAST(CEIL(nd1::DOUBLE /
+                GREATEST(1, rows_base // nbs)) AS BIGINT) AS nds1 FROM p),
+s2 AS (SELECT *, CAST(CEIL(nd2::DOUBLE /
+                GREATEST(1, (rows_base + nd1) // (nbs + nds1))) AS BIGINT)
+                AS nds2 FROM s1),
+f AS (SELECT nbs, nds1 + nds2 AS nds, rows_base, nd1 + nd2 AS rows_delta,
+             GREATEST(1, rows_base // nbs) AS per FROM s2)
+SELECT nbs AS n_base_shards, nds AS n_delta_shards, rows_base, rows_delta,
+       nbs + nds AS shards_total,
+       (rows_base + rows_delta + per - 1) // per AS shards_rebuilt,
+       round((nbs + nds)::DOUBLE /
+             ((rows_base + rows_delta + per - 1) // per)::DOUBLE, 6)
+           AS work_growth
+FROM f
+"""
+
 # sketch_bounds: the oracle recomputes the exact corpus shape (sources,
 # docs) and asserts the Spark-side HLL++/percentile_approx error-bound
 # booleans.
@@ -4136,6 +4209,7 @@ def oracle_sql() -> dict[str, str]:
         "opq_recall": _RECALL_GATE_SQL,
         "srp_recall": _SRP_RECALL_SQL,
         "hnsw_recall": _HNSW_RECALL_SQL,
+        "hnsw_delta_report": _HNSW_DELTA_REPORT_SQL,
         "hnsw_scale_recall": _HNSW_SCALE_RECALL_SQL,
         "sketch_bounds": _SKETCH_BOUNDS_SQL,
         "knn_euclid": _knn_oracle(where_q="vec_id % 50 = 0", dist=l2),

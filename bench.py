@@ -52,6 +52,7 @@ HEADLINE = [
     "jl_knn",
     "hnsw_knn",
     "hnsw_delta_knn",
+    "hnsw_delta_report",
     "hnsw_scale_search",
     "hnsw_scale_recall",
     "ivf_knn",
@@ -77,6 +78,7 @@ HEADLINE = [
     "ngram_jaccard_dups",
     "minhash_dups",
     "simhash_dups",
+    "embedding_cosine_dups",
     "embedding_cosine_dups_srp",
     "dedup_exact",
     "dedup_components",

@@ -391,6 +391,61 @@ def hnsw_delta_shards(
         "shard_id", (F.col("shard_id") + F.lit(offset)).cast("int"))
 
 
+def hnsw_delta_report(
+    base_shards: DataFrame,
+    delta_shards: DataFrame,
+) -> DataFrame:
+    """The rebuild-on-evidence meter for incremental HNSW — the family
+    convention `ivf_delta_report` (per-cell occupancy + centroid drift)
+    and `sparse_delta_report` (idf drift) already set, in the quantity
+    that actually degrades under graph-shard absorbs: SEARCH WORK.
+    Every query beams into every shard (cost ≈ Σ per-shard beams), so
+    absorbing N arrival batches as append-only shards grows per-query
+    work with the shard count while a rebuild would re-pack the same
+    rows at the base's rows/shard.  One row:
+
+      (n_base_shards, n_delta_shards, rows_base, rows_delta,
+       shards_total, shards_rebuilt, work_growth)
+
+    ``shards_rebuilt`` = ceil(total rows / base rows-per-shard) — the
+    shard count a same-sizing rebuild would produce; ``work_growth`` =
+    shards_total / shards_rebuilt is the per-query beam-invocation
+    multiplier the append-only layout pays vs that rebuild — the
+    compaction trigger (SCALING.md policy: compact when it crosses the
+    measured threshold).  Pass the UNION of all absorbed delta frames
+    as ``delta_shards`` to meter N accumulated absorbs.
+
+    Pure shard-metadata arithmetic (counts and sums over the ≤dozens-row
+    artifact table — no graph bytes read), so the report value-oracles
+    exactly in ANSI SQL from the same row counts.  Reference analog:
+    index build/rebuild cost accounting, runner.py:446-489."""
+    b = base_shards.agg(
+        F.count("*").alias("n_base_shards"),
+        F.sum("n").alias("rows_base"))
+    d = delta_shards.agg(
+        F.count("*").alias("n_delta_shards"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("rows_delta"))
+    j = b.crossJoin(F.broadcast(d)).select(
+        F.col("n_base_shards").cast("bigint").alias("n_base_shards"),
+        F.col("n_delta_shards").cast("bigint").alias("n_delta_shards"),
+        F.col("rows_base").cast("bigint").alias("rows_base"),
+        F.col("rows_delta").cast("bigint").alias("rows_delta"))
+    per = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr("rows_base div n_base_shards"))
+    j = j.withColumn("_per", per)
+    return j.select(
+        "n_base_shards", "n_delta_shards", "rows_base", "rows_delta",
+        (F.col("n_base_shards") + F.col("n_delta_shards"))
+        .alias("shards_total"),
+        F.expr("(rows_base + rows_delta + _per - 1) div _per")
+        .alias("shards_rebuilt"),
+    ).withColumn(
+        "work_growth",
+        F.round(F.col("shards_total").cast("double")
+                / F.col("shards_rebuilt").cast("double"), 6))
+
+
 def load_or_build_hnsw(
     train: DataFrame,
     *,

@@ -51,10 +51,13 @@ GRIDS = {
     "hybrid": dict(build_grid={"leg": ["brute", "bq"]},
                    query_grid={"k0": [20, 60], "w2": [0.5, 1.0]}),
     # sparse IP (SPARSE_FLOAT_VECTOR analog) on a TEXT dataset: per-term
-    # posting cap m build-time (0 = exact, "auto" = the auto_m rule);
+    # posting cap m build-time (0 = exact, "auto" = the Zipf-calibrated
+    # 0.04·n rule, "spectrum" = auto_m_spectrum holding the cut fraction
+    # on ANY df spectrum — VERDICT r10 ask #3: the published Pareto must
+    # carry the point that fixes auto's non-Zipf failure mode);
     # sparse+dense hybrid adds the derived-hashed-embedding dense leg
     # (brute|bq) and the RRF fusion knobs (VERDICT r8 ask #7)
-    "sparse": dict(build_grid={"m": [64, 256, 1024, "auto", 0]},
+    "sparse": dict(build_grid={"m": [64, 256, 1024, "auto", "spectrum", 0]},
                    query_grid=None),
     "sparse-hybrid": dict(build_grid={"m": ["auto"], "leg": ["brute", "bq"]},
                           query_grid={"k0": [20, 60], "w2": [0.5, 1.0]}),

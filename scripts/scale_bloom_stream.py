@@ -134,6 +134,17 @@ def main() -> None:
     out["batch_ms_p99"] = pctl(batch_ms, 0.99)
     out["batch_ms_max"] = max(batch_ms)
     out["batch_ms_all"] = batch_ms
+    # Per-batch phase breakdown (VERDICT r10 ask #4 — the r10 artifact's
+    # batch-18 34.4 s spike carried no attribution): durationMs splits
+    # triggerExecution into addBatch (the probe compute), getBatch /
+    # latestOffset (source planning), queryPlanning, walCommit +
+    # commitOffsets (checkpoint I/O).  A spike whose excess sits in
+    # addBatch is compute/scheduling; in walCommit/commitOffsets it is
+    # checkpoint I/O; spread evenly it is machine-level contention.
+    out["batch_duration_breakdown"] = [
+        {"batchId": p.get("batchId"), "rows": p.get("numInputRows"),
+         **p.get("durationMs", {})}
+        for p in prog if p.get("numInputRows", 0) > 0]
 
     # ---- final-state parity ----
     # (a) flag parity: streamed per-source bloom_hit counts equal ONE

@@ -221,6 +221,48 @@ def test_delta_absorb_exact_and_base_untouched(data, spark):
     assert g == w
 
 
+def test_delta_report_meters_accumulated_absorbs(data, spark):
+    """hnsw_delta_report is the family's rebuild-on-evidence meter
+    (ivf_delta_report / sparse_delta_report convention) in the quantity
+    graph-shard absorbs actually degrade: search work = shard count.
+    Hand-computed on the module fixture: base 800 rows / 4 shards
+    (per = 200); two absorbs of 100 rows each -> 1 shard apiece; a
+    same-sizing rebuild packs 1000 rows into ceil(1000/200) = 5 shards,
+    so 6 resident shards cost work_growth = 6/5 = 1.2 beams per query
+    vs the rebuild."""
+    from bigvectorbench_spark.operators.hnsw import (
+        hnsw_delta_report, hnsw_delta_shards)
+
+    train, _, base_shards = data            # 800 rows / 4 shards
+    extra = spark.range(100).select(
+        (F.col("id") + 10_000).alias("id"),
+        F.array(*[F.rand(seed=i) for i in range(16)])
+        .cast("array<float>").alias("vec"))
+    extra2 = extra.withColumn("id", F.col("id") + 1_000)
+    s1 = hnsw_delta_shards(extra, base_shards, m=8, ef_construction=64,
+                           seed=3, n_delta=100).cache()
+    s2 = hnsw_delta_shards(extra2, base_shards.unionByName(s1), m=8,
+                           ef_construction=64, seed=3, n_delta=100)
+    row = hnsw_delta_report(base_shards, s1.unionByName(s2)).collect()[0]
+    assert row.asDict() == {
+        "n_base_shards": 4, "n_delta_shards": 2,
+        "rows_base": 800, "rows_delta": 200,
+        "shards_total": 6, "shards_rebuilt": 5, "work_growth": 1.2}
+
+
+def test_delta_report_empty_delta_is_identity(data, spark):
+    """Zero absorbs -> work_growth exactly 1.0 (no delta rows, no delta
+    shards, rebuilt == base layout): the meter's fixed point."""
+    from bigvectorbench_spark.operators.hnsw import hnsw_delta_report
+
+    _, _, base_shards = data
+    row = hnsw_delta_report(
+        base_shards, base_shards.filter("shard_id < 0")).collect()[0]
+    assert row["n_delta_shards"] == 0 and row["rows_delta"] == 0
+    assert row["shards_total"] == 4 and row["shards_rebuilt"] == 4
+    assert row["work_growth"] == 1.0
+
+
 def test_delta_rejects_empty_base(data, spark):
     """An empty base has no shard layout to extend — the sizing contract
     (match the base's rows/shard) is undefined, so refuse loudly instead
