@@ -365,9 +365,13 @@ def hnsw_delta_shards(
     Cost: O(delta) build, zero base I/O — at 100 TB an arrival batch
     absorbs at delta-sized cost while a rebuild pays the full corpus.
     The trade is search-side: each absorb adds shards, and search cost
-    is Σ per-shard beams, so absorb N times → compact (rebuild) on
-    evidence, the same rebuild-on-drift policy `sparse_delta_report`
-    meters.  ``num_shards`` defaults to matching the BASE's rows/shard
+    is Σ per-shard beams — metered by :func:`hnsw_delta_report`
+    (work_growth = shards vs a same-sizing rebuild); the measured
+    policy (SCALE_HNSW_DELTA_r11 + _fine ladders) is compact at
+    work_growth ≥ 2.5, the edge of the measured regime where absorb
+    still strictly dominates rebuild at serving (recall flat
+    0.80–0.83, wall ≤ 0.92× the rebuilt layout's through 28 shards).
+    ``num_shards`` defaults to matching the BASE's rows/shard
     (keeping the ef-vs-shard-size contract the exactness rests on);
     ``n_delta`` (metadata-only count) skips the sizing job."""
     stats = base_shards.agg(
