@@ -827,6 +827,46 @@ def q_ivf_recall(spark, sf):
     )
 
 
+def q_ivf_auto_recall(spark, sf):
+    """Driver gate for IVF's ``nprobe="auto"`` mode (VERDICT r10 ask #5 —
+    the auto-knob trilogy's IVF member beside hnsw.auto_ef and
+    sparse.auto_m): the index builds under the classic nlist ≈ sqrt(n)
+    rule and searches with the calibrated recall-holding probe count
+    auto_nprobe(nlist) = ceil(0.0934·nlist^0.6215) (measured decade
+    ladder SCALE_IVF_AUTO_r11: recall 0.954–0.998 across 20k→632k where
+    a fixed nprobe=4 decays 0.997→0.813).  Emits the RESOLVED
+    auto_nprobe as a value column — the oracle recomputes the ceil
+    formula in SQL from the same row count, so a drifted coefficient,
+    a broken resolution path, or a wrong nlist derivation all
+    hash-mismatch.  Regime note, measured: the clamped sf fixtures
+    (500–2000 near-unclustered rows, cells of ~sqrt(n)) sit far below
+    the calibrated regime and auto resolves to nprobe=1 with mean
+    recall 0.27/0.34 (sf0.001/0.01) and 0.2225 (sf0.1) — the recall
+    booleans here are DEFECT floors (0.2/0.05 tight, 0.15/0.05 off the
+    oracle sfs), not the ≥0.9 operating claim; that claim lives in the
+    scale artifact where the regime exists."""
+    import math
+    from bigvectorbench_spark.operators.similarity import auto_nprobe
+    from bigvectorbench_spark.sources.tables import table_rows
+
+    mean_thr, min_thr = _gate(sf, tight=(0.2, 0.05), floor=(0.15, 0.05))
+    t, q = _train(spark, sf), _queries_mod(spark, sf)
+    n = table_rows(sf, "embeddings")
+    nlist = max(8, round(math.sqrt(n)))
+    idx = IVFIndex.fit(t, nlist=nlist, seed=1, max_iter=8, sort_col="id")
+    approx = idx.search(idx.assign(t), q, k=10, nprobe="auto").groupBy(
+        "qid").agg(F.collect_list("id").alias("neighbors"))
+    exact = knn(t, q, k=10, method="expr").groupBy("qid").agg(
+        F.collect_list("id").alias("neighbors"))
+    per_q = mx.recall_per_query(approx, exact)
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.lit(auto_nprobe(nlist)).cast("bigint").alias("auto_nprobe"),
+        (F.avg("recall") >= mean_thr).alias("mean_recall_ok"),
+        (F.min("recall") >= min_thr).alias("min_recall_ok"),
+    )
+
+
 def q_pq_recall(spark, sf):
     """Same contract for the PQ path (codebook fit, encode, ADC scan,
     refine): recall vs exact kNN as oracle-asserted booleans.  Measured at
@@ -3006,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW round-11 declarations: first declaration must be
         # driver-checked (the recurring rotation rule) ----------------------
         "hnsw_delta_report": q_hnsw_delta_report,
+        "ivf_auto_recall": q_ivf_auto_recall,
         # --- NEW round-10 declarations: first declaration must be
         # driver-checked (the recurring rotation rule) ----------------------
         "sparse_filter_adaptive": q_sparse_filter_adaptive,
@@ -3688,6 +3729,22 @@ FROM embeddings
 WHERE vec_id % greatest(1, (SELECT count(*) FROM embeddings) // 100) = 0
 """
 
+# ivf_auto_recall: the resolved auto_nprobe is deterministic arithmetic on
+# the corpus row count (nlist = max(8, round(sqrt(n))), then the calibrated
+# ceil power law), so the oracle recomputes it in SQL; the recall booleans
+# are defect floors (see q_ivf_auto_recall's regime note).
+_IVF_AUTO_RECALL_SQL = """
+WITH p AS (SELECT GREATEST(8, CAST(ROUND(SQRT(count(*)), 0) AS BIGINT))
+               AS nlist
+           FROM embeddings)
+SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries,
+       CAST(LEAST(nlist, GREATEST(1,
+            CAST(CEIL(0.0934 * POW(nlist, 0.6215)) AS BIGINT)))
+            AS BIGINT) AS auto_nprobe,
+       TRUE AS mean_recall_ok, TRUE AS min_recall_ok
+FROM p
+"""
+
 # hnsw_delta_report: the report is pure shard-metadata arithmetic, so the
 # oracle REPLAYS the sizing rules from the raw row counts — base shards
 # max(4, ceil(rows_base/500)) (the q_hnsw_knn bounded-shard derivation),
@@ -4196,6 +4253,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_parity": _HYBRID_PARITY_SQL,
         "iud_final_state": _IUD_FINAL_STATE_SQL,
         "ivf_recall": _RECALL_GATE_SQL,
+        "ivf_auto_recall": _IVF_AUTO_RECALL_SQL,
         "filter_ivf_recall": _RECALL_GATE_SQL,
         "pq_recall": _RECALL_GATE_SQL,
         "bq_recall": _RECALL_GATE_SQL,

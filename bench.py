@@ -67,6 +67,7 @@ HEADLINE = [
     "ivf_delta_knn",
     "ivf_delta_report",
     "ivf_recall",
+    "ivf_auto_recall",
     "pq_recall",
     "srp_recall",
     "hnsw_recall",

@@ -151,7 +151,7 @@ def filtered_ivf_knn(
     *,
     filter_template: str,
     query_param_cols: Sequence[str],
-    nprobe: int = 4,
+    nprobe: int | str = 4,
     strategy: str = "auto",
     selectivity: Optional[float] = None,
     overfetch_factor: float = 1.5,

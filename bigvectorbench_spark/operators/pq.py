@@ -307,7 +307,7 @@ def ivfpq_search(
     queries: DataFrame,
     k: int = 10,
     *,
-    nprobe: int = 4,
+    nprobe: int | str = 4,
     codes_col: str = "codes",
     query_vec_col: str = "vec",
     id_col: str = "id",

@@ -32,6 +32,34 @@ from bigvectorbench_spark.operators.knn import topk_window, _collect_queries
 
 CLUSTER_COL = "cluster_id"
 
+# auto_nprobe calibration (the hnsw.auto_ef / sparse.auto_m twin —
+# VERDICT r10 ask #5, completing the auto-knob trilogy).  Measured on the
+# SCALE_IVF_AUTO_r11 decade ladder (20k → 632k rows, 32-d/100-center
+# blobs, nlist = round(sqrt(n)) — the classic build rule): the minimal
+# nprobe holding mean recall ≥ 0.9 vs exact kNN is
+# (nlist 141 → 2, 251 → 3, 447 → 4, 795 → 6); a FIXED nprobe=4 decays
+# 0.997 → 0.943 → 0.813 over the same rungs.  Least-squares power law
+# through the measured points: nprobe* = 0.0934 · nlist^0.6215 — recall
+# needs a growing CELL COUNT but a shrinking cell FRACTION (exponent
+# < 1), the same sublinear shape as auto_ef's n^0.9.  The verify pass
+# re-ran the fitted formula at every rung: recall 0.998 / 0.986 / 0.986
+# / 0.954 — held across 1.5 decades where fixed-4 lost 0.18.
+# Regime note: calibrated for sqrt(n)-sized builds (cells of ~√n rows);
+# tiny-nlist configs (the oracle-sf nlist=8 declarations) sit outside it
+# and keep their explicitly calibrated nprobe.
+_AUTO_NPROBE_COEF = 0.0934
+_AUTO_NPROBE_EXP = 0.6215
+
+
+def auto_nprobe(nlist: int) -> int:
+    """Query-time probe count holding recall ≈0.9 under the
+    nlist ≈ sqrt(n) build rule, instead of letting a fixed nprobe decay
+    as the corpus (and with it nlist) grows."""
+    import math
+
+    return int(min(nlist, max(1, math.ceil(
+        _AUTO_NPROBE_COEF * nlist ** _AUTO_NPROBE_EXP))))
+
 
 def _kmeans_pp(X: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
     """Lloyd's algorithm with kmeans++ init, plain numpy (driver-side fit
@@ -218,9 +246,15 @@ class IVFIndex:
             "overwrite"
         ).parquet(path)
 
-    def probe_lists(self, qmat: np.ndarray, nprobe: int) -> np.ndarray:
+    def probe_lists(self, qmat: np.ndarray, nprobe: int | str) -> np.ndarray:
         """Top-``nprobe`` nearest centroid ids per query row (driver-side:
-        queries ≤10k × nlist centroids is a trivial GEMM)."""
+        queries ≤10k × nlist centroids is a trivial GEMM).
+        ``nprobe="auto"`` resolves via :func:`auto_nprobe` — the
+        calibrated recall-holding rule for sqrt(n)-sized builds; every
+        caller that forwards nprobe (search, ivfpq_search, the filtered
+        compositions) inherits the mode through this resolution point."""
+        if nprobe == "auto":
+            nprobe = auto_nprobe(len(self.centroids))
         if self.metric == "angular":
             norms = np.linalg.norm(qmat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
@@ -236,7 +270,7 @@ class IVFIndex:
         queries: DataFrame,
         k: int = 10,
         *,
-        nprobe: int = 4,
+        nprobe: int | str = 4,
         vec_col: str = "vec",
         id_col: str = "id",
         qid_col: str = "qid",
@@ -354,7 +388,7 @@ def candidate_counts(
     indexed_train: DataFrame,
     queries: DataFrame,
     *,
-    nprobe: int = 4,
+    nprobe: int | str = 4,
     vec_col: str = "vec",
     qid_col: str = "qid",
 ) -> DataFrame:

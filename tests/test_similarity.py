@@ -49,6 +49,32 @@ def test_ivf_recall_monotone_in_nprobe(ivf_data):
     assert r4 > 0.9
 
 
+def test_auto_nprobe_calibrated_points(ivf_data):
+    """auto_nprobe pins the SCALE_IVF_AUTO_r11 calibration: the ceil
+    power law reproduces the verify-pass probe counts at the measured
+    ladder rungs, floors at 1, and never exceeds nlist."""
+    assert sim.auto_nprobe(141) == 3      # verify rung n=20k
+    assert sim.auto_nprobe(251) == 3      # verify rung n=63k
+    assert sim.auto_nprobe(447) == 5      # verify rung n=200k
+    assert sim.auto_nprobe(795) == 6      # verify rung n=632k
+    assert sim.auto_nprobe(8) == 1        # tiny-nlist floor
+    assert sim.auto_nprobe(1) == 1        # cap at nlist
+
+
+def test_search_auto_nprobe_mode_identity(ivf_data):
+    """nprobe="auto" must be row-identical to passing the resolved
+    integer — the mode is a resolution point, not a different path."""
+    _, train, test, idx, indexed = ivf_data
+    npb = sim.auto_nprobe(len(idx.centroids))
+    got = idx.search(indexed, test, k=10, nprobe="auto")
+    want = idx.search(indexed, test, k=10, nprobe=npb)
+    g = [(r["qid"], r["id"], r["rank"])
+         for r in got.orderBy("qid", "rank").collect()]
+    w = [(r["qid"], r["id"], r["rank"])
+         for r in want.orderBy("qid", "rank").collect()]
+    assert g == w and len(g) > 0
+
+
 def test_ivf_assignment_is_argmin(ivf_data):
     X, train, _, idx, indexed = ivf_data
     rows = indexed.orderBy("id").limit(50).collect()
