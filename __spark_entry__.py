@@ -3029,85 +3029,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # always lead their first window; queries whose CODE changed in-round
     # re-enter the window regardless of age.
     #
-    # ROUND-10 WINDOW (VERDICT r9 ask #1): new round-10 declarations
-    # first, then the 27 r7-green queries at age 2 (the exact list r9's
-    # verdict names), then the 4 r9-green queries whose code the round-10
-    # brute-leg twin-param refactor touched (hybrid_rrf_topk,
-    # hybrid_sparse_rrf, mmr_rerank, hybrid_rrf_parity), then the oldest
-    # r8-green queries filling the remaining slots (age 2 after this
-    # round — checking them now spreads the round-11 load).
+    # ROUND-11 WINDOW (VERDICT r10 ask #1): the 2 new round-11
+    # declarations first, then the 5 queries whose code round 11 touched
+    # (hnsw_delta_knn — the hnsw_delta_shards empty-base guard;
+    # ivf_delta_knn / ivfpq_knn / filter_ivf_knn / filter_ivf_recall —
+    # the probe_lists auto-nprobe resolution point), then the exact
+    # 31-query age-2 r8-green block r10's verdict names
+    # (hnsw_knn .. top_terms_per_source; ivf_knn / ivf_recall sit inside
+    # it and also cover the probe_lists change), then the 12 oldest
+    # r9-green queries filling the remaining slots (spreads the round-12
+    # load).
     #
-    # ROUND-11 HEAD-OF-WINDOW: the r8-green queries below the window
-    # (hnsw_knn .. top_terms_per_source, marked — hnsw_knn was displaced
-    # from slot 50 by the third round-10 declaration) reach age 2 after
-    # this round and must lead the round-11 window; the r9-green block is
-    # age 1 (recheck by round 12).
+    # ROUND-12 HEAD-OF-WINDOW: the r9-green queries below the window
+    # (pricing_summary .. bpe_token_stats, marked) reach age 2 after this
+    # round and must lead the round-12 window; the r10-green block is
+    # age 1 (recheck by round 13).
     return {
         # --- NEW round-11 declarations: first declaration must be
         # driver-checked (the recurring rotation rule) ----------------------
         "hnsw_delta_report": q_hnsw_delta_report,
         "ivf_auto_recall": q_ivf_auto_recall,
-        # --- NEW round-10 declarations: first declaration must be
-        # driver-checked (the recurring rotation rule) ----------------------
-        "sparse_filter_adaptive": q_sparse_filter_adaptive,
-        "sparse_quantile_recall": q_sparse_quantile_recall,
+        # --- code changed this round (window re-entry regardless of age):
+        # hnsw_delta_shards guard; probe_lists auto-nprobe resolution -------
         "hnsw_delta_knn": q_hnsw_delta_knn,
-        # --- 27 r7-green at age 2 (VERDICT r9 ask #1) ----------------------
-        "lm_fluency": q_lm_fluency,
-        "dsir_select": q_dsir_select,
-        "video_features": q_video_features,
-        "pack_blocks": q_pack_blocks,
-        "block_manifest": q_block_manifest,
-        "llm_data_mix": q_llm_data_mix,
-        "temperature_sample": q_temperature_sample,
-        "ccnet_bins": q_ccnet_bins,
-        "doc_chunks": q_doc_chunks,
-        "training_shards": q_training_shards,
-        "epoch_mix": q_epoch_mix,
-        "mix_shards": q_mix_shards,
-        "corpus_curation_scale": q_corpus_curation_scale,
-        "hashed_embed_knn": q_hashed_embed_knn,
-        "revenue_running": q_revenue_running,
-        "sessionize": q_sessionize,
-        "clicks_before_purchase": q_clicks_before_purchase,
-        "qps_by_type": q_qps_by_type,
-        "pareto_frontier": q_pareto_frontier,
-        "interval_clicks": q_interval_clicks,
-        "best_search_time": q_best_search_time,
-        "train_test_split": q_train_test_split,
-        "customers_semi_returns": q_customers_semi_returns,
-        "customers_anti_urgent": q_customers_anti_urgent,
-        "lang_pivot": q_lang_pivot,
-        "peak_events": q_peak_events,
-        "top_revenue_orders": q_top_revenue_orders,
-        # --- r9-green but refactored this round (brute-leg twin param,
-        # ADVICE r9 #1): fresh driver-green after a refactor ----------------
-        "hybrid_rrf_topk": q_hybrid_rrf_topk,
-        "hybrid_sparse_rrf": q_hybrid_sparse_rrf,
-        "mmr_rerank": q_mmr_rerank,
-        "hybrid_rrf_parity": q_hybrid_rrf_parity,
-        # --- oldest r8-green (age 2 after this round) filling the window ---
-        "bq_knn": q_bq_knn,
-        "bq_recall": q_bq_recall,
-        "opq_knn": q_opq_knn,
-        "opq_recall": q_opq_recall,
         "ivf_delta_knn": q_ivf_delta_knn,
-        "ivf_delta_report": q_ivf_delta_report,
-        "retrieval_eval": q_retrieval_eval,
-        "quality_classifier": q_quality_classifier,
-        "filter_knn_2label": q_filter_knn_2label,
-        "hybrid_rrf_scale": q_hybrid_rrf_scale,
-        "mmr_scale": q_mmr_scale,
-        "iud_final_state": q_iud_final_state,
-        "knn_euclid": q_knn_euclid,
-        "knn_euclid_gemm": q_knn_euclid_gemm,
-        "knn_hamming_packed": q_knn_hamming_packed,
-        "knn_jaccard": q_knn_jaccard,
-        # ==== below the 50-slot window from here ===========================
-        # ROUND-11 HEAD-OF-WINDOW: r8-green queries at age 2 after round 10
-        # (hnsw_knn .. top_terms_per_source; hnsw_knn was displaced from
-        # slot 50 by the third round-10 declaration hnsw_delta_knn) —
-        # these must lead the round-11 window.
+        "ivfpq_knn": q_ivfpq_knn,
+        "filter_ivf_knn": q_filter_ivf_knn,
+        "filter_ivf_recall": q_filter_ivf_recall,
+        # --- 31 r8-green at age 2 (VERDICT r10 ask #1, the exact list) -----
         "hnsw_knn": q_hnsw_knn,
         "hnsw_recall": q_hnsw_recall,
         "filter_knn_eq": q_filter_knn_eq,
@@ -3139,8 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "token_stats": q_token_stats,
         "top_terms_per_source": q_top_terms_per_source,
-        # --- r9-green (CORRECTNESS_r09.json 50/50; age 1, recheck by
-        # round 12) ---------------------------------------------------------
+        # --- oldest r9-green (age 2 after this round) filling the window ---
         "sparse_filter_knn": q_sparse_filter_knn,
         "hybrid_sparse_scale": q_hybrid_sparse_scale,
         "sq8_knn": q_sq8_knn,
@@ -3153,6 +3101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_delta_report": q_sparse_delta_report,
         "sparse_delta_parity": q_sparse_delta_parity,
         "cm_heavy_hitters": q_cm_heavy_hitters,
+        # ==== below the 50-slot window from here ===========================
+        # ROUND-12 HEAD-OF-WINDOW: r9-green queries at age 2 after round 11
+        # (pricing_summary .. bpe_token_stats) — these must lead the
+        # round-12 window.
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "corpus_rollup": q_corpus_rollup,
@@ -3169,11 +3121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_knn_fused": q_mv_knn_fused,
         "jl_knn": q_jl_knn,
         "mm_knn": q_mm_knn,
-        "ivfpq_knn": q_ivfpq_knn,
         "filter_knn_range": q_filter_knn_range,
         "srp_recall": q_srp_recall,
-        "filter_ivf_knn": q_filter_ivf_knn,
-        "filter_ivf_recall": q_filter_ivf_recall,
         "hnsw_scale_recall": q_hnsw_scale_recall,
         "embedding_cosine_dups": q_embedding_cosine_dups,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
@@ -3187,6 +3136,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "bpe_train": q_bpe_train,
         "bpe_token_stats": q_bpe_token_stats,
+        # --- r10-green (CORRECTNESS_r10.json 50/50; age 1, recheck by
+        # round 13) ---------------------------------------------------------
+        "sparse_filter_adaptive": q_sparse_filter_adaptive,
+        "sparse_quantile_recall": q_sparse_quantile_recall,
+        "lm_fluency": q_lm_fluency,
+        "dsir_select": q_dsir_select,
+        "video_features": q_video_features,
+        "pack_blocks": q_pack_blocks,
+        "block_manifest": q_block_manifest,
+        "llm_data_mix": q_llm_data_mix,
+        "temperature_sample": q_temperature_sample,
+        "ccnet_bins": q_ccnet_bins,
+        "doc_chunks": q_doc_chunks,
+        "training_shards": q_training_shards,
+        "epoch_mix": q_epoch_mix,
+        "mix_shards": q_mix_shards,
+        "corpus_curation_scale": q_corpus_curation_scale,
+        "hashed_embed_knn": q_hashed_embed_knn,
+        "revenue_running": q_revenue_running,
+        "sessionize": q_sessionize,
+        "clicks_before_purchase": q_clicks_before_purchase,
+        "qps_by_type": q_qps_by_type,
+        "pareto_frontier": q_pareto_frontier,
+        "interval_clicks": q_interval_clicks,
+        "best_search_time": q_best_search_time,
+        "train_test_split": q_train_test_split,
+        "customers_semi_returns": q_customers_semi_returns,
+        "customers_anti_urgent": q_customers_anti_urgent,
+        "lang_pivot": q_lang_pivot,
+        "peak_events": q_peak_events,
+        "top_revenue_orders": q_top_revenue_orders,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "hybrid_sparse_rrf": q_hybrid_sparse_rrf,
+        "mmr_rerank": q_mmr_rerank,
+        "hybrid_rrf_parity": q_hybrid_rrf_parity,
+        "bq_knn": q_bq_knn,
+        "bq_recall": q_bq_recall,
+        "opq_knn": q_opq_knn,
+        "opq_recall": q_opq_recall,
+        "ivf_delta_report": q_ivf_delta_report,
+        "retrieval_eval": q_retrieval_eval,
+        "quality_classifier": q_quality_classifier,
+        "filter_knn_2label": q_filter_knn_2label,
+        "hybrid_rrf_scale": q_hybrid_rrf_scale,
+        "mmr_scale": q_mmr_scale,
+        "iud_final_state": q_iud_final_state,
+        "knn_euclid": q_knn_euclid,
+        "knn_euclid_gemm": q_knn_euclid_gemm,
+        "knn_hamming_packed": q_knn_hamming_packed,
+        "knn_jaccard": q_knn_jaccard,
         # --- rows-only by nature: approximate/sketch outputs gated by the
         # oracled sketch_bounds / srp_recall / hnsw_scale_recall rows, and
         # machine-timed IUD latency sweeps (end state value-oracled by
