@@ -630,6 +630,28 @@ def q_ivf_delta_report(spark, sf):
         "n_base", "n_delta", "mean_dist")
 
 
+def q_pq_delta_report(spark, sf):
+    """Incremental PQ maintenance meter (round 11 — completes the
+    M2×M3 maintenance story across every core ANN family: IVF has
+    ivf_delta_knn/_report, sparse has sparse_delta_report/_parity, HNSW
+    has hnsw_delta_knn/_report): codebooks fit on the BASE corpus (90%),
+    the arrival batch (10%) encodes with the FROZEN books — map-only,
+    no refit, no reshuffle of the stored codes — and pq.pq_delta_report
+    meters the drift quantity that decides a codebook re-fit: mean
+    squared reconstruction error per side and their ratio.  Value-
+    oracled like ivf_delta_report: the base-only fit and every row's
+    codes are recomputed at oracle-generation time and embedded; DuckDB
+    recomputes each reconstruction error from the embedded codebook
+    literals with the same DECIMAL accumulation and rounding, so a
+    drifted fit, a wrong encode, or broken accounting all mismatch."""
+    from bigvectorbench_spark.operators.pq import pq_delta_report
+
+    t = _train(spark, sf)
+    base, delta = t.filter("id % 10 != 0"), t.filter("id % 10 = 0")
+    idx = PQIndex.fit(base, m=8, ksub=16, seed=1, max_iter=8, sort_col="id")
+    return pq_delta_report(idx, idx.encode(base), idx.encode(delta))
+
+
 def q_opq_knn(spark, sf):
     """§2.7 OPQ (Ge et al. 2013): an orthogonal rotation learned by
     alternating codebook fit / Procrustes solve is applied before the PQ
@@ -3029,26 +3051,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # always lead their first window; queries whose CODE changed in-round
     # re-enter the window regardless of age.
     #
-    # ROUND-11 WINDOW (VERDICT r10 ask #1): the 2 new round-11
+    # ROUND-11 WINDOW (VERDICT r10 ask #1): the 3 new round-11
     # declarations first, then the 5 queries whose code round 11 touched
     # (hnsw_delta_knn — the hnsw_delta_shards empty-base guard;
     # ivf_delta_knn / ivfpq_knn / filter_ivf_knn / filter_ivf_recall —
     # the probe_lists auto-nprobe resolution point), then the exact
     # 31-query age-2 r8-green block r10's verdict names
     # (hnsw_knn .. top_terms_per_source; ivf_knn / ivf_recall sit inside
-    # it and also cover the probe_lists change), then the 12 oldest
+    # it and also cover the probe_lists change), then the 11 oldest
     # r9-green queries filling the remaining slots (spreads the round-12
     # load).
     #
     # ROUND-12 HEAD-OF-WINDOW: the r9-green queries below the window
-    # (pricing_summary .. bpe_token_stats, marked) reach age 2 after this
-    # round and must lead the round-12 window; the r10-green block is
-    # age 1 (recheck by round 13).
+    # (cm_heavy_hitters .. bpe_token_stats, marked) reach age 2 after
+    # this round and must lead the round-12 window; the r10-green block
+    # is age 1 (recheck by round 13).
     return {
         # --- NEW round-11 declarations: first declaration must be
         # driver-checked (the recurring rotation rule) ----------------------
         "hnsw_delta_report": q_hnsw_delta_report,
         "ivf_auto_recall": q_ivf_auto_recall,
+        "pq_delta_report": q_pq_delta_report,
         # --- code changed this round (window re-entry regardless of age):
         # hnsw_delta_shards guard; probe_lists auto-nprobe resolution -------
         "hnsw_delta_knn": q_hnsw_delta_knn,
@@ -3100,11 +3123,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "sparse_delta_report": q_sparse_delta_report,
         "sparse_delta_parity": q_sparse_delta_parity,
-        "cm_heavy_hitters": q_cm_heavy_hitters,
         # ==== below the 50-slot window from here ===========================
         # ROUND-12 HEAD-OF-WINDOW: r9-green queries at age 2 after round 11
-        # (pricing_summary .. bpe_token_stats) — these must lead the
-        # round-12 window.
+        # (cm_heavy_hitters .. bpe_token_stats; cm_heavy_hitters was
+        # displaced from slot 50 by the third round-11 declaration
+        # pq_delta_report) — these must lead the round-12 window.
+        "cm_heavy_hitters": q_cm_heavy_hitters,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "corpus_rollup": q_corpus_rollup,
@@ -3579,11 +3603,61 @@ SELECT cell::BIGINT AS cluster_id,
 FROM j GROUP BY cell
 """
 
+    # ---- PQ delta report (base-only fit, frozen-book encode of ALL rows;
+    # the ivf_delta_report convention: embed the argmins — codes — and let
+    # SQL recompute every reconstruction error from codebook literals) ----
+    mask_b = ids % 10 != 0
+    Xb = X[mask_b]
+    books_pd = np.stack([
+        _kmeans_pp(Xb[:, j * dsub:(j + 1) * dsub], ksub, 1 + j, 8)
+        for j in range(m)
+    ])
+    c2_pd = (books_pd * books_pd).sum(axis=2)
+    codes_pd = np.empty((len(X), m), dtype=np.int64)
+    for j in range(m):
+        S = Xs[:, j, :]
+        codes_pd[:, j] = ((S * S).sum(1)[:, None] - 2.0 * (S @ books_pd[j].T)
+                          + c2_pd[j][None, :]).argmin(axis=1)
+    code_vals = ", ".join(
+        f"({int(i)},{j},{int(codes_pd[r, j])})"
+        for r, i in enumerate(ids) for j in range(m))
+    book_vals = ", ".join(
+        "({},{},[{}])".format(
+            j, c, ", ".join(repr(float(x)) for x in books_pd[j, c]))
+        for j in range(m) for c in range(ksub))
+    pq_delta_report_sql = f"""
+WITH codes(id, j, code) AS (VALUES {code_vals}),
+books(j, code, bv) AS (VALUES {book_vals}),
+t AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+             CASE WHEN vec_id % 10 != 0 THEN 1 ELSE 0 END AS is_base
+      FROM embeddings),
+e AS (SELECT t.id, t.is_base,
+             sum(list_sum(list_transform(
+                 list_zip(t.v[c.j*{dsub}+1:(c.j+1)*{dsub}], b.bv),
+                 x -> (x[1]-x[2])*(x[1]-x[2])))) AS err
+      FROM t JOIN codes c ON c.id = t.id
+      JOIN books b ON b.j = c.j AND b.code = c.code
+      GROUP BY t.id, t.is_base),
+d AS (SELECT is_base, round(err, 9)::DECIMAL(28,10) AS e FROM e),
+agg AS (SELECT sum(is_base)::BIGINT AS n_base,
+               (count(*) - sum(is_base))::BIGINT AS n_delta,
+               round(sum(CASE WHEN is_base = 1 THEN e END)::DOUBLE
+                     / sum(is_base)::DOUBLE, 6) AS mean_qerr_base,
+               round(sum(CASE WHEN is_base = 0 THEN e END)::DOUBLE
+                     / (count(*) - sum(is_base))::DOUBLE, 6)
+                   AS mean_qerr_delta
+        FROM d)
+SELECT n_base, n_delta, mean_qerr_base, mean_qerr_delta,
+       round(mean_qerr_delta / mean_qerr_base, 6) AS qerr_drift
+FROM agg
+"""
+
     return {"ivf_knn": ivf_sql, "pq_knn": pq_sql, "ivfpq_knn": ivfpq_sql,
             "filter_ivf_knn": filter_ivf_sql, "semantic_dups": semantic_sql,
             "bq_knn": bq_sql, "opq_knn": opq_sql,
             "ivf_delta_knn": ivf_delta_sql,
-            "ivf_delta_report": ivf_delta_report_sql}
+            "ivf_delta_report": ivf_delta_report_sql,
+            "pq_delta_report": pq_delta_report_sql}
 
 
 # ivf_recall / pq_recall: the Spark side computes recall of the approximate

@@ -66,6 +66,7 @@ HEADLINE = [
     "sq8_recall",
     "ivf_delta_knn",
     "ivf_delta_report",
+    "pq_delta_report",
     "ivf_recall",
     "ivf_auto_recall",
     "pq_recall",

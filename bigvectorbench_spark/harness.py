@@ -148,6 +148,13 @@ def _run_hnsw():
     return _build, _search
 
 
+def _nprobe_arg(qargs):
+    """Grid nprobe knob: an int, or the literal "auto" (resolved by
+    probe_lists via auto_nprobe — the calibrated recall-holding rule)."""
+    v = qargs.get("nprobe", 4)
+    return v if v == "auto" else int(v)
+
+
 def _run_ivf():
     def _build(train, args):
         idx = IVFIndex.fit(train, nlist=int(args.get("nlist", 16)), seed=1)
@@ -155,7 +162,7 @@ def _run_ivf():
 
     def _search(art, queries, count, qargs):
         idx, indexed = art
-        return idx.search(indexed, queries, k=count, nprobe=int(qargs.get("nprobe", 4)))
+        return idx.search(indexed, queries, k=count, nprobe=_nprobe_arg(qargs))
 
     return _build, _search
 
@@ -202,7 +209,7 @@ def _run_ivfpq():
 
         idx, pq, indexed = art
         return ivfpq_search(idx, pq, indexed, queries, k=count,
-                            nprobe=int(qargs.get("nprobe", 4)))
+                            nprobe=_nprobe_arg(qargs))
 
     return _build, _search
 

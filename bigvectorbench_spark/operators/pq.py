@@ -300,6 +300,72 @@ class PQIndex:
         return topk_window(scored, k).select("qid", "id", "dist", "rank")
 
 
+def pq_delta_report(
+    index: "PQIndex",
+    base_encoded: DataFrame,
+    delta_encoded: DataFrame,
+    *,
+    vec_col: str = "vec",
+    codes_col: str = "codes",
+    round_to: int = 6,
+) -> DataFrame:
+    """Incremental-maintenance accounting for a PQ index — the family
+    convention `similarity.ivf_delta_report` / `sparse_delta_report` /
+    `hnsw.hnsw_delta_report` set, in PQ's drift quantity: QUANTIZATION
+    DISTORTION under frozen codebooks.  Arrivals encode with the BASE-fit
+    codebooks (``PQIndex.encode`` is map-only — no refit, no reshuffle of
+    the stored codes; the property that lets a 100 TB code table absorb
+    arrivals), but a shifted arrival distribution quantizes WORSE than
+    the data the books were fit on.  One row:
+
+      (n_base, n_delta, mean_qerr_base, mean_qerr_delta, qerr_drift)
+
+    mean_qerr is the mean squared reconstruction error
+    ‖x − decode(encode(x))‖² per side; qerr_drift = delta/base is the
+    rebuild-on-evidence signal (re-fit the codebooks when arrivals
+    distort materially worse than residents).  Engine-stable arithmetic
+    (the ivf_delta_report discipline): reconstruction is an expression
+    fold against the codebook LITERAL (element_at per code), per-row
+    errors round to ``round_to+3`` dp and accumulate in DECIMAL, means
+    round once to ``round_to`` dp — so the report value-oracles exactly
+    against an external recomputation of the same build.  Reference
+    analog: index build/rebuild cost accounting, runner.py:446-489.
+
+    Both inputs must already carry ``codes_col`` (``index.encode``); pass
+    base and delta separately so their populations stay distinguishable."""
+    from bigvectorbench_spark.functions import distance as dist_fns
+
+    books_lit = F.lit(
+        [[list(map(float, c)) for c in index.codebooks[j]]
+         for j in range(index.m)]
+    ).cast("array<array<array<double>>>")
+    union = base_encoded.select(
+        vec_col, codes_col, F.lit(1).alias("_is_base")
+    ).unionByName(delta_encoded.select(
+        vec_col, codes_col, F.lit(0).alias("_is_base")))
+    recon = F.flatten(F.transform(
+        F.col(codes_col),
+        lambda c, j: F.element_at(
+            F.element_at(books_lit, j + F.lit(1)), c.cast("int") + F.lit(1))))
+    err = dist_fns.l2_sq(F.col(vec_col).cast("array<double>"), recon)
+    scored = union.withColumn(
+        "_e", F.round(err, round_to + 3).cast("decimal(28,10)"))
+    return scored.agg(
+        F.sum("_is_base").cast("bigint").alias("n_base"),
+        F.sum(F.lit(1) - F.col("_is_base")).cast("bigint").alias("n_delta"),
+        F.round(F.sum(F.when(F.col("_is_base") == 1, F.col("_e")))
+                .cast("double") / F.sum("_is_base").cast("double"),
+                round_to).alias("mean_qerr_base"),
+        F.round(F.sum(F.when(F.col("_is_base") == 0, F.col("_e")))
+                .cast("double")
+                / F.sum(F.lit(1) - F.col("_is_base")).cast("double"),
+                round_to).alias("mean_qerr_delta"),
+    ).withColumn(
+        "qerr_drift",
+        F.round(F.col("mean_qerr_delta") / F.col("mean_qerr_base"),
+                round_to))
+
+
 def ivfpq_search(
     ivf,
     pq: PQIndex,

@@ -28,7 +28,10 @@ from bigvectorbench_spark.sources.vectors import write_results, load_all_results
 GRIDS = {
     "flat-expr": dict(build_grid=None, query_grid=None),
     "flat-gemm": dict(build_grid=None, query_grid=None),
-    "ivf": dict(build_grid={"nlist": [8, 16]}, query_grid={"nprobe": [1, 2, 4, 8]}),
+    # nprobe="auto" = the calibrated recall-holding rule (auto_nprobe,
+    # VERDICT r10 ask #5) — a grid cell beside the fixed knobs
+    "ivf": dict(build_grid={"nlist": [8, 16]},
+                query_grid={"nprobe": [1, 2, 4, 8, "auto"]}),
     "hnsw": dict(build_grid={"M": [8], "efConstruction": [64]},
                  query_grid={"ef": [16, 64, 256, "auto"]}),
     # reference IVF_PQ / IVF_SQ8 grids (milvus/config.yml:40-75 expanded by

@@ -185,3 +185,59 @@ def test_ivfpq_filtered(pq_data, spark):
     got = ivfpq_search(ivf, idx, table, test, k=5, nprobe=8, pre_filter="lab = 0")
     assert all(r["id"] % 3 == 0 for r in got.collect())
     assert got.count() == 40 * 5
+
+
+def test_pq_delta_report_accounting(pq_data, spark):
+    """pq_delta_report vs a full numpy recomputation: population
+    conservation, per-side mean squared reconstruction error (same
+    9-dp-round -> exact-sum -> 6-dp-round ladder), and the drift ratio
+    from the ROUNDED means — the ivf_delta_report test convention."""
+    from decimal import Decimal
+
+    from bigvectorbench_spark.operators.pq import pq_delta_report
+
+    X, train, _, _, _ = pq_data
+    base = train.filter("id % 10 != 0")
+    delta = train.filter("id % 10 = 0")
+    idx = PQIndex.fit(base, m=4, ksub=16, seed=1, sort_col="id")
+    row = pq_delta_report(idx, idx.encode(base), idx.encode(delta)).collect()[0]
+
+    ids = np.arange(700)
+    codes = np.empty((700, 4), dtype=np.int64)
+    Xs = X[:700].reshape(700, 4, 4)
+    c2 = (idx.codebooks * idx.codebooks).sum(axis=2)
+    for j in range(4):
+        S = Xs[:, j, :]
+        codes[:, j] = ((S * S).sum(1)[:, None] - 2.0 * (S @ idx.codebooks[j].T)
+                       + c2[j][None, :]).argmin(axis=1)
+    recon = idx.decode(codes)
+    err = ((X[:700] - recon) ** 2).sum(axis=1)
+
+    def side_mean(mask):
+        s = sum(Decimal(str(round(float(e), 9))) for e in err[mask])
+        return round(float(s) / int(mask.sum()), 6)
+
+    mb = side_mean(ids % 10 != 0)
+    md = side_mean(ids % 10 == 0)
+    assert row["n_base"] == 630 and row["n_delta"] == 70
+    assert row["mean_qerr_base"] == pytest.approx(mb, abs=1e-9)
+    assert row["mean_qerr_delta"] == pytest.approx(md, abs=1e-9)
+    assert row["qerr_drift"] == pytest.approx(round(md / mb, 6), abs=1e-9)
+
+
+def test_pq_delta_report_shifted_arrivals_drift_up(spark):
+    """The meter's purpose: arrivals from a SHIFTED distribution must read
+    qerr_drift > 1 under base-fit frozen codebooks (in-distribution
+    arrivals sit near 1) — the rebuild-on-evidence signal."""
+    from bigvectorbench_spark.operators.pq import pq_delta_report
+
+    X = make_blobs(600, 16, centers=10, seed=11)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(500)],
+        "id bigint, vec array<float>")
+    shifted = spark.createDataFrame(
+        [(1000 + i, [float(x) + 6.0 for x in X[500 + i]]) for i in range(100)],
+        "id bigint, vec array<float>")
+    idx = PQIndex.fit(base, m=4, ksub=16, seed=1, sort_col="id")
+    row = pq_delta_report(idx, idx.encode(base), idx.encode(shifted)).collect()[0]
+    assert row["qerr_drift"] > 1.5
