@@ -31,8 +31,11 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ANCHORS = ("knn_euclid_gemm,srp_recall,mix_shards,ngram_jaccard_dups,"
-           "knn_euclid,bq_recall")
+_DEFAULT_ANCHORS = ("knn_euclid_gemm,srp_recall,mix_shards,"
+                    "ngram_jaccard_dups,knn_euclid,bq_recall")
+# Override per investigation: the anchor set is the round's suspect
+# queries + stable controls (SPARK_GRAFT_DRIFT_ANCHORS, comma-separated).
+ANCHORS = os.environ.get("SPARK_GRAFT_DRIFT_ANCHORS", _DEFAULT_ANCHORS)
 
 
 def run_bench(tree: str) -> dict[str, list[float]]:
@@ -80,17 +83,22 @@ def main() -> None:
                                      for x in per_tree["old"].get(q, [])],
                     "new_inv_mins": [round(x, 3)
                                      for x in per_tree["new"].get(q, [])]}
-    rec = {"ref": ref, "invocations_each": n,
+    rec = {"ref": ref, "invocations_each": n, "anchors": ANCHORS,
            "protocol": ("interleaved A/B, fresh JVM per invocation, "
                         "best-of-3 per query, per-query min across "
                         "invocations"),
-           "r8b_artifact": {"knn_euclid_gemm": 0.838, "srp_recall": 2.944,
-                            "mix_shards": 0.441, "ngram_jaccard_dups": 2.014,
-                            "knn_euclid": 1.067, "bq_recall": 2.018},
-           "r9_artifact": {"knn_euclid_gemm": 1.231, "srp_recall": 3.423,
-                           "mix_shards": 0.578, "ngram_jaccard_dups": 2.389,
-                           "knn_euclid": 1.486, "bq_recall": 2.048},
            "queries": table}
+    if ANCHORS == _DEFAULT_ANCHORS:
+        # the round-10 investigation's prior artifacts, kept for the
+        # default anchor set only (they describe exactly these queries)
+        rec["r8b_artifact"] = {
+            "knn_euclid_gemm": 0.838, "srp_recall": 2.944,
+            "mix_shards": 0.441, "ngram_jaccard_dups": 2.014,
+            "knn_euclid": 1.067, "bq_recall": 2.018}
+        rec["r9_artifact"] = {
+            "knn_euclid_gemm": 1.231, "srp_recall": 3.423,
+            "mix_shards": 0.578, "ngram_jaccard_dups": 2.389,
+            "knn_euclid": 1.486, "bq_recall": 2.048}
     print(json.dumps(rec))
     with open(os.path.join(REPO, out_json), "w") as f:
         json.dump(rec, f, indent=1)
