@@ -75,6 +75,21 @@ def test_search_auto_nprobe_mode_identity(ivf_data):
     assert g == w and len(g) > 0
 
 
+def test_auto_nprobe_inherited_by_composed_paths(ivf_data, spark):
+    """The resolution point is probe_lists, so every composed caller
+    (filtered search here; ivfpq in test_pq's grid) inherits "auto"
+    without its own plumbing — row-identical to the resolved integer."""
+    _, train, test, idx, indexed = ivf_data
+    npb = sim.auto_nprobe(len(idx.centroids))
+    flt = "id % 2 = 0"
+    got = idx.search(indexed, test, k=5, nprobe="auto", pre_filter=flt)
+    want = idx.search(indexed, test, k=5, nprobe=npb, pre_filter=flt)
+    g = [(r["qid"], r["id"]) for r in got.orderBy("qid", "rank").collect()]
+    w = [(r["qid"], r["id"]) for r in want.orderBy("qid", "rank").collect()]
+    assert g == w and len(g) > 0
+    assert all(i % 2 == 0 for _, i in g)
+
+
 def test_ivf_assignment_is_argmin(ivf_data):
     X, train, _, idx, indexed = ivf_data
     rows = indexed.orderBy("id").limit(50).collect()
