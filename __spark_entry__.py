@@ -229,7 +229,28 @@ def q_hnsw_delta_report(spark, sf):
     s1 = hnsw_delta_shards(d1, base_shards, m=8, ef_construction=64,
                            seed=3, n_delta=n_d1).persist()
     s2 = hnsw_delta_shards(d2, base_shards.unionByName(s1), m=8,
-                           ef_construction=64, seed=3, n_delta=n_d2)
+                           ef_construction=64, seed=3, n_delta=n_d2).persist()
+    # Non-empty-bucket guard (ADVICE r11): the oracle REPLAYS the shard
+    # sizing from raw row counts, which assumes every pmod(hash(id),
+    # num_shards) bucket produced an artifact row.  The shipped fixtures
+    # are dense, but a tiny delta or unlucky hashing at another fixture
+    # size could drop a bucket — fail HERE with a diagnosis instead of
+    # surfacing as an inscrutable oracle hash mismatch.  Replay uses the
+    # same arithmetic the oracle does (per-shard target from the PRIOR
+    # layout, ceil for the delta shard count).
+    per1 = max(1, n_base // num_shards)
+    nds1 = -(-n_d1 // per1)
+    per2 = max(1, (n_base + n_d1) // (num_shards + nds1))
+    nds2 = -(-n_d2 // per2)
+    for frame, want, name in ((base_shards, num_shards, "base"),
+                              (s1, nds1, "delta1"), (s2, nds2, "delta2")):
+        got = frame.count()
+        if got != want:
+            raise AssertionError(
+                f"hnsw_delta_report fixture: {name} produced {got} shard "
+                f"rows, sizing expects {want} — an empty hash bucket "
+                f"breaks the value oracle's sizing replay "
+                f"(build_hnsw_shards non-empty-bucket note)")
     return hnsw_delta_report(base_shards, s1.unionByName(s2))
 
 
@@ -3804,18 +3825,35 @@ WHERE vec_id % greatest(1, (SELECT count(*) FROM embeddings) // 100) = 0
 
 # ivf_auto_recall: the resolved auto_nprobe is deterministic arithmetic on
 # the corpus row count (nlist = max(8, round(sqrt(n))), then the calibrated
-# ceil power law), so the oracle recomputes it in SQL; the recall booleans
-# are defect floors (see q_ivf_auto_recall's regime note).
-_IVF_AUTO_RECALL_SQL = """
-WITH p AS (SELECT GREATEST(8, CAST(ROUND(SQRT(count(*)), 0) AS BIGINT))
-               AS nlist
-           FROM embeddings)
+# ceil power law).  The knob is derived ONCE here in Python — the same
+# round()/math.ceil the Spark query resolves through — and embedded as an
+# integer literal (the centroid/codebook literal convention; ADVICE r11:
+# replaying round()/CEIL(POW(...)) in DuckDB risks banker's-rounding and
+# 1-ulp pow divergence at future row counts).  The recall booleans are
+# defect floors (see q_ivf_auto_recall's regime note).
+def _ivf_auto_recall_sql() -> str:
+    import math
+    import os
+
+    from bigvectorbench_spark.operators.similarity import auto_nprobe
+
+    path = f"{_ORACLE_SF_DIR}/embeddings.parquet"
+    if not os.path.exists(path):
+        # No table to derive from (rows-only degradation mirrors
+        # _ann_oracles); emit a count-only oracle so the key stays present.
+        return """
 SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries,
-       CAST(LEAST(nlist, GREATEST(1,
-            CAST(CEIL(0.0934 * POW(nlist, 0.6215)) AS BIGINT)))
-            AS BIGINT) AS auto_nprobe,
+       CAST(NULL AS BIGINT) AS auto_nprobe,
        TRUE AS mean_recall_ok, TRUE AS min_recall_ok
-FROM p
+"""
+    import pyarrow.parquet as pq_
+
+    n = pq_.ParquetFile(path).metadata.num_rows
+    nlist = max(8, round(math.sqrt(n)))
+    return f"""
+SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0) AS n_queries,
+       CAST({auto_nprobe(nlist)} AS BIGINT) AS auto_nprobe,
+       TRUE AS mean_recall_ok, TRUE AS min_recall_ok
 """
 
 # hnsw_delta_report: the report is pure shard-metadata arithmetic, so the
@@ -4326,7 +4364,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_parity": _HYBRID_PARITY_SQL,
         "iud_final_state": _IUD_FINAL_STATE_SQL,
         "ivf_recall": _RECALL_GATE_SQL,
-        "ivf_auto_recall": _IVF_AUTO_RECALL_SQL,
+        "ivf_auto_recall": _ivf_auto_recall_sql(),
         "filter_ivf_recall": _RECALL_GATE_SQL,
         "pq_recall": _RECALL_GATE_SQL,
         "bq_recall": _RECALL_GATE_SQL,

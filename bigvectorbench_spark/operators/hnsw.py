@@ -304,7 +304,15 @@ def build_hnsw_shards(
     build task is independent — on a cluster, shard count tracks
     executor count and build time is corpus/shards, the same contract as
     every sharded ANN serving system.  Persist with
-    ``df.write.parquet(...)`` — this IS the M2 index artifact."""
+    ``df.write.parquet(...)`` — this IS the M2 index artifact.
+
+    Non-empty-bucket note (ADVICE r11): an empty hash bucket emits NO
+    artifact row, so the frame can carry fewer than ``num_shards`` rows
+    when rows ≪ num_shards·ln(num_shards) (coupon-collector regime) or
+    under unlucky hashing.  Serving is unaffected (search unions
+    whatever shards exist), but consumers that REPLAY the sizing
+    arithmetic from row counts (the hnsw_delta_report value oracle)
+    assume density — they must guard it (q_hnsw_delta_report does)."""
     sess = train.sparkSession
     if num_shards is None:
         num_shards = max(2, sess.sparkContext.defaultParallelism // 4)

@@ -111,7 +111,15 @@ def main() -> None:
     exact = knn(resident, queries, k=10, method="gemm").groupBy("qid").agg(
         F.collect_list("id").alias("neighbors")).cache()
     exact.count()
-    step0 = {"step": 0, "shards_total": num_shards, "work_growth": 1.0}
+    # Step-0 accounting comes from the meter itself with an EMPTY delta
+    # (its fixed point), not hardcoded arithmetic: work_growth=1.0 only
+    # falls out of shards_total == shards_rebuilt when rows_base divides
+    # evenly into the shard layout — ceil(rows/(rows//num_shards)) can
+    # read num_shards+1 for arbitrary N (ADVICE r11), and the meter's own
+    # arithmetic is the ground truth the ladder should report.
+    rep0 = hnsw_delta_report(
+        base_shards, base_shards.limit(0)).collect()[0].asDict()
+    step0 = {"step": 0, **rep0}
     step0.update(measure("base", layout, resident, exact))
     out["ladder"] = [step0]
     exact.unpersist()
