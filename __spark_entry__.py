@@ -568,6 +568,79 @@ def q_mv_knn_fused(spark, sf):
     return res.select("qid", "id", F.round("score", 6).alias("score"), F.col("rank").cast("bigint").alias("rank"))
 
 
+def _mv_entities(spark, sf):
+    """The shared mv-ann fixture: entities = 4 consecutive embedding rows
+    (vec_id div 4), positions ordered by vec_id % 4 — the webvid shape
+    (4 keyframe vectors per entity, reference README.md:220-227)."""
+    emb = load_table(spark, sf, "embeddings")
+    return (
+        emb.select(F.expr("vec_id div 4").alias("eid"),
+                   F.expr("vec_id % 4").alias("vi"), "embedding")
+        .groupBy("eid")
+        .agg(F.transform(F.sort_array(F.collect_list(F.struct("vi", "embedding"))),
+                         lambda s: s["embedding"]).alias("vecs"))
+    )
+
+
+def q_mv_scale(spark, sf):
+    """The mv-ann indexed scale twin (VERDICT r11 ask #1 — the last brute
+    anchor family gets its 100× form): per-position BQ candidate
+    generation (packed 1-bit codes, hamming pre-rank top-40, exact refine
+    to top-10 per position) + the SAME WeightedRanker fusion tail as
+    mv_knn_fused — one ANN subquery per vector field, the reference's
+    execution shape (milvus/module.py:422-458).  Fully value-oracled: the
+    deterministic per-position BQ candidate sets (id-sorted float64 mean
+    thresholds, (hamming, id) lexsort — the bq_knn convention) are
+    recomputed at oracle-generation time and embedded as literals; DuckDB
+    re-runs the exact-L2 refine, the 9-dp DECIMAL fusion ladder and the
+    rank-on-rounded-score window, so fused scores and ranks hash-match
+    end to end.  Queries: every 25th entity."""
+    ent = _mv_entities(spark, sf)
+    res = mv.mv_indexed_fused(
+        ent.withColumnRenamed("eid", "id"),
+        ent.filter("eid % 25 = 0").withColumnRenamed("eid", "qid"),
+        k=5, weights=[0.25, 0.25, 0.25, 0.25], num_vectors=4,
+        per_vector_k=10, overfetch=4)
+    return res.select("qid", "id", "score",
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_mv_scale_parity(spark, sf):
+    """The gate closing q_mv_scale's approximation loop (the
+    hybrid_rrf_parity pattern): fuse the SAME per-position candidate
+    budget through the brute per-position legs (mv_knn_fused) and through
+    the BQ-indexed legs (mv_indexed_fused), and emit per-query top-5
+    overlap thresholds the oracle asserts TRUE.  Measured (this round,
+    before writing): mean 0.76 / min 0.6 at sf0.001, mean 0.88 / min 0.6
+    at sf0.01, mean 0.69 / min 0.4 at sf0.1 — the 1-bit/dim hamming
+    pre-rank genuinely reorders the fused tail (the same honest-knob
+    behavior bq_recall and hybrid_rrf_parity document), and overlap is
+    computed on the STRICT top-5, where a single displaced entity costs
+    0.2.  Tight thresholds 0.7/0.5 sit just under the oracle-sf floor so
+    a candidate-stage defect (not only a cratering bug) fails the driver
+    gate; off the oracle sfs the gate relaxes to a defect-only floor
+    0.5/0.2."""
+    mean_thr, min_thr = _gate(sf, tight=(0.7, 0.5), floor=(0.5, 0.2))
+    ent = _mv_entities(spark, sf).persist()
+    t = ent.withColumnRenamed("eid", "id")
+    q = ent.filter("eid % 25 = 0").withColumnRenamed("eid", "qid")
+    brute = mv.mv_knn_fused(t, q, k=5, weights=[0.25] * 4, num_vectors=4,
+                            per_vector_k=10)
+    idxd = mv.mv_indexed_fused(t, q, k=5, weights=[0.25] * 4, num_vectors=4,
+                               per_vector_k=10, overfetch=4)
+    a = brute.groupBy("qid").agg(F.collect_list("id").alias("brute_ids"))
+    b = idxd.groupBy("qid").agg(F.collect_list("id").alias("idx_ids"))
+    per = a.join(b, "qid").select(
+        "qid",
+        (F.size(F.array_intersect("brute_ids", "idx_ids"))
+         / F.size("brute_ids")).alias("overlap"))
+    return per.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg("overlap") >= mean_thr).alias("mean_overlap_ok"),
+        (F.min("overlap") >= min_thr).alias("min_overlap_ok"),
+    )
+
+
 def q_mm_knn(spark, sf):
     """Q8: multi-modal kNN — identical operator, disjoint query table (the
     'other modality' embedding set)."""
@@ -3088,6 +3161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round and must lead the round-12 window; the r10-green block
     # is age 1 (recheck by round 13).
     return {
+        # --- NEW round-12 declarations -------------------------------------
+        "mv_scale": q_mv_scale,
+        "mv_scale_parity": q_mv_scale_parity,
         # --- NEW round-11 declarations: first declaration must be
         # driver-checked (the recurring rotation rule) ----------------------
         "hnsw_delta_report": q_hnsw_delta_report,
@@ -4350,6 +4426,75 @@ SELECT qid, doc_id, score, rank FROM rr WHERE rank <= 10
             "hybrid_sparse_scale": hybrid_sparse_sql}
 
 
+def _mv_scale_oracles() -> dict[str, str]:
+    """Value oracle for the mv-ann indexed scale twin (q_mv_scale): the
+    per-position BQ candidate stage is recomputed at oracle-generation
+    time with the SAME arithmetic as BQIndex (float64 mean thresholds
+    over the entity-id-sorted position matrix, bit = x > mean,
+    (hamming, id) lexsort top-40 — the bq_knn / _hybrid_scale_oracles
+    convention), the candidate sets embed as (qid, id, position)
+    literals, and DuckDB re-runs the exact-L2 refine (top-10 per
+    position by raw fold distance, ties by id), the 9-dp DECIMAL
+    WeightedRanker ladder, and the rank-on-rounded-score window.  The
+    index-controlled part — WHICH entities each position refines — is
+    therefore hash-checked end to end.  The parity gate's oracle
+    recomputes only the query universe (the hybrid_rrf_parity shape):
+    the overlap booleans are Spark-measured and asserted TRUE."""
+    import os
+
+    path = f"{_ORACLE_SF_DIR}/embeddings.parquet"
+    if not os.path.exists(path):
+        return {}
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    tbl = pq_.read_table(path, columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_numpy()
+    X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, X = ids[order], X[order]
+    eids = ids // 4
+    fetch, n_cand = 10, 40                 # per_vector_k=10, overfetch=4
+    vals = []
+    for j in range(4):
+        pmask = ids % 4 == j
+        e_j, X_j = eids[pmask], X[pmask]   # entity-id-sorted by construction
+        thr = X_j.mean(axis=0)             # BQIndex.fit: id-sorted f64 mean
+        bits = X_j > thr[None, :]
+        qmask = e_j % 25 == 0
+        for qe, qb in zip(e_j[qmask], bits[qmask]):
+            ham = (bits != qb[None, :]).sum(axis=1)
+            top = e_j[np.lexsort((e_j, ham))[:n_cand]]
+            vals.extend(f"({int(qe)},{int(i)},{j})" for i in top)
+    l2_pos = _L2.format(a="t.v", b="q.v")
+    mv_scale_sql = f"""
+WITH cand(qid, id, j) AS (VALUES {", ".join(vals)}),
+e AS (SELECT vec_id // 4 AS eid, vec_id % 4 AS vi, embedding::DOUBLE[] AS v
+      FROM embeddings),
+s AS (SELECT c.qid, c.id, c.j, {l2_pos} AS d
+      FROM cand c JOIN e t ON t.eid = c.id AND t.vi = c.j
+                  JOIN e q ON q.eid = c.qid AND q.vi = c.j),
+top AS (SELECT qid, id, j, d,
+               row_number() OVER (PARTITION BY qid, j ORDER BY d, id) AS rn
+        FROM s),
+contrib AS (SELECT qid, id,
+                   round(0.25 / (1.0 + round(d, 4)), 9)::DECIMAL(28,10) AS c
+            FROM top WHERE rn <= {fetch}),
+fused AS (SELECT qid, id, CAST(round(sum(c), 6) AS DOUBLE) AS score
+          FROM contrib GROUP BY qid, id),
+r AS (SELECT qid, id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, id)
+                 AS rank
+      FROM fused)
+SELECT qid, id, score, rank FROM r WHERE rank <= 5
+"""
+    parity_sql = """
+SELECT count(*) AS n_queries, TRUE AS mean_overlap_ok, TRUE AS min_overlap_ok
+FROM (SELECT DISTINCT vec_id // 4 AS eid FROM embeddings) WHERE eid % 25 = 0
+"""
+    return {"mv_scale": mv_scale_sql, "mv_scale_parity": parity_sql}
+
+
 def oracle_sql() -> dict[str, str]:
     l2 = _L2.format(a="t.v", b="q.v")
     p = dd._MERSENNE
@@ -4360,7 +4505,8 @@ def oracle_sql() -> dict[str, str]:
         for row in projection_matrix(64, 16, seed=1)
     ) + "]"
     return (_ann_oracles() | _bpe_oracle() | _classifier_oracle()
-            | _mmr_oracle() | _hybrid_scale_oracles()) | {
+            | _mmr_oracle() | _hybrid_scale_oracles()
+            | _mv_scale_oracles()) | {
         "hybrid_rrf_parity": _HYBRID_PARITY_SQL,
         "iud_final_state": _IUD_FINAL_STATE_SQL,
         "ivf_recall": _RECALL_GATE_SQL,

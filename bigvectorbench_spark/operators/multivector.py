@@ -15,6 +15,12 @@ the same intent.  We provide both:
 - ``mv_knn_fused``    — the WeightedRanker analog: per-position top-k
   subqueries, union, weighted-similarity fusion, final top-k.  At scale this
   is v small jobs over the same scan instead of one wide one.
+- ``mv_indexed_fused`` — the 100× form of ``mv_knn_fused`` (VERDICT r11 ask
+  #1): the reference's execution path runs one ANN subquery per vector
+  field (milvus/module.py:422-458); here each position's candidates come
+  from a per-position BQ index (packed 1-bit codes + hamming pre-rank +
+  exact refine, ``operators/bq.py``) instead of a brute scan of every
+  entity, and the SAME WeightedRanker fusion re-ranks the union.
 """
 
 from __future__ import annotations
@@ -124,3 +130,83 @@ def mv_knn_fused(
     # higher fused score = better; reuse topk by ordering on -score
     ranked = topk_window(fused.withColumn("dist", -F.col("score")), k)
     return ranked.select("qid", "id", F.col("score"), "rank")
+
+
+def mv_indexed_fused(
+    train: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    vecs_col: str = "vecs",
+    query_vecs_col: Optional[str] = None,
+    id_col: str = "id",
+    qid_col: str = "qid",
+    weights: Optional[Sequence[float]] = None,
+    per_vector_k: Optional[int] = None,
+    num_vectors: Optional[int] = None,
+    overfetch: int = 4,
+    center: bool = True,
+) -> DataFrame:
+    """Indexed multi-vector fusion — the scale twin of :func:`mv_knn_fused`
+    (the hybrid_rrf_scale / mmr_scale convention: every brute anchor gets
+    its indexed 100× form plus a parity gate).  The reference executes
+    multi-vector search as one ANN subquery per vector field fused by
+    WeightedRanker (milvus/module.py:422-458, webvid 1M × 4×512-d
+    README.md:220-227); here each position j gets its own
+    :class:`~bigvectorbench_spark.operators.bq.BQIndex` — per-dimension
+    thresholds fit on the position's vectors, packed 1-bit codes scanned
+    with XOR+popcount (a 64× narrower read than the float column), top
+    ``per_vector_k`` survivors exact-refined — and the per-position
+    candidate lists fuse with the identical WeightedRanker formula
+    score = Σ_j w_j / (1 + dist_j), missing positions contributing 0.
+
+    100 TB design: the per-position candidate stage reads ONLY the packed
+    code column and shuffles O(q · per_vector_k · batches) rows (the BQ
+    kernel discipline); float vectors are touched for just the
+    ~q · per_vector_k · overfetch refine rows per position.  The brute
+    twin scores every (query, entity, position) triple — v full scans.
+
+    Value-oracle determinism: refine distances are the engine-stable
+    expression fold rounded to 4 dp before scoring; per-position
+    contributions round to 9 dp and accumulate in DECIMAL (the rrf_fuse
+    ladder), the fused score rounds to 6 dp BEFORE ranking with ties by
+    ascending id — so an external recomputation of the candidate sets
+    (id-sorted mean thresholds + (hamming, id) lexsort, the bq_knn
+    convention) replays the whole pipeline exactly."""
+    from functools import reduce as _reduce
+
+    from bigvectorbench_spark.operators.bq import BQIndex
+
+    qvecs = query_vecs_col or vecs_col
+    if num_vectors is None:
+        first = train.select(F.size(vecs_col).alias("v")).first()
+        if first is None:
+            raise ValueError("empty train table")
+        num_vectors = first["v"]
+    v = num_vectors
+    w = list(map(float, weights)) if weights is not None else [1.0 / v] * v
+    if len(w) != v:
+        raise ValueError(f"{len(w)} weights for {v} vector positions")
+    fetch = per_vector_k or 2 * k
+
+    legs = []
+    for j in range(v):
+        tj = train.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.element_at(F.col(vecs_col), j + 1).alias("vec"))
+        qj = queries.select(
+            F.col(qid_col).cast("bigint").alias("qid"),
+            F.element_at(F.col(qvecs), j + 1).alias("vec"))
+        idx = BQIndex.fit(tj, sort_col="id", center=center)
+        codes = idx.encode(tj, keep=["id"])
+        leg = idx.search(codes, qj, k=fetch, refine_train=tj,
+                         overfetch=overfetch)
+        legs.append(leg.select(
+            "qid", "id",
+            F.round(F.lit(w[j]) / (F.lit(1.0) + F.round(F.col("dist"), 4)), 9)
+            .cast("decimal(28,10)").alias("_c")))
+    allc = _reduce(DataFrame.unionByName, legs)
+    fused = allc.groupBy("qid", "id").agg(
+        F.round(F.sum("_c").cast("double"), 6).alias("score"))
+    ranked = topk_window(fused.withColumn("dist", -F.col("score")), k)
+    return ranked.select("qid", "id", "score", "rank")

@@ -71,3 +71,76 @@ def test_mv_knn_fused_weight_validation(mvdata):
     _, _, train, test = mvdata
     with pytest.raises(ValueError):
         mv.mv_knn_fused(train, test, k=3, weights=[1.0, 1.0])
+
+
+def _indexed_oracle(T, Q, k, fetch, overfetch, weights):
+    """Numpy replay of mv_indexed_fused: per-position BQ (mean thresholds
+    over id-sorted rows, (hamming, id) lexsort pre-rank, exact-L2 refine)
+    + the 9-dp DECIMAL WeightedRanker ladder, rank on 6-dp score."""
+    from decimal import Decimal
+
+    n, v, d = T.shape
+    ids = np.arange(n)
+    scores: dict[tuple[int, int], Decimal] = {}
+    for j in range(v):
+        Xj = T[:, j, :].astype(np.float64)
+        thr = Xj.mean(axis=0)
+        bits = Xj > thr[None, :]
+        for qi in range(len(Q)):
+            qb = Q[qi, j, :].astype(np.float64) > thr
+            ham = (bits != qb[None, :]).sum(axis=1)
+            cand = ids[np.lexsort((ids, ham))[:fetch * overfetch]]
+            dd = np.linalg.norm(
+                Xj[cand] - Q[qi, j, :].astype(np.float64), axis=1)
+            keep = cand[np.lexsort((cand, dd))[:fetch]]
+            for i in keep:
+                di = float(np.linalg.norm(
+                    Xj[i] - Q[qi, j, :].astype(np.float64)))
+                c = Decimal(str(round(weights[j] / (1.0 + round(di, 4)), 9)))
+                scores[(qi, int(i))] = scores.get((qi, int(i)), Decimal(0)) + c
+    out = {}
+    for qi in range(len(Q)):
+        rows = sorted(
+            ((round(float(s), 6), i) for (q, i), s in scores.items() if q == qi),
+            key=lambda t: (-t[0], t[1]))[:k]
+        out[qi] = [(i, s) for s, i in rows]
+    return out
+
+
+def test_mv_indexed_fused_matches_numpy_replay(mvdata):
+    """The strongest pin: the whole indexed pipeline — per-position BQ
+    thresholds, hamming pre-rank, exact refine, DECIMAL fusion ladder,
+    rank-on-rounded-score — replayed in numpy, ids AND scores equal."""
+    T, Q, train, test = mvdata
+    w = [0.25, 0.25, 0.25, 0.25]
+    res = mv.mv_indexed_fused(train, test, k=5, weights=w, num_vectors=4,
+                              per_vector_k=10, overfetch=4)
+    got = {}
+    for r in res.orderBy("qid", "rank").collect():
+        got.setdefault(r["qid"], []).append((r["id"], round(r["score"], 6)))
+    want = _indexed_oracle(T, Q, k=5, fetch=10, overfetch=4, weights=w)
+    assert got == want
+
+
+def test_mv_indexed_fused_full_budget_matches_brute(mvdata):
+    """With the candidate budget opened to the whole corpus the hamming
+    pre-rank cannot drop anyone, so indexed fusion selects the same
+    entities as the brute fused form (scores differ only in the DECIMAL
+    ladder's sub-1e-6 rounding)."""
+    T, Q, train, test = mvdata
+    n = len(T)
+    brute = mv.mv_knn_fused(train, test, k=5, per_vector_k=n)
+    idxd = mv.mv_indexed_fused(train, test, k=5, per_vector_k=n,
+                               overfetch=1)
+    b, i = {}, {}
+    for r in brute.orderBy("qid", "rank").collect():
+        b.setdefault(r["qid"], []).append(r["id"])
+    for r in idxd.orderBy("qid", "rank").collect():
+        i.setdefault(r["qid"], []).append(r["id"])
+    assert b == i
+
+
+def test_mv_indexed_fused_weight_validation(mvdata):
+    _, _, train, test = mvdata
+    with pytest.raises(ValueError):
+        mv.mv_indexed_fused(train, test, k=3, weights=[1.0])
