@@ -594,8 +594,13 @@ def q_mv_scale(spark, sf):
     recomputed at oracle-generation time and embedded as literals; DuckDB
     re-runs the exact-L2 refine, the 9-dp DECIMAL fusion ladder and the
     rank-on-rounded-score window, so fused scores and ranks hash-match
-    end to end.  Queries: every 25th entity."""
-    ent = _mv_entities(spark, sf)
+    end to end.  Queries: every 25th entity.  The entity aggregation is
+    persisted (the mv_scale_parity / corpus_curation stage-boundary
+    discipline, r12): the operator reads it for the fit collect, the
+    kernel scan, the refine join and the query block — without the
+    boundary each reference re-runs the groupBy collect_list from
+    parquet."""
+    ent = _mv_entities(spark, sf).persist()
     res = mv.mv_indexed_fused(
         ent.withColumnRenamed("eid", "id"),
         ent.filter("eid % 25 = 0").withColumnRenamed("eid", "qid"),

@@ -48,6 +48,8 @@ HEADLINE = [
     "filter_ivf_recall",
     "mv_knn",
     "mv_knn_fused",
+    "mv_scale",
+    "mv_scale_parity",
     "mm_knn",
     "jl_knn",
     "hnsw_knn",
@@ -237,7 +239,11 @@ def main() -> None:
             # shows as uniform inflation across all N runs, while a plan
             # regression shifts the minimum itself (self-diagnosing flaps).
             times: list[float] = []
-            for _ in range(max(1, runs)):  # best-of-N (runner.py:222-226)
+            for i in range(max(1, runs)):  # best-of-N (runner.py:222-226)
+                # Label every job so the UI / REST API attributes stage
+                # time to the query that ran it (optimization guide §1.5);
+                # thread-local, reset in the finally below.
+                spark.sparkContext.setJobDescription(f"bench:{name}:run{i}")
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
@@ -256,6 +262,7 @@ def main() -> None:
             # finally block so a FAILED query's leftovers are evicted too
             # (ADVICE r5: contamination must not survive the error path).
             spark.catalog.clearCache()
+            spark.sparkContext.setJobDescription(None)
 
     total = round(sum(timings.values()), 3)
     # Per-run arrays (the r5 flap-diagnosis signal) go to STDERR as their

@@ -172,10 +172,30 @@ def mv_indexed_fused(
     ladder), the fused score rounds to 6 dp BEFORE ranking with ties by
     ascending id — so an external recomputation of the candidate sets
     (id-sorted mean thresholds + (hamming, id) lexsort, the bq_knn
-    convention) replays the whole pipeline exactly."""
-    from functools import reduce as _reduce
+    convention) replays the whole pipeline exactly.
 
-    from bigvectorbench_spark.operators.bq import BQIndex
+    Execution shape (optimization round r12): the v legs share ONE plan
+    instead of v independent ones.  All v per-position thresholds come
+    from a single id-sorted driver collect (was: v orderBy+collect jobs);
+    the query block is collected once and packed per position (was: one
+    collect per leg inside the BQ kernel); ONE ``mapInArrow`` pass over
+    (id, vecs) scores every position's hamming pre-rank (was: v encode +
+    score passes); candidate selection, the exact refine and the ranking
+    run per (qid, j) under single windows/joins (was: 2 windows + 2 joins
+    per leg).  Per-position candidate sets, refine distances and the
+    fusion ladder are bit-identical to the per-leg form — the partial
+    top-``n_cand`` per batch is a superset of the global top regardless
+    of batching, the (hamming, id) / (dist, id) tie rules are unchanged,
+    and ``element_at(lit(w), j+1)`` reproduces each leg's weight literal
+    exactly (pinned in test_multivector's numpy replay).  The train
+    projection is persisted for its three passes (fit collect, kernel
+    scan, refine join) — callers release it via ``spark.catalog
+    .clearCache()`` (the bench/oracle convention)."""
+    import numpy as np
+
+    from bigvectorbench_spark.operators.bq import (
+        MAX_FIT_SAMPLE_ROWS, _POP, pack_np)
+    from bigvectorbench_spark.operators.knn import MAX_BROADCAST_QUERIES
 
     qvecs = query_vecs_col or vecs_col
     if num_vectors is None:
@@ -188,25 +208,112 @@ def mv_indexed_fused(
     if len(w) != v:
         raise ValueError(f"{len(w)} weights for {v} vector positions")
     fetch = per_vector_k or 2 * k
+    n_cand = fetch * overfetch
+    spark = train.sparkSession
 
-    legs = []
-    for j in range(v):
-        tj = train.select(
-            F.col(id_col).cast("bigint").alias("id"),
-            F.element_at(F.col(vecs_col), j + 1).alias("vec"))
-        qj = queries.select(
-            F.col(qid_col).cast("bigint").alias("qid"),
-            F.element_at(F.col(qvecs), j + 1).alias("vec"))
-        idx = BQIndex.fit(tj, sort_col="id", center=center)
-        codes = idx.encode(tj, keep=["id"])
-        leg = idx.search(codes, qj, k=fetch, refine_train=tj,
-                         overfetch=overfetch)
-        legs.append(leg.select(
-            "qid", "id",
-            F.round(F.lit(w[j]) / (F.lit(1.0) + F.round(F.col("dist"), 4)), 9)
-            .cast("decimal(28,10)").alias("_c")))
-    allc = _reduce(DataFrame.unionByName, legs)
-    fused = allc.groupBy("qid", "id").agg(
+    t = train.select(F.col(id_col).cast("bigint").alias("id"),
+                     F.col(vecs_col).alias("vecs")).persist()
+    # --- per-position thresholds from ONE id-sorted collect (the
+    # BQIndex.fit contract: float64 numpy mean over rows collected in id
+    # order; ascontiguousarray keeps the reduction layout identical to
+    # fitting each position's own (n, d) matrix) -------------------------
+    frows = t.orderBy("id").select("vecs").limit(
+        MAX_FIT_SAMPLE_ROWS if center else 1).collect()
+    if not frows:
+        raise ValueError("cannot fit BQIndex on an empty table")
+    d = len(frows[0][0][0])
+    if center:
+        Xs = np.array([r[0] for r in frows], dtype=np.float64)  # (n, v, d)
+        thrs = [np.ascontiguousarray(Xs[:, j, :]).mean(axis=0)
+                for j in range(v)]
+    else:
+        thrs = [np.zeros(d, dtype=np.float64) for _ in range(v)]
+
+    # --- the query block: ONE collect, packed per position --------------
+    qrows = queries.select(F.col(qid_col).cast("bigint").alias("qid"),
+                           F.col(qvecs).alias("v")).collect()
+    if len(qrows) == 0:
+        return spark.createDataFrame(
+            [], "qid bigint, id bigint, score double, rank int")
+    if len(qrows) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"{len(qrows)} queries exceed the broadcast envelope "
+            f"({MAX_BROADCAST_QUERIES}); split the query set")
+    qids_np = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["v"] for r in qrows], dtype=np.float64)  # (q, v, d)
+    qpk = [pack_np(np.ascontiguousarray(Q[:, j, :]), list(thrs[j]))
+           .view(np.uint8) for j in range(v)]
+    bc = spark.sparkContext.broadcast(
+        (qids_np, qpk, [list(th) for th in thrs]))
+
+    import pyarrow as pa
+
+    def score(batches):
+        b_qids, b_qpk, b_thr = bc.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column("id").to_numpy()
+            X = (batch.column("vecs").flatten().flatten()
+                 .to_numpy(zero_copy_only=False)
+                 .astype(np.float64, copy=False).reshape(n, v, d))
+            kk = min(n_cand, n)
+            small_ids = ids.min() >= 0 and ids.max() < (1 << 31)
+            out_qid, out_j, out_ids, out_ham = [], [], [], []
+            for j in range(v):
+                Wu8 = pack_np(np.ascontiguousarray(X[:, j, :]),
+                              b_thr[j]).view(np.uint8)
+                for qi in range(len(b_qids)):
+                    x = np.bitwise_xor(Wu8, b_qpk[j][qi][None, :])
+                    ham = _POP[x].sum(axis=1, dtype=np.int64)
+                    if small_ids:
+                        key = (ham << np.int64(31)) | ids
+                        part = np.argpartition(key, kk - 1)[:kk]
+                    else:
+                        part = np.lexsort((ids, ham))[:kk]
+                    out_qid.append(np.full(kk, b_qids[qi], dtype=np.int64))
+                    out_j.append(np.full(kk, j, dtype=np.int32))
+                    out_ids.append(ids[part])
+                    out_ham.append(ham[part])
+            yield pa.RecordBatch.from_pydict({
+                "qid": pa.array(np.concatenate(out_qid), pa.int64()),
+                "j": pa.array(np.concatenate(out_j), pa.int32()),
+                "id": pa.array(np.concatenate(out_ids), pa.int64()),
+                "_ham": pa.array(np.concatenate(out_ham), pa.int64()),
+            })
+
+    from pyspark.sql import Window
+
+    partial = t.mapInArrow(
+        score, schema="qid bigint, j int, id bigint, _ham bigint")
+    cw = Window.partitionBy("qid", "j").orderBy(
+        F.col("_ham").asc(), F.col("id").asc())
+    cand = (partial.withColumn("rn", F.row_number().over(cw))
+            .filter(F.col("rn") <= n_cand).select("qid", "j", "id"))
+
+    # --- exact refine: one join over the per-position float vectors -----
+    tpos = t.select("id", F.posexplode("vecs").alias("j", "_tvec"))
+    qpos = queries.select(F.col(qid_col).cast("bigint").alias("qid"),
+                          F.posexplode(F.col(qvecs)).alias("j", "_qvec"))
+    refined = (F.broadcast(cand).join(tpos, ["id", "j"])
+               .join(F.broadcast(qpos), ["qid", "j"])
+               .select("qid", "j", "id",
+                       dist_fns.metric_dist(
+                           "euclidean", F.col("_tvec"), F.col("_qvec"))
+                       .alias("dist")))
+    rw = Window.partitionBy("qid", "j").orderBy(
+        F.col("dist").asc(), F.col("id").asc())
+    top = (refined.withColumn("rn", F.row_number().over(rw))
+           .filter(F.col("rn") <= fetch))
+
+    w_arr = F.lit([float(x) for x in w]).cast("array<double>")
+    contrib = top.select(
+        "qid", "id",
+        F.round(F.element_at(w_arr, F.col("j") + 1)
+                / (F.lit(1.0) + F.round(F.col("dist"), 4)), 9)
+        .cast("decimal(28,10)").alias("_c"))
+    fused = contrib.groupBy("qid", "id").agg(
         F.round(F.sum("_c").cast("double"), 6).alias("score"))
     ranked = topk_window(fused.withColumn("dist", -F.col("score")), k)
     return ranked.select("qid", "id", "score", "rank")
