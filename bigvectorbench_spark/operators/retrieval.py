@@ -39,13 +39,20 @@ def _widen(df: DataFrame) -> DataFrame:
 
 
 def postings(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    tk: DataFrame | None = None,
 ) -> DataFrame:
     """Inverted-index postings ``(term, doc_id, dl, tf)`` — term frequency
-    per document plus the document length needed by BM25 normalization."""
-    tk = _widen(docs).select(
-        F.col(id_col).alias("doc_id"), tx.tokens(F.col(text_col)).alias("tk")
-    )
+    per document plus the document length needed by BM25 normalization.
+
+    ``tk``: a precomputed ``(doc_id, tk)`` tokenized frame — tokenization
+    is per-document local, so building postings from a shared (persisted)
+    token frame is row-identical to tokenizing here, and multi-leg
+    consumers (hybrid lexical+vector queries) share one tokenize pass."""
+    if tk is None:
+        tk = _widen(docs).select(
+            F.col(id_col).alias("doc_id"), tx.tokens(F.col(text_col)).alias("tk")
+        )
     tk = tk.select("doc_id", "tk", F.size("tk").alias("dl"))
     return (
         tk.select("doc_id", "dl", F.explode("tk").alias("term"))
@@ -54,9 +61,17 @@ def postings(
     )
 
 
-def corpus_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
-    """One-row frame (n_docs, avgdl); joined (broadcast) into scoring."""
-    dl = docs.select(F.size(tx.tokens(F.col(text_col))).alias("dl"))
+def corpus_stats(docs: DataFrame, *, text_col: str = "text",
+                 tk: DataFrame | None = None) -> DataFrame:
+    """One-row frame (n_docs, avgdl); joined (broadcast) into scoring.
+
+    ``tk``: precomputed ``(doc_id, tk)`` frame — same count/avg over
+    ``size(tk)`` (every document contributes, including token-less ones),
+    without a second tokenize."""
+    if tk is not None:
+        dl = tk.select(F.size("tk").alias("dl"))
+    else:
+        dl = docs.select(F.size(tx.tokens(F.col(text_col))).alias("dl"))
     return dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),

@@ -57,17 +57,23 @@ def _bigrams(tk):
 
 
 def lexical_postings(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    tk: DataFrame | None = None,
 ) -> DataFrame:
     """Postings over unigram + bigram features — the realistic lexical
     sparse-vector feature set: unigrams are the high-df head (where impact
     pruning bites and idf already discounts), bigrams the discriminative
     tail that carries the ranking signal.  Same (term, doc_id, dl, tf)
-    schema as retrieval.postings, so it drops into ``sparse_postings``."""
+    schema as retrieval.postings, so it drops into ``sparse_postings``.
+
+    ``tk``: a precomputed ``(doc_id, tk)`` tokenized frame (the
+    retrieval.postings convention) — per-document local, so row-identical
+    to tokenizing here; hybrid sparse+dense queries share one pass."""
     from bigvectorbench_spark.functions import text as tx
 
-    tk = docs.select(
-        F.col(id_col).alias("doc_id"), tx.tokens(F.col(text_col)).alias("tk"))
+    if tk is None:
+        tk = docs.select(
+            F.col(id_col).alias("doc_id"), tx.tokens(F.col(text_col)).alias("tk"))
     feats = tk.select("doc_id", F.concat("tk", _bigrams(F.col("tk"))).alias("ft"))
     feats = feats.select("doc_id", "ft", F.size("ft").alias("dl"))
     return (
@@ -111,6 +117,7 @@ def stale_weight_postings(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    post: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted postings for ARRIVING documents under the BASE corpus
     statistics — the incremental-maintenance move (the IVF analog assigns
@@ -123,8 +130,15 @@ def stale_weight_postings(
     The price is idf staleness (scores drift as true df moves under the
     frozen weights); ``sparse_delta_report`` meters exactly that drift so
     the rebuild can be scheduled on evidence, and the declared parity
-    gate bounds the ranking impact."""
-    dpost = lexical_postings(delta_docs, id_col=id_col, text_col=text_col)
+    gate bounds the ranking impact.
+
+    ``post``: a precomputed postings frame for the DELTA documents (the
+    sparse_postings/bm25_topk convention) — postings are per-document
+    local, so a filter of a shared corpus-wide postings frame is
+    row-identical to tokenizing the filtered documents, and passing it
+    shares one tokenize pass across base/delta/rebuild consumers."""
+    dpost = post if post is not None else lexical_postings(
+        delta_docs, id_col=id_col, text_col=text_col)
     dfr0 = base_post.groupBy("term").agg(F.count("*").alias("df0"))
     stats0 = stats_from_postings(base_post)
     n0 = F.col("n_docs").cast("double")
