@@ -1557,7 +1557,8 @@ def q_embedding_cosine_dups_srp(spark, sf):
     (id + 10^6), so true near-dup pairs exist and the 8-bit band blocking
     has the collision probability it is designed for.  Rows-only here; the
     in-window ``srp_recall`` gate value-checks this exact pipeline."""
-    out = dd.embedding_dup_pairs(_perturbed_corpus(spark, sf), threshold=0.95,
+    out = dd.embedding_dup_pairs(_perturbed_corpus(spark, sf).persist(),
+                                 threshold=0.95,
                                  method="srp", num_planes=32, bands=4)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
@@ -1575,7 +1576,10 @@ def q_srp_recall(spark, sf):
     (same pair set as the expression brute — pinned in test_dedup — at a
     fraction of the cost; pair classification is rounding-safe because no
     pair sits within 0.4 of the threshold)."""
-    corpus = _perturbed_corpus(spark, sf)
+    # Persisted (r12): the brute-GEMM leg reads it twice (driver collect +
+    # kernel scan) and the SRP leg three more times (dim probe, signature
+    # scan, verify join) — one union+transform pass instead of five.
+    corpus = _perturbed_corpus(spark, sf).persist()
     brute = dd.embedding_dup_pairs(corpus, threshold=0.95, method="gemm").select(
         "id_a", "id_b")
     srp = dd.embedding_dup_pairs(corpus, threshold=0.95, method="srp",
@@ -2463,13 +2467,15 @@ def q_corpus_curation_scale(spark, sf):
     election vs transitive closure over verified Jaccard pairs; both
     drop non-canonical members and keep the minimum id."""
     from bigvectorbench_spark.functions import text as tx
-    docs = _docs_wide(spark, sf)
-    drops = (dd.lsh_keepers(docs, hash="md5")
+    # One tokenize for the LSH shingles AND quality scoring (r12).
+    docs = (_docs_wide(spark, sf)
+            .withColumn("tk", tx.tokens(F.col("text"))).persist())
+    drops = (dd.lsh_keepers(docs, hash="md5",
+                            tk=docs.select(F.col("doc_id").alias("id"), "tk"))
              .filter(F.col("keeper") != F.col("id"))
              .select(F.col("id").alias("doc_id"), F.lit(True).alias("is_dup")))
     scored = (
         docs.join(drops, "doc_id", "left")
-        .withColumn("tk", tx.tokens(F.col("text")))
         .withColumn("quality_raw",
                     tx.quality_score_from_tokens(F.col("tk"), F.col("text")))
         .withColumn("quality", F.round(F.col("quality_raw"), 6))
@@ -2538,14 +2544,18 @@ def q_corpus_curation(spark, sf):
     Scale shape: candidate generation is the PPJoin prefix-filter plan,
     components shuffle (id, label) pairs only, and document payloads move
     once — into the final source×lang aggregation."""
-    docs = _docs_wide(spark, sf)
-    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    # One tokenize for shingling AND quality scoring (r12): the corpus
+    # carries its token column through the whole pipeline, persisted.
+    docs = (_docs_wide(spark, sf)
+            .withColumn("tk", tx.tokens(F.col("text"))).persist())
+    pairs = dd.ngram_jaccard_pairs(
+        docs, threshold=0.5,
+        tk=docs.select(F.col("doc_id").alias("id"), "tk"))
     drops = (dd.dup_components(pairs)
              .filter(F.col("id") != F.col("component_id"))
              .select(F.col("id").alias("doc_id"), F.lit(True).alias("is_dup")))
     scored = (
         docs.join(drops, "doc_id", "left")
-        .withColumn("tk", tx.tokens(F.col("text")))
         # The keep/drop gate compares the UNROUNDED score to 0.8: a
         # round(double, 6) before a threshold reintroduces the half-ulp
         # cross-engine divergence class user_gap_stats hit (a score within

@@ -82,12 +82,17 @@ def _hash_fn(hash: str):
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int,
-                  hash: str = "xxhash64") -> DataFrame:
+                  hash: str = "xxhash64",
+                  tk: DataFrame | None = None) -> DataFrame:
     """(id, sh ARRAY<BIGINT>): distinct hashed n-gram shingles per doc.
 
     Two-phase projection: tokens materialize before shingling (see
-    ``shingles_from_tokens`` — inlining re-tokenizes per shingle)."""
-    tokenized = df.select(
+    ``shingles_from_tokens`` — inlining re-tokenizes per shingle).
+
+    ``tk``: a precomputed ``(id, tk)`` tokenized frame (per-document
+    local, so row-identical to tokenizing here) — pipelines that also
+    need tokens for quality scoring share one pass."""
+    tokenized = tk.select("id", "tk") if tk is not None else df.select(
         F.col(id_col).alias("id"), tx.tokens(F.col(text_col)).alias("tk")
     )
     # Emptiness filter on TOKEN COUNT, not on the shingle array: a filter on
@@ -204,6 +209,7 @@ def ngram_jaccard_pairs(
     freq_order: str = "auto",
     max_hot_shingles: int = 2_000_000,
     hot_min_docs: int = 100_000,
+    tk: DataFrame | None = None,
 ) -> DataFrame:
     """All document pairs with n-gram-shingle Jaccard ≥ threshold — EXACT,
     via prefix filtering (the PPJoin family): order each document's shingles
@@ -249,7 +255,7 @@ def ngram_jaccard_pairs(
         raise ValueError(f"threshold must be in (0,1], got {threshold}")
     if freq_order not in ("hot", "exact", "auto"):
         raise ValueError(f"unknown freq_order {freq_order!r}")
-    sets_df = _shingle_sets(_widen(df), id_col, text_col, n).cache()
+    sets_df = _shingle_sets(_widen(df), id_col, text_col, n, tk=tk).cache()
     if freq_order == "auto":
         freq_order = "hot" if sets_df.count() >= hot_min_docs else "exact"
 
@@ -466,6 +472,7 @@ def lsh_keepers(
     bands: int = 16,
     seed: int = 1,
     hash: str = "xxhash64",
+    tk: DataFrame | None = None,
 ) -> DataFrame:
     """(id, keeper): the bucket-min election behind ``lsh_dedup_report``
     — keeper = min id over the doc's band buckets (= the doc itself iff
@@ -479,7 +486,8 @@ def lsh_keepers(
     # it on token count, NOT size(sh) — a size(sh) filter would be pushed
     # below the projection with the shingle expression substituted in,
     # re-running the pipeline per row; see _shingle_sets).
-    sets_df = _shingle_sets(_widen(df), id_col, text_col, shingle_n, hash=hash)
+    sets_df = _shingle_sets(_widen(df), id_col, text_col, shingle_n,
+                            hash=hash, tk=tk)
     sig = minhash_sets(sets_df, num_perm=num_perm, seed=seed)
     banded = sig.select(
         "id",
