@@ -1557,7 +1557,7 @@ def q_embedding_cosine_dups_srp(spark, sf):
     (id + 10^6), so true near-dup pairs exist and the 8-bit band blocking
     has the collision probability it is designed for.  Rows-only here; the
     in-window ``srp_recall`` gate value-checks this exact pipeline."""
-    out = dd.embedding_dup_pairs(_perturbed_corpus(spark, sf).persist(),
+    out = dd.embedding_dup_pairs(_perturbed_corpus(spark, sf),
                                  threshold=0.95,
                                  method="srp", num_planes=32, bands=4)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
@@ -1576,10 +1576,12 @@ def q_srp_recall(spark, sf):
     (same pair set as the expression brute — pinned in test_dedup — at a
     fraction of the cost; pair classification is rounding-safe because no
     pair sits within 0.4 of the threshold)."""
-    # Persisted (r12): the brute-GEMM leg reads it twice (driver collect +
-    # kernel scan) and the SRP leg three more times (dim probe, signature
-    # scan, verify join) — one union+transform pass instead of five.
-    corpus = _perturbed_corpus(spark, sf).persist()
+    # ONE shared frame for both legs (r12).  NOT persisted: the corpus is
+    # a map-only union+transform of the parquet scan, and the interleaved
+    # persist-on/off A/B read off FASTER on both SRP queries (5.27 vs
+    # 6.02 s, 3.12 vs 4.18 s mins) — caching float-array rows costs more
+    # than recomputing a columnar scan, here and at scale (guide §5.4).
+    corpus = _perturbed_corpus(spark, sf)
     brute = dd.embedding_dup_pairs(corpus, threshold=0.95, method="gemm").select(
         "id_a", "id_b")
     srp = dd.embedding_dup_pairs(corpus, threshold=0.95, method="srp",
@@ -2198,8 +2200,12 @@ def q_sparse_delta_report(spark, sf):
     docs = _docs_wide(spark, sf)
     # One tokenize for both sides (r12): postings are per-document local,
     # so filtering the shared corpus-wide postings frame is row-identical
-    # to tokenizing each filtered slice separately.
-    all_post = sp.lexical_postings(docs).persist()
+    # to tokenizing each filtered slice separately.  NOT persisted: all
+    # consumers sit in one action and reference the identical aggregation
+    # subtree, so ReusedExchange dedups the shuffle for free — the
+    # interleaved A/B read persist at 4.79 s vs 2.97 s without (the cache
+    # write+read of exploded postings costs more than it saves).
+    all_post = sp.lexical_postings(docs)
     base_post = all_post.filter("doc_id % 10 != 7")
     delta_post = all_post.filter("doc_id % 10 = 7")
     return sp.sparse_delta_report(base_post, delta_post)
@@ -2220,8 +2226,13 @@ def q_sparse_delta_parity(spark, sf):
     delta = docs.filter("doc_id % 10 = 7")
     # One tokenize for base, delta AND rebuild (r12, was three full
     # tokenize→postings pipelines): postings are per-document local, so
-    # slicing the shared corpus-wide frame is row-identical.
-    all_post = sp.lexical_postings(docs).persist()
+    # slicing the shared corpus-wide frame is row-identical.  all_post is
+    # NOT persisted (ReusedExchange dedups the identical aggregation
+    # subtree within the absorbed/rebuilt materializations; the A/B read
+    # persist-off faster) — absorbed/rebuilt stay persisted because
+    # sparse_topk consumes each through three non-identical subtrees
+    # (query weights, query vocab, postings probe).
+    all_post = sp.lexical_postings(docs)
     base_post = all_post.filter("doc_id % 10 != 7")
     absorbed = sp.sparse_postings(base, post=base_post).unionByName(
         sp.stale_weight_postings(delta, base_post,
@@ -2467,9 +2478,12 @@ def q_corpus_curation_scale(spark, sf):
     election vs transitive closure over verified Jaccard pairs; both
     drop non-canonical members and keep the minimum id."""
     from bigvectorbench_spark.functions import text as tx
-    # One tokenize for the LSH shingles AND quality scoring (r12).
+    # One tokenize for the LSH shingles AND quality scoring (r12).  Not
+    # persisted: tokenize is a map-only projection, and the interleaved
+    # persist-on/off A/B read off at parity-or-better — caching text +
+    # token arrays costs more than recomputing them (guide §5.4).
     docs = (_docs_wide(spark, sf)
-            .withColumn("tk", tx.tokens(F.col("text"))).persist())
+            .withColumn("tk", tx.tokens(F.col("text"))))
     drops = (dd.lsh_keepers(docs, hash="md5",
                             tk=docs.select(F.col("doc_id").alias("id"), "tk"))
              .filter(F.col("keeper") != F.col("id"))
@@ -2545,9 +2559,11 @@ def q_corpus_curation(spark, sf):
     components shuffle (id, label) pairs only, and document payloads move
     once — into the final source×lang aggregation."""
     # One tokenize for shingling AND quality scoring (r12): the corpus
-    # carries its token column through the whole pipeline, persisted.
+    # carries its token column through the whole pipeline.  Not persisted
+    # (map-only projection; the persist-on/off A/B read off faster,
+    # 5.59 vs 6.51 s mins — guide §5.4).
     docs = (_docs_wide(spark, sf)
-            .withColumn("tk", tx.tokens(F.col("text"))).persist())
+            .withColumn("tk", tx.tokens(F.col("text"))))
     pairs = dd.ngram_jaccard_pairs(
         docs, threshold=0.5,
         tk=docs.select(F.col("doc_id").alias("id"), "tk"))
@@ -2770,9 +2786,9 @@ def q_hybrid_rrf_topk(spark, sf):
     is the size-enveloped ``_brute_vec_leg`` — retained AS the oracle
     anchor; past 200k corpus rows it refuses fast and points at
     hybrid_rrf_scale (VERDICT r8 "what's wrong" #1).  Both legs derive
-    from one persisted tokenized corpus (r12 — was: three tokenize
+    from one shared tokenized corpus (r12 — was: three tokenize
     passes across postings/stats/embeddings)."""
-    tkf = _doc_tokens(spark, sf).persist()
+    tkf = _doc_tokens(spark, sf)
     lex = _lex_leg(spark, sf, k=20, tk=tkf)
     vec = _brute_vec_leg(
         spark, sf, out_k=20, twin="hybrid_rrf_scale",
@@ -2805,7 +2821,7 @@ def q_hybrid_sparse_rrf(spark, sf):
     docs = _docs_wide(spark, sf)
     qids = load_table(spark, sf, "documents").filter("doc_id % 250 = 0").select(
         F.col("doc_id").alias("qid"))
-    tkf = _doc_tokens(spark, sf).persist()
+    tkf = _doc_tokens(spark, sf)
     wpost = sp.sparse_postings(
         docs, post=sp.lexical_postings(docs, tk=tkf)).persist()
     lex = sp.sparse_topk(docs, qids, k=20, wpost=wpost).select(
@@ -2837,7 +2853,7 @@ def q_hybrid_sparse_scale(spark, sf):
     docs = _docs_wide(spark, sf)
     qids = load_table(spark, sf, "documents").filter("doc_id % 250 = 0").select(
         F.col("doc_id").alias("qid"))
-    tkf = _doc_tokens(spark, sf).persist()
+    tkf = _doc_tokens(spark, sf)
     wpost = sp.sparse_postings(
         docs, post=sp.lexical_postings(docs, tk=tkf)).persist()
     lex = sp.sparse_topk(
@@ -2878,10 +2894,15 @@ def q_mmr_rerank(spark, sf):
 def _doc_tokens(spark, sf):
     """The shared ``(doc_id, tk)`` tokenized-corpus frame (r12): hybrid
     queries run a lexical leg (postings + corpus stats) AND a dense leg
-    (hashed embeddings) over the same tokens — persist THIS frame and
-    pass it to both so the corpus tokenizes once per query instead of
-    once per consumer.  Tokenization is per-document local, so every
-    derivation is row-identical to tokenizing inline."""
+    (hashed embeddings) over the same tokens — pass THIS frame to both so
+    every consumer derives from one subtree.  Tokenization is
+    per-document local, so every derivation is row-identical to
+    tokenizing inline.  Deliberately NOT persisted: it is a map-only
+    projection (recompute is a columnar scan + tokenizer, cheaper than a
+    cache write+read of token arrays — the interleaved persist-on/off
+    A/B read off faster on 4 of the 5 hybrids), and its expensive
+    consumers (the weighted-postings index, the hashed base) persist
+    their own post-shuffle outputs."""
     return _docs_wide(spark, sf).select(
         "doc_id", tx.tokens(F.col("text")).alias("tk"))
 
@@ -3042,8 +3063,8 @@ def q_hybrid_rrf_scale(spark, sf):
     the bq_knn convention) and embedded as literals; DuckDB re-runs the
     integer-cosine refine, the BM25 CTEs and the RRF rounding ladder on
     top, so fused scores and ranks hash-match end to end.  Both legs
-    derive from one persisted tokenized corpus (r12)."""
-    tkf = _doc_tokens(spark, sf).persist()
+    derive from one shared tokenized corpus (r12)."""
+    tkf = _doc_tokens(spark, sf)
     lex = _lex_leg(spark, sf, k=20, tk=tkf)
     vec = _bq_vec_leg(
         spark, sf, out_k=20,
@@ -3067,7 +3088,7 @@ def q_hybrid_rrf_parity(spark, sf):
     bug) fails the driver gate; off the oracle sf the gate relaxes to a
     defect-only floor 0.4/0.1."""
     mean_thr, min_thr = _gate(sf, tight=(0.7, 0.5), floor=(0.4, 0.1))
-    tkf = _doc_tokens(spark, sf).persist()
+    tkf = _doc_tokens(spark, sf)
     lex = _lex_leg(spark, sf, k=20, tk=tkf)
 
     base = _hashed_base_int(spark, sf, persist=True, tk=tkf)
