@@ -3253,71 +3253,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (cm_heavy_hitters .. bpe_token_stats, marked) reach age 2 after
     # this round and must lead the round-12 window; the r10-green block
     # is age 1 (recheck by round 13).
+    # Ordering note: the driver's correctness gate checks queries in dict
+    # order (observed cap: 50 per round).  AGE POLICY (amended per VERDICT
+    # r9 ask #1 — the registry outgrew the original ≤2-round rule at 124
+    # oracled queries / 50 slots ≈ a 2.5-round cycle): every oracled query
+    # is DRIVER-checked at least once every 3 rounds via window rotation,
+    # AND sweep-checked by scripts/check_oracle.py at BOTH oracle sfs
+    # EVERY round (ORACLE_SWEEP_r{N}.json + _sf0.01) — the sweep is the
+    # per-round correctness net; the driver window re-validates through
+    # the driver's own harness on the ≤3-round cadence.  New declarations
+    # always lead their first window; queries whose CODE changed in-round
+    # re-enter the window regardless of age.
+    #
+    # ROUND-12 WINDOW (VERDICT r11 ask #2): the 2 new round-12
+    # declarations first, then the 12 queries whose EXECUTED PLAN the
+    # round-12 optimizations changed (shared-token/shared-frame fusion in
+    # the hybrids, mmr_scale via _bq_vec_leg, the sparse-delta pair, the
+    # curation pair, the SRP pair's shared corpus; hnsw_delta_report
+    # gained in-path density guards) — srp_recall / ngram_jaccard_dups /
+    # lsh_dedup also changed but sit inside the age-2 block below; the
+    # operator signature additions (postings/corpus_stats/
+    # lexical_postings/stale_weight_postings tk=/post= params) default to
+    # the old code path, so consumers that do not pass them
+    # (bm25_topk, retrieval_eval, sparse_knn, ...) have byte-identical
+    # plans and stay on their age schedule (all sweep-green this round) —
+    # then the exact 32-query age-2 r9-green block the r11 verdict names
+    # (cm_heavy_hitters .. bpe_token_stats), then the 4 oldest r10-green
+    # queries filling the window (spreads the round-13 load;
+    # sparse_filter_adaptive / sparse_quantile_recall also re-cover the
+    # touched sparse.py operators through their default paths).
+    #
+    # ROUND-13 HEAD-OF-WINDOW: the r10-green block below (marked) is age
+    # 2 after this round and must lead the round-13 window.
     return {
         # --- NEW round-12 declarations -------------------------------------
         "mv_scale": q_mv_scale,
         "mv_scale_parity": q_mv_scale_parity,
-        # --- NEW round-11 declarations: first declaration must be
-        # driver-checked (the recurring rotation rule) ----------------------
-        "hnsw_delta_report": q_hnsw_delta_report,
-        "ivf_auto_recall": q_ivf_auto_recall,
-        "pq_delta_report": q_pq_delta_report,
         # --- code changed this round (window re-entry regardless of age):
-        # hnsw_delta_shards guard; probe_lists auto-nprobe resolution -------
-        "hnsw_delta_knn": q_hnsw_delta_knn,
-        "ivf_delta_knn": q_ivf_delta_knn,
-        "ivfpq_knn": q_ivfpq_knn,
-        "filter_ivf_knn": q_filter_ivf_knn,
-        "filter_ivf_recall": q_filter_ivf_recall,
-        # --- 31 r8-green at age 2 (VERDICT r10 ask #1, the exact list) -----
-        "hnsw_knn": q_hnsw_knn,
-        "hnsw_recall": q_hnsw_recall,
-        "filter_knn_eq": q_filter_knn_eq,
-        "postfilter_knn": q_postfilter_knn,
-        "mv_knn": q_mv_knn,
-        "groundtruth_pack": q_groundtruth_pack,
-        "ivf_knn": q_ivf_knn,
-        "pq_knn": q_pq_knn,
-        "ivf_recall": q_ivf_recall,
-        "pq_recall": q_pq_recall,
-        "asof_clicks": q_asof_clicks,
-        "audio_features": q_audio_features,
-        "bm25_topk": q_bm25_topk,
-        "corpus_curation": q_corpus_curation,
-        "decontaminate": q_decontaminate,
-        "dedup_components": q_dedup_components,
-        "dedup_exact": q_dedup_exact,
-        "doc_fingerprints": q_doc_fingerprints,
-        "domain_mix": q_domain_mix,
-        "gopher_quality": q_gopher_quality,
-        "lang_id": q_lang_id,
-        "media_pipeline": q_media_pipeline,
-        "minhash_dups": q_minhash_dups,
-        "pii_scrub": q_pii_scrub,
-        "quality_scores": q_quality_scores,
-        "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
-        "simhash_dups": q_simhash_dups,
-        "sketch_bounds": q_sketch_bounds,
-        "substring_dedup": q_substring_dedup,
-        "token_stats": q_token_stats,
-        "top_terms_per_source": q_top_terms_per_source,
-        # --- oldest r9-green (age 2 after this round) filling the window ---
-        "sparse_filter_knn": q_sparse_filter_knn,
+        # the round-12 optimization pass — see OPTIMIZATION_r12.md -------
+        "hnsw_delta_report": q_hnsw_delta_report,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "hybrid_rrf_scale": q_hybrid_rrf_scale,
+        "hybrid_rrf_parity": q_hybrid_rrf_parity,
+        "hybrid_sparse_rrf": q_hybrid_sparse_rrf,
         "hybrid_sparse_scale": q_hybrid_sparse_scale,
-        "sq8_knn": q_sq8_knn,
-        "sq8_recall": q_sq8_recall,
-        "sparse_knn": q_sparse_knn,
-        "sparse_prune_recall": q_sparse_prune_recall,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "weighted_sample": q_weighted_sample,
-        "stratified_sample": q_stratified_sample,
+        "mmr_scale": q_mmr_scale,
         "sparse_delta_report": q_sparse_delta_report,
         "sparse_delta_parity": q_sparse_delta_parity,
-        # ==== below the 50-slot window from here ===========================
-        # ROUND-12 HEAD-OF-WINDOW: r9-green queries at age 2 after round 11
-        # (cm_heavy_hitters .. bpe_token_stats; cm_heavy_hitters was
-        # displaced from slot 50 by the third round-11 declaration
-        # pq_delta_report) — these must lead the round-12 window.
+        "corpus_curation": q_corpus_curation,
+        "corpus_curation_scale": q_corpus_curation_scale,
+        "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
+        # --- 32 r9-green at age 2 (VERDICT r11 ask #2, the exact list) ------
         "cm_heavy_hitters": q_cm_heavy_hitters,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -3350,12 +3336,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "bpe_train": q_bpe_train,
         "bpe_token_stats": q_bpe_token_stats,
-        # --- r10-green (CORRECTNESS_r10.json 50/50; age 1, recheck by
-        # round 13) ---------------------------------------------------------
+        # --- oldest r10-green filling the window (age-1 early recheck) ------
         "sparse_filter_adaptive": q_sparse_filter_adaptive,
         "sparse_quantile_recall": q_sparse_quantile_recall,
         "lm_fluency": q_lm_fluency,
         "dsir_select": q_dsir_select,
+        # ==================== window boundary (50) ====================
+        # --- r11-green (checked in the round-11 window; recheck by r14) ----
+        "ivf_auto_recall": q_ivf_auto_recall,
+        "pq_delta_report": q_pq_delta_report,
+        "hnsw_delta_knn": q_hnsw_delta_knn,
+        "ivf_delta_knn": q_ivf_delta_knn,
+        "ivfpq_knn": q_ivfpq_knn,
+        "filter_ivf_knn": q_filter_ivf_knn,
+        "filter_ivf_recall": q_filter_ivf_recall,
+        # --- r11-green: the r8-green block rechecked in round 11 ------------
+        "hnsw_knn": q_hnsw_knn,
+        "hnsw_recall": q_hnsw_recall,
+        "filter_knn_eq": q_filter_knn_eq,
+        "postfilter_knn": q_postfilter_knn,
+        "mv_knn": q_mv_knn,
+        "groundtruth_pack": q_groundtruth_pack,
+        "ivf_knn": q_ivf_knn,
+        "pq_knn": q_pq_knn,
+        "ivf_recall": q_ivf_recall,
+        "pq_recall": q_pq_recall,
+        "asof_clicks": q_asof_clicks,
+        "audio_features": q_audio_features,
+        "bm25_topk": q_bm25_topk,
+        "decontaminate": q_decontaminate,
+        "dedup_components": q_dedup_components,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprints": q_doc_fingerprints,
+        "domain_mix": q_domain_mix,
+        "gopher_quality": q_gopher_quality,
+        "lang_id": q_lang_id,
+        "media_pipeline": q_media_pipeline,
+        "minhash_dups": q_minhash_dups,
+        "pii_scrub": q_pii_scrub,
+        "quality_scores": q_quality_scores,
+        "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
+        "simhash_dups": q_simhash_dups,
+        "sketch_bounds": q_sketch_bounds,
+        "substring_dedup": q_substring_dedup,
+        "token_stats": q_token_stats,
+        "top_terms_per_source": q_top_terms_per_source,
+        # --- r11-green: the r9-green fills rechecked in round 11 ------------
+        "sparse_filter_knn": q_sparse_filter_knn,
+        "sq8_knn": q_sq8_knn,
+        "sq8_recall": q_sq8_recall,
+        "sparse_knn": q_sparse_knn,
+        "sparse_prune_recall": q_sparse_prune_recall,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "weighted_sample": q_weighted_sample,
+        "stratified_sample": q_stratified_sample,
+        # --- r10-green (age 2 after this round — MUST lead the round-13
+        # window) --------------------------------------------------------
         "video_features": q_video_features,
         "pack_blocks": q_pack_blocks,
         "block_manifest": q_block_manifest,
@@ -3366,7 +3402,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         "epoch_mix": q_epoch_mix,
         "mix_shards": q_mix_shards,
-        "corpus_curation_scale": q_corpus_curation_scale,
         "hashed_embed_knn": q_hashed_embed_knn,
         "revenue_running": q_revenue_running,
         "sessionize": q_sessionize,
@@ -3381,10 +3416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pivot": q_lang_pivot,
         "peak_events": q_peak_events,
         "top_revenue_orders": q_top_revenue_orders,
-        "hybrid_rrf_topk": q_hybrid_rrf_topk,
-        "hybrid_sparse_rrf": q_hybrid_sparse_rrf,
         "mmr_rerank": q_mmr_rerank,
-        "hybrid_rrf_parity": q_hybrid_rrf_parity,
         "bq_knn": q_bq_knn,
         "bq_recall": q_bq_recall,
         "opq_knn": q_opq_knn,
@@ -3393,20 +3425,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": q_retrieval_eval,
         "quality_classifier": q_quality_classifier,
         "filter_knn_2label": q_filter_knn_2label,
-        "hybrid_rrf_scale": q_hybrid_rrf_scale,
-        "mmr_scale": q_mmr_scale,
         "iud_final_state": q_iud_final_state,
         "knn_euclid": q_knn_euclid,
         "knn_euclid_gemm": q_knn_euclid_gemm,
         "knn_hamming_packed": q_knn_hamming_packed,
         "knn_jaccard": q_knn_jaccard,
         # --- rows-only by nature: approximate/sketch outputs gated by the
-        # oracled sketch_bounds / srp_recall / hnsw_scale_recall rows, and
-        # machine-timed IUD latency sweeps (end state value-oracled by
-        # iud_final_state) ---------------------------------------------------
+        # in-window value-oracled gates; driver checks rows ---------------
         "hnsw_scale_search": q_hnsw_scale_search,
         "corpus_stats_approx": q_corpus_stats_approx,
-        "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
         "quality_tags_approx": q_quality_tags_approx,
         "insert_latency": q_insert_latency,
         "update_latency": q_update_latency,
