@@ -1611,15 +1611,33 @@ def q_sketch_bounds(spark, sf):
     booleans; ``n_sources``/``n_docs`` are recomputed by the oracle.
     Measured error at sf0.001–0.01 is exactly 0 (scripts/
     calibrate_gates.py) — the corridor exists for larger n only."""
-    docs = load_table(spark, sf, "documents")
-    per_src = docs.groupBy("source").agg(
+    # The sketches and the exact countDistinct are SEPARATE aggregations
+    # joined on source (r13).  Mixed in one agg, Spark's single-distinct
+    # rewrite keys the FIRST partial aggregate by (source, text) — so the
+    # 16 KB HLL register block and both exact-percentile buffers were
+    # built and merged once per DISTINCT DOCUMENT, not per source
+    # (plans/r13/sketch_bounds_before.txt: partial_approx_count_distinct
+    # under Keys [source, text]), ~80 MB of agg state for a 5k-doc corpus
+    # squeezed through 5 tasks — the measured one-core serialization
+    # (job_stats: n_tasks=5, 6.6 s executor CPU; scaling ratio 0.77).
+    # Split, the sketch agg holds one buffer per source per partition and
+    # the distinct-count dedup is a lightweight codegen HashAggregate;
+    # both parallelize (guide §2.3 partial aggregation).  Results are
+    # bit-identical: HLL registers are max-merged (dedup- and order-
+    # insensitive), exact percentiles aggregate value counts, and
+    # percentile_approx at accuracy=10000 never compresses below 10k rows
+    # per source (above that, pct_ok's rank tolerance absorbs it).
+    docs = _docs_wide(spark, sf)
+    sketches = docs.groupBy("source").agg(
         F.approx_count_distinct("text", 0.01).alias("hll"),
-        F.countDistinct("text").alias("exact"),
         F.percentile_approx("n_chars", 0.5, 10000).alias("p50a"),
         F.expr("percentile(n_chars, 0.49)").alias("p49"),
         F.expr("percentile(n_chars, 0.51)").alias("p51"),
         F.count("*").alias("n"),
     )
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("text").alias("exact"))
+    per_src = sketches.join(exact, "source")
     return per_src.agg(
         F.count("*").alias("n_sources"),
         F.sum("n").cast("bigint").alias("n_docs"),
