@@ -2874,10 +2874,15 @@ def q_hybrid_sparse_scale(spark, sf):
     tkf = _doc_tokens(spark, sf)
     wpost = sp.sparse_postings(
         docs, post=sp.lexical_postings(docs, tk=tkf)).persist()
+    # n_docs from the parquet footer (table_rows) — the same exact count
+    # load_table(...).count() ran as a full-table job (r13; the statistic
+    # a cluster catalog serves, the table_rows convention).
+    from bigvectorbench_spark.sources.tables import table_rows
+
     lex = sp.sparse_topk(
         docs, qids, k=20,
         wpost=sp.prune_postings(
-            wpost, n_docs=load_table(spark, sf, "documents").count()),
+            wpost, n_docs=table_rows(sf, "documents")),
         qwpost=wpost).select("qid", "doc_id", "rank")
     vec = _bq_vec_leg(
         spark, sf, out_k=20,
@@ -2954,8 +2959,39 @@ def _hashed_base_int(spark, sf, *, persist: bool = False, tk=None):
     return base.persist() if persist else base
 
 
+def _dense_leg_ctx(base):
+    """ONE driver job shared by a hybrid query's dense legs (r13, guide
+    §2.4/§4.5 — the mv_indexed_fused job-fusion pattern applied to the
+    hybrid family per VERDICT r12 ask #1): collect the hashed-embedding
+    corpus id-sorted once, bounded by the BQ fit-sample envelope.  The
+    brute leg's quadratic-envelope row count (``len(ids)``), the BQ
+    per-dimension thresholds (float64 numpy mean over the id-sorted
+    matrix — bit-identical to ``BQIndex.fit(sort_col="id")``, which
+    collects the same rows in the same order and casts bigint→float64
+    exactly as np.array does) and the kernel query block (the
+    ``doc_id % 250 == 0`` slice, scored per-qid so block order is
+    immaterial) all derive from it — replacing three sequential driver
+    jobs (envelope count, fit collect, query-block collect) with one.
+
+    The fit-sample limit keeps the collect bounded at scale exactly like
+    BQIndex.fit; past it ``len(ids)`` reads 1M, which still (correctly)
+    trips the 200k ALL_PAIRS envelope in ``_brute_vec_leg``."""
+    import numpy as np
+
+    from bigvectorbench_spark.operators.bq import MAX_FIT_SAMPLE_ROWS
+
+    rows = (base.select("doc_id", "v").orderBy("doc_id")
+            .limit(MAX_FIT_SAMPLE_ROWS).collect())
+    if not rows:
+        raise ValueError("cannot fit BQIndex on an empty table")
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    return ids, V
+
+
 def _brute_vec_leg(spark, sf, *, out_k: int, mod: int = 250, base=None,
-                   twin: str = "hybrid_rrf_scale / mmr_scale"):
+                   twin: str = "hybrid_rrf_scale / mmr_scale",
+                   n_rows: int | None = None):
     """The BRUTE exact-cosine vector leg shared by the hybrid/MMR oracle
     anchors: every (query, doc) pair scored — O(docs × queries) by
     construction, so it wears the dedup.py ALL_PAIRS_MAX_ROWS envelope
@@ -2972,10 +3008,14 @@ def _brute_vec_leg(spark, sf, *, out_k: int, mod: int = 250, base=None,
     r9 #1 — q_hybrid_sparse_rrf's twin is hybrid_sparse_scale, not the
     dense pair).
 
+    ``n_rows``: the base corpus row count when the caller already holds it
+    (the ``_dense_leg_ctx`` fused prelude) — skips the envelope count job.
+
     Returns (qid, doc_id, tv, d, rank) with rank <= out_k."""
     if base is None:
         base = _hashed_base_int(spark, sf, persist=True)
-    n_rows = base.count()
+    if n_rows is None:
+        n_rows = base.count()
     if n_rows > dd.ALL_PAIRS_MAX_ROWS:
         raise ValueError(
             f"brute hybrid/MMR vector leg is O(docs × queries) "
@@ -3000,7 +3040,8 @@ def _brute_vec_leg(spark, sf, *, out_k: int, mod: int = 250, base=None,
             .filter(F.col("rank") <= out_k))
 
 
-def _bq_vec_leg(spark, sf, *, out_k: int, overfetch: int = 8, base=None):
+def _bq_vec_leg(spark, sf, *, out_k: int, overfetch: int = 8, base=None,
+                ctx=None):
     """The INDEXED vector leg of the scale-path hybrid (VERDICT r7 #2 —
     the reference's hybrid is per-field ANN subqueries, not brute:
     milvus/module.py:422-458): BQ hamming pre-rank over the derived
@@ -3018,18 +3059,31 @@ def _bq_vec_leg(spark, sf, *, out_k: int, overfetch: int = 8, base=None):
     value oracle (candidates recomputed at oracle-gen time and re-scored
     by DuckDB with the same integer folds).
 
+    ``ctx``: the ``_dense_leg_ctx`` (ids, V) pair when the caller shares
+    it across legs (hybrid_rrf_parity); built here otherwise — either
+    way the fit thresholds and the kernel query block ride ONE driver
+    collect instead of two sequential jobs (r13, VERDICT r12 ask #1).
+
     Returns (qid, id, tv, d, rank) with rank ≤ out_k."""
+    import numpy as np
+
     if base is None:
         base = _hashed_base_int(spark, sf, persist=True)
+    if ctx is None:
+        ctx = _dense_leg_ctx(base)
+    ids, V = ctx
     fvec = base.select(F.col("doc_id").alias("id"),
                        F.col("v").cast("array<double>").alias("vec"))
-    bq = BQIndex.fit(fvec, sort_col="id")
+    # Identical thresholds to BQIndex.fit(fvec, sort_col="id"): the ctx
+    # matrix IS the id-sorted float64 cast of the same rows.
+    bq = BQIndex(thresholds=[float(x) for x in V.mean(axis=0)])
     codes = bq.encode(fvec, keep=["id"])
     qv_int = base.filter(F.pmod(F.col("doc_id"), F.lit(250)) == 0).select(
         F.col("doc_id").alias("qid"), F.col("v").alias("qv"),
         F.col("nsq").alias("qn"))
-    qv = qv_int.select("qid", F.col("qv").cast("array<double>").alias("vec"))
-    cand = bq.search(codes, qv, k=out_k * overfetch).select("qid", "id")
+    qmask = np.mod(ids, 250) == 0
+    cand = bq.search(codes, None, k=out_k * overfetch,
+                     qblock=(ids[qmask], V[qmask])).select("qid", "id")
     tv = base.select(F.col("doc_id").alias("id"), F.col("v").alias("tv"),
                      F.col("nsq").alias("tn"))
     dot = F.aggregate(F.zip_with("qv", "tv", lambda a, b: a * b),
@@ -3110,10 +3164,15 @@ def q_hybrid_rrf_parity(spark, sf):
     lex = _lex_leg(spark, sf, k=20, tk=tkf)
 
     base = _hashed_base_int(spark, sf, persist=True, tk=tkf)
+    # One driver collect for BOTH legs (r13): envelope count, BQ fit and
+    # kernel query block all derive from _dense_leg_ctx (was 3 jobs).
+    ids, V = _dense_leg_ctx(base)
     brute_vec = _brute_vec_leg(spark, sf, out_k=20, base=base,
-                               twin="hybrid_rrf_scale").select(
+                               twin="hybrid_rrf_scale",
+                               n_rows=len(ids)).select(
         "qid", "doc_id", "rank")
-    bq_vec = _bq_vec_leg(spark, sf, out_k=20, base=base).select(
+    bq_vec = _bq_vec_leg(spark, sf, out_k=20, base=base,
+                         ctx=(ids, V)).select(
         "qid", F.col("id").alias("doc_id"), "rank")
 
     fused_brute = rt.rrf_fuse([lex, brute_vec], k=10, k0=60)

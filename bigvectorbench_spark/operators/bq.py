@@ -238,6 +238,7 @@ class BQIndex:
         overfetch: int = 4,
         pre_filter=None,
         method: str = "auto",
+        qblock: "tuple[np.ndarray, np.ndarray] | None" = None,
     ) -> DataFrame:
         """Hamming pre-rank over the packed words (top ``k·overfetch`` per
         query by (popcount, id)), then exact re-rank against
@@ -257,7 +258,15 @@ class BQIndex:
         at 100 queries; the declared-oracle shape).
 
         ``pre_filter`` composes filtered-ANN semantics: applied to the
-        codes table before scoring so Catalyst pushes it into the scan."""
+        codes table before scoring so Catalyst pushes it into the scan.
+
+        ``qblock``: a pre-collected ``(qids int64[n], qmat float64[n, d])``
+        query block for the kernel path — callers that already hold the
+        query vectors on the driver (the fused hybrid prelude collects the
+        corpus once for the envelope count, the fit AND the queries) skip
+        the per-search collect job.  Scoring is per-qid, so block order is
+        immaterial; values must equal what collecting ``queries`` would
+        yield (the caller's contract)."""
         if pre_filter is not None:
             codes = codes.filter(
                 F.expr(pre_filter) if isinstance(pre_filter, str) else pre_filter)
@@ -266,9 +275,13 @@ class BQIndex:
         n_cand = k * overfetch if refine_train is not None else k
         if method == "auto":
             method = "kernel"
+        if qblock is not None and method != "kernel":
+            raise ValueError("qblock is a kernel-path shortcut; "
+                             "method='expr' collects nothing to skip")
         if method == "kernel":
             cand = self._candidates_kernel(
-                codes, queries, n_cand, words_col, id_col, qid_col, query_vec_col)
+                codes, queries, n_cand, words_col, id_col, qid_col,
+                query_vec_col, qblock=qblock)
         else:
             cand = self._candidates_expr(
                 codes, queries, n_cand, words_col, id_col, qid_col, query_vec_col)
@@ -309,24 +322,29 @@ class BQIndex:
         return topk_window(scored, n_cand, dist="_ham")
 
     def _candidates_kernel(self, codes, queries, n_cand,
-                           words_col, id_col, qid_col, query_vec_col) -> DataFrame:
+                           words_col, id_col, qid_col, query_vec_col,
+                           qblock=None) -> DataFrame:
         """(qid, id, _ham, rank): Arrow-batched byte-LUT popcount against the
         broadcast packed query block, per-batch partial top-n_cand with a
         (hamming, id)-lexicographic tie rule, global window merge — the
         knn-GEMM shuffle discipline (O(q·n_cand·batches) rows move, never
         O(q·n))."""
-        rows = queries.select(
-            F.col(qid_col).cast("bigint"), query_vec_col).collect()
         spark = codes.sparkSession
-        if len(rows) == 0:
+        if qblock is not None:
+            qids = np.asarray(qblock[0], dtype=np.int64)
+            qmat = np.asarray(qblock[1], dtype=np.float64)
+        else:
+            rows = queries.select(
+                F.col(qid_col).cast("bigint"), query_vec_col).collect()
+            qids = np.array([r[0] for r in rows], dtype=np.int64)
+            qmat = np.array([r[1] for r in rows], dtype=np.float64)
+        if len(qids) == 0:
             return spark.createDataFrame([], "qid bigint, id bigint, _ham bigint, rank int")
-        if len(rows) > MAX_BROADCAST_QUERIES:
+        if len(qids) > MAX_BROADCAST_QUERIES:
             raise ValueError(
-                f"{len(rows)} queries exceed the broadcast envelope "
+                f"{len(qids)} queries exceed the broadcast envelope "
                 f"({MAX_BROADCAST_QUERIES}); split the query set or use method='expr'")
-        qids = np.array([r[0] for r in rows], dtype=np.int64)
-        qwords = pack_np(np.array([r[1] for r in rows], dtype=np.float64),
-                         self.thresholds)
+        qwords = pack_np(qmat, self.thresholds)
         bc = spark.sparkContext.broadcast((qids, qwords.view(np.uint8)))
         n_words = qwords.shape[1]
 

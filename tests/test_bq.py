@@ -242,3 +242,50 @@ def test_save_load_roundtrip(spark, tmp_path):
     a = idx.encode(df, keep=["id"]).orderBy("id").collect()
     b = back.encode(df, keep=["id"]).orderBy("id").collect()
     assert [r["words"] for r in a] == [r["words"] for r in b]
+
+
+def test_search_qblock_matches_collect_path(spark):
+    """The r13 fused hybrid prelude pre-collects (qids, qmat) and passes it
+    as ``qblock`` — the kernel must rank identically to collecting the
+    queries frame itself, including under permuted block order (scoring is
+    per-qid)."""
+    X = make_blobs(200, 32, seed=23)
+    idx = BQIndex.fit(_vec_df(spark, X), sort_col="id")
+    codes = idx.encode(_vec_df(spark, X), keep=["id"])
+    q = _vec_df(spark, X[:5], id_name="qid")
+    want = sorted(
+        tuple(r) for r in idx.search(codes, q, k=7).collect())
+    qids = np.arange(5, dtype=np.int64)
+    qmat = X[:5].astype(np.float64)
+    got = sorted(
+        tuple(r) for r in idx.search(
+            codes, None, k=7, qblock=(qids, qmat)).collect())
+    assert got == want
+    perm = np.array([3, 0, 4, 1, 2])
+    got_perm = sorted(
+        tuple(r) for r in idx.search(
+            codes, None, k=7, qblock=(qids[perm], qmat[perm])).collect())
+    assert got_perm == want
+    with pytest.raises(ValueError, match="kernel-path shortcut"):
+        idx.search(codes, q, k=7, qblock=(qids, qmat), method="expr")
+
+
+def test_fused_ctx_thresholds_match_fit(spark):
+    """__spark_entry__._dense_leg_ctx's float64 mean over the id-sorted
+    collected matrix must reproduce BQIndex.fit(sort_col='id') bit for bit
+    (the fused hybrid prelude replaces the fit collect with it)."""
+    import __spark_entry__ as entry
+
+    rng = np.random.RandomState(7)
+    V = rng.randint(-50, 50, size=(60, 16)).astype(np.int64)
+    base = spark.createDataFrame(
+        [(i, [int(x) for x in V[i]], int((V[i] ** 2).sum()))
+         for i in range(len(V))],
+        "doc_id bigint, v array<bigint>, nsq bigint")
+    ids, M = entry._dense_leg_ctx(base)
+    assert list(ids) == list(range(60))
+    fit = BQIndex.fit(
+        base.select("doc_id",
+                    F.col("v").cast("array<double>").alias("vec")),
+        vec_col="vec", sort_col="doc_id")
+    assert [float(x) for x in M.mean(axis=0)] == fit.thresholds
