@@ -1557,9 +1557,12 @@ def q_embedding_cosine_dups_srp(spark, sf):
     (id + 10^6), so true near-dup pairs exist and the 8-bit band blocking
     has the collision probability it is designed for.  Rows-only here; the
     in-window ``srp_recall`` gate value-checks this exact pipeline."""
+    from bigvectorbench_spark.sources.tables import table_dim
+
     out = dd.embedding_dup_pairs(_perturbed_corpus(spark, sf),
                                  threshold=0.95,
-                                 method="srp", num_planes=32, bands=4)
+                                 method="srp", num_planes=32, bands=4,
+                                 dim=table_dim(sf, "embeddings", "embedding"))
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1584,8 +1587,12 @@ def q_srp_recall(spark, sf):
     corpus = _perturbed_corpus(spark, sf)
     brute = dd.embedding_dup_pairs(corpus, threshold=0.95, method="gemm").select(
         "id_a", "id_b")
+    from bigvectorbench_spark.sources.tables import table_dim
+
     srp = dd.embedding_dup_pairs(corpus, threshold=0.95, method="srp",
-                                 num_planes=32, bands=4).select(
+                                 num_planes=32, bands=4,
+                                 dim=table_dim(sf, "embeddings", "embedding")
+                                 ).select(
         "id_a", "id_b", F.lit(1).alias("_hit"))
     j = brute.join(srp, ["id_a", "id_b"], "left")
     rec = F.sum(F.coalesce("_hit", F.lit(0))) / F.count("*")

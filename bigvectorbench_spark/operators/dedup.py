@@ -673,6 +673,7 @@ def embedding_dup_pairs(
     num_planes: int = 16,
     bands: int = 4,
     seed: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine similarity ≥ threshold.
 
@@ -750,10 +751,14 @@ def embedding_dup_pairs(
     if method != "srp":
         raise ValueError(f"unknown method {method!r}")
 
-    first = df.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        raise ValueError("empty input")
-    dim = first["d"]
+    if dim is None:
+        # Vector width drives the hyperplane draw; callers that know it
+        # (e.g. from the parquet schema/footer of the source table) pass
+        # ``dim`` and skip this one-row probe job (r13).
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("empty input")
+        dim = first["d"]
     rng = np.random.RandomState(seed)
     planes = rng.randn(num_planes, dim)
     if num_planes % bands != 0:

@@ -505,10 +505,11 @@ def sparse_topk(
         qw = qwpost.join(
             F.broadcast(qids), qwpost["doc_id"] == F.col("qid")
         ).select("qid", "term", F.col("w").alias("qwv"))
-    qvocab = qw.select("term").distinct()
-
-    hits = wpost.join(F.broadcast(qvocab), "term")
-    scored = hits.join(F.broadcast(qw), "term").select(
+    # The broadcast term join IS the query-vocabulary filter: only postings
+    # whose term occurs in some query survive it, row-identically to the
+    # qvocab-distinct semi-join it replaces (r13) — one fewer aggregate and
+    # one fewer broadcast build per search, at any scale.
+    scored = wpost.join(F.broadcast(qw), "term").select(
         "qid",
         "doc_id",
         F.round(F.col("w") * F.col("qwv"), 9).cast("decimal(28,10)").alias("c"),

@@ -75,6 +75,34 @@ def table_rows(sf_dir: str, name: str) -> int:
     return n
 
 
+_DIM_CACHE: dict[tuple[str, str, str], int] = {}
+
+
+def table_dim(sf_dir: str, name: str, col: str) -> int:
+    """Element count of a list column's first row, read with pyarrow from
+    the parquet file directly (one tiny batch, no Spark job) — the
+    table_rows convention for the other plan-construction statistic
+    vector operators need: the vector width.  Matches
+    ``df.select(size(col)).first()`` on any table whose column width is
+    uniform (every shipped embedding table)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (path, name, col)
+    if key in _DIM_CACHE:
+        return _DIM_CACHE[key]
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        path = next(os.path.join(path, f) for f in sorted(os.listdir(path))
+                    if f.endswith(".parquet"))
+    batch = next(pq.ParquetFile(path).iter_batches(batch_size=1,
+                                                   columns=[col]))
+    d = len(batch.column(0)[0])
+    _DIM_CACHE[key] = d
+    return d
+
+
 def table_fingerprint(sf_dir: str, name: str) -> str:
     """Short content fingerprint from the parquet FOOTERS (no data read):
     md5 over row counts, byte sizes, and every column chunk's min/max

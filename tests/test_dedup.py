@@ -184,6 +184,20 @@ def test_embedding_dups_srp_no_false_positives(vectors):
     assert (6, 7) in got                # colinear pair always shares all bands
 
 
+def test_embedding_dups_srp_dim_param_identical(vectors):
+    """Passing ``dim`` (the r13 probe-job shortcut) must reproduce the
+    probed-dim pair set exactly — same seed, same hyperplanes."""
+    V, df = vectors
+    probed = sorted((r["id_a"], r["id_b"], round(r["cosine"], 9)) for r in
+                    dd.embedding_dup_pairs(df, threshold=0.98, method="srp",
+                                           num_planes=16, bands=8).collect())
+    given = sorted((r["id_a"], r["id_b"], round(r["cosine"], 9)) for r in
+                   dd.embedding_dup_pairs(df, threshold=0.98, method="srp",
+                                          num_planes=16, bands=8,
+                                          dim=V.shape[1]).collect())
+    assert given == probed
+
+
 def test_minhash_kernel_matches_expr(spark):
     """The Arrow reduceat kernel and the Column aggregate form are the same
     hash family — signatures must be bit-identical, including empty docs."""

@@ -158,3 +158,21 @@ def test_table_rows_and_fingerprint_sharded_dir(tmp_path):
     # deterministic for identical content
     assert (table_fingerprint(str(tmp_path / "a"), "embeddings")
             == table_fingerprint(str(tmp_path / "a"), "embeddings"))
+
+
+def test_table_dim_matches_size_probe(spark, tmp_path):
+    """table_dim (pyarrow footer-adjacent one-row read, the r13 probe-job
+    shortcut) must equal select(size(col)).first() on a list column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from bigvectorbench_spark.sources.tables import table_dim
+
+    tbl = pa.table({"vec_id": pa.array([0, 1], pa.int64()),
+                    "embedding": pa.array([[1.0] * 7, [2.0] * 7],
+                                          pa.list_(pa.float32()))})
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    want = (spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+            .select(F.size("embedding").alias("d")).first()["d"])
+    assert table_dim(str(tmp_path), "embeddings", "embedding") == want == 7
