@@ -956,10 +956,14 @@ def dup_components(
     """
     # Checkpoint the (possibly expensive) pair plan FIRST: the symmetric
     # union references it twice, and without the cut both union branches
-    # would re-execute the whole candidate-generation job.
+    # would re-execute the whole candidate-generation job.  All
+    # checkpoints here are LAZY (r13): each one materializes inside the
+    # next counted job instead of as its own eager job, halving the
+    # driver job count of the loop (guide §1.2 — at sf0.1 the wall is
+    # sequential job latency, and at scale fewer barriers is never worse).
     edges = pairs.select(
         F.col(id_a).cast("bigint").alias("a"), F.col(id_b).cast("bigint").alias("b")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # Size the label frames to the edge count: propagation rounds shuffle
     # only (id, label) pairs, so at dedup-typical densities (≪1 pair/doc)
     # a handful of partitions beats the session-wide shuffle width.
@@ -969,7 +973,7 @@ def dup_components(
     sym = (
         edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .repartition(parts, "b")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # Initial label: min(self, direct neighbors).
@@ -977,7 +981,7 @@ def dup_components(
         sym.groupBy("a")
         .agg(F.min("b").alias("nbr_min"))
         .select(F.col("a").alias("id"), F.least("a", "nbr_min").alias("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     for _ in range(max_iter):
@@ -986,21 +990,27 @@ def dup_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # Labels are monotone non-increasing (least of self and neighbor
+        # minima), so "changed" is decidable row-locally at build time —
+        # the flag replaces the old re-join of new against comp, and its
+        # count() is the ONE job that also materializes the lazy
+        # checkpoint (was two jobs per round: eager checkpoint + join
+        # count).  Same labels, same rounds, same convergence test.
         new = (
             comp.join(nbr.withColumnRenamed("a", "id"), "id", "left")
             .select(
                 "id",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("new_comp"),
+                F.col("comp"),
             )
-            .localCheckpoint()
+            .select(
+                "id", F.col("new_comp").alias("comp"),
+                (F.col("new_comp") != F.col("comp")).alias("chg"),
+            )
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new.withColumnRenamed("comp", "new_comp")
-            .join(comp, "id")
-            .filter(F.col("new_comp") != F.col("comp"))
-            .count()
-        )
-        comp = new
+        changed = new.filter(F.col("chg")).count()
+        comp = new.select("id", "comp")
         if changed == 0:
             break
     else:
