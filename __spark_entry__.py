@@ -242,15 +242,24 @@ def q_hnsw_delta_report(spark, sf):
     nds1 = -(-n_d1 // per1)
     per2 = max(1, (n_base + n_d1) // (num_shards + nds1))
     nds2 = -(-n_d2 // per2)
-    for frame, want, name in ((base_shards, num_shards, "base"),
-                              (s1, nds1, "delta1"), (s2, nds2, "delta2")):
-        got = frame.count()
-        if got != want:
+    # ONE guard job for all three layouts (r13, VERDICT r12 ask #6: a
+    # guard should not cost a job per frame): the union counts every
+    # shard frame in a single action — which also materializes the three
+    # persists the report consumes — instead of three sequential count()
+    # jobs.  Same counts, same assertion.
+    got = {r["nm"]: r["count"] for r in
+           base_shards.select(F.lit("base").alias("nm"))
+           .unionByName(s1.select(F.lit("delta1").alias("nm")))
+           .unionByName(s2.select(F.lit("delta2").alias("nm")))
+           .groupBy("nm").count().collect()}
+    for want, name in ((num_shards, "base"), (nds1, "delta1"),
+                       (nds2, "delta2")):
+        if got.get(name, 0) != want:
             raise AssertionError(
-                f"hnsw_delta_report fixture: {name} produced {got} shard "
-                f"rows, sizing expects {want} — an empty hash bucket "
-                f"breaks the value oracle's sizing replay "
-                f"(build_hnsw_shards non-empty-bucket note)")
+                f"hnsw_delta_report fixture: {name} produced "
+                f"{got.get(name, 0)} shard rows, sizing expects {want} — "
+                f"an empty hash bucket breaks the value oracle's sizing "
+                f"replay (build_hnsw_shards non-empty-bucket note)")
     return hnsw_delta_report(base_shards, s1.unionByName(s2))
 
 
