@@ -229,6 +229,14 @@ def main() -> None:
     # best-of-3 by default: r2→r3 showed single queries flapping ±30-80%
     # (bm25_topk +83% with zero code delta) at best-of-2 on a busy machine
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # SPARK_GRAFT_BENCH_COLD=1 (r13, VERDICT r12 ask #5): ALSO clear the
+    # cache between the best-of-N runs of a query, so no run reuses a
+    # prior run's persisted frames (by default run 1's cache entries
+    # remain registered and runs 2..N re-match them by plan identity —
+    # a warm-cache minimum).  Default behavior is unchanged for
+    # round-over-round comparability; the cold mode exists to measure
+    # which queries' minima depend on that carryover.
+    cold = os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
@@ -240,6 +248,8 @@ def main() -> None:
             # regression shifts the minimum itself (self-diagnosing flaps).
             times: list[float] = []
             for i in range(max(1, runs)):  # best-of-N (runner.py:222-226)
+                if cold and i:
+                    spark.catalog.clearCache()
                 # Label every job so the UI / REST API attributes stage
                 # time to the query that ran it (optimization guide §1.5);
                 # thread-local, reset in the finally below.
